@@ -1,0 +1,65 @@
+"""Headline benchmark — one JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "r_q1_pricing_summary",
+    "v_cosine_topk",
+    "v_multiprobe_fusion",
+    "v_knn_join_docs",
+    "j_groupwise_max",
+    "a_group_concat_ordered",
+    "a_count_distinct_union",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from vector_search_spark.plans.queries import QUERIES
+    from vector_search_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

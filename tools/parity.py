@@ -1,0 +1,114 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at a given sf dir, then compares row-count, schema shape, and
+order-insensitive values (columns sorted by name, rows sorted by all
+columns). Exact value equality is required — queries are expected to round
+floats in-query, so any residual diff is a real defect.
+
+Usage:  python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+REPO = "/root/repo"
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def compare(name: str, spark_df, con) -> tuple[bool, str]:
+    import vector_search_spark  # noqa: F401  (path check)
+
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    from vector_search_spark.plans.queries import QUERIES
+
+    res = con.execute(QUERIES[name].oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    if len(s_rows) != len(d_rows):
+        return False, f"row count: spark={len(s_rows)} duck={len(d_rows)}"
+    sc, sr = canon_rows(s_cols, s_rows)
+    dc, dr = canon_rows(d_cols, d_rows)
+    if sc != dc:
+        return False, f"columns: spark={sc} duck={dc}"
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        if a != b:
+            return False, f"row {i} differs:\n  spark={a}\n  duck ={b}"
+    return True, f"{len(s_rows)} rows"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from vector_search_spark.plans.queries import QUERIES
+    from vector_search_spark.session import get_spark
+
+    spark = get_spark("parity", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(sf_dir)
+
+    failed = []
+    for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
+        if spec.oracle is None:
+            n = spec.fn(spark, sf_dir).count()
+            status = f"ROWS-ONLY ({n} rows)"
+            ok = n >= 0
+        else:
+            try:
+                ok, status = compare(name, spec.fn(spark, sf_dir), con)
+            except Exception as e:  # noqa: BLE001
+                ok, status = False, f"EXCEPTION: {e}"
+        print(f"{'PASS' if ok else 'FAIL'}  {name}: {status}")
+        if not ok:
+            failed.append(name)
+    print(f"\n{len(QUERIES) - len(failed)}/{len(QUERIES)} pass")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

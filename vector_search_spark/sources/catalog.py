@@ -1,0 +1,48 @@
+"""Table catalog over the driver fixtures.
+
+The reference reads MariaDB/MSSQL tables through embedded SQL
+(camp_vec_save.py:42-45, nl_targeting_save.py:37-40, camp_vec_rcmn.py:40-47);
+here every table is a Spark source read lazily so Catalyst can push filters
+and prune columns into the scan. Parquet fixtures are the test backing; the
+same call sites work for any ``spark.read.format(...)`` source (JDBC included)
+because nothing downstream assumes a format.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def sf_dir_from_env() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
