@@ -311,3 +311,347 @@ def a_count_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
         .agg(F.countDistinct("cust").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational batch 2 (SURVEY §2.2-2.8: J1-J8, A8, W1-W3, A10, F4/F7/F9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r_denorm_campaign",
+    oracle="""
+WITH ord_agg AS (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(o_orderstatus))), ',') AS statuses
+  FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       COALESCE(n1.n_name, '없음') AS nation_r0,
+       COALESCE(n2.n_name, '없음') AS nation_r1,
+       COALESCE(a.n_orders, 0) AS n_orders,
+       COALESCE(a.statuses, '') AS statuses
+FROM customer c
+LEFT JOIN nation n1 ON c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = 0
+LEFT JOIN nation n2 ON c.c_nationkey = n2.n_nationkey AND n2.n_regionkey = 1
+LEFT JOIN ord_agg a ON c.c_custkey = a.o_custkey
+WHERE c.c_name LIKE 'Customer#00000000%'
+""",
+)
+def r_denorm_campaign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The camp_vec_save.py:6-40 denormalization shape: prefix LIKE (P4),
+    same dim joined twice with constant predicate (J2), derived-table
+    aggregation join (J3+A3+A5), IFNULL (F1)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_name").like("Customer#00000000%")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    n1 = nation.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("nation_r0")
+    )
+    n2 = nation.filter(F.col("n_regionkey") == 1).select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("nation_r1")
+    )
+    agg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+    )
+    return (
+        cust.join(F.broadcast(n1), cust.c_nationkey == n1.k1, "left")
+        .join(F.broadcast(n2), cust.c_nationkey == n2.k2, "left")
+        .join(agg, cust.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("nation_r0", F.lit("없음")).alias("nation_r0"),
+            F.coalesce("nation_r1", F.lit("없음")).alias("nation_r1"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("statuses", F.lit("")).alias("statuses"),
+        )
+    )
+
+
+@register(
+    "a_dynamic_threshold",
+    oracle="""
+SELECT o_orderstatus AS o_orderstatus,
+       COUNT(*) AS n_above,
+       ROUND(AVG(o_totalprice), 2) AS avg_above
+FROM orders
+WHERE o_totalprice > (
+  SELECT AVG(o_totalprice) + 0.5 * STDDEV_SAMP(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+""",
+)
+def a_dynamic_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+P7 dynamic threshold = mean + 0.5·stddev_samp (camp_vec_rcmn.py:97,
+    pandas ddof=1 == stddev_samp), applied via broadcast scalar join."""
+    orders = _t(spark, sf_dir, "orders")
+    stats = orders.agg(
+        (F.avg("o_totalprice") + 0.5 * F.stddev_samp("o_totalprice")).alias("thr")
+    )
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_above"),
+        )
+    )
+
+
+@register(
+    "w_running_sum",
+    oracle="""
+SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders WHERE o_custkey < 300
+""",
+)
+def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 running sum over ordered events (camp_vec_rcmn.py:148-158's
+    ``current_weight +=`` loop as a window frame)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "w_lead_gap",
+    oracle="""
+SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
+       CAST(DATE_DIFF('day', o_orderdate,
+         LEAD(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS BIGINT)
+       AS gap_days
+FROM orders WHERE o_custkey < 300
+QUALIFY gap_days IS NOT NULL
+""",
+)
+def w_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 next-point lookahead (camp_vec_rcmn.py:153-158) via lead()."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.lead("o_orderdate").over(w).cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+
+
+@register(
+    "t_sweepline_dates",
+    oracle="""
+WITH iv AS (
+  SELECT o_orderpriority AS name,
+         DATE_DIFF('day', DATE '1970-01-01', o_orderdate::DATE) AS s,
+         DATE_DIFF('day', DATE '1970-01-01', o_orderdate::DATE) + 30 AS e
+  FROM orders WHERE o_custkey < 100),
+ev AS (
+  SELECT name, s AS point, 1.0 AS delta FROM iv
+  UNION ALL
+  SELECT name, e + 1 AS point, -1.0 AS delta FROM iv),
+d AS (SELECT name, point, SUM(delta) AS delta FROM ev GROUP BY name, point),
+seg AS (
+  SELECT name, point AS sp,
+         LEAD(point) OVER (PARTITION BY name ORDER BY point) - 1 AS se,
+         SUM(delta) OVER (PARTITION BY name ORDER BY point
+                          ROWS UNBOUNDED PRECEDING) AS weight
+  FROM d)
+SELECT name,
+       STRFTIME(DATE '1970-01-01' + sp::INT, '%Y-%m-%d') AS seg_start,
+       STRFTIME(DATE '1970-01-01' + se::INT, '%Y-%m-%d') AS seg_end,
+       CAST(weight AS BIGINT) AS weight
+FROM seg WHERE se IS NOT NULL AND weight > 0
+""",
+)
+def t_sweepline_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 sweep-line over date intervals (camp_vec_rcmn.py:162-186):
+    [o_orderdate, +30d] per priority → overlap depth per elementary
+    interval. Inclusive-end semantics incl. the touching-intervals rule
+    (T3) and the date +1 gap handling (camp_vec_rcmn.py:177-178)."""
+    from ..operators.sweepline import sweep_overlap_dates
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    iv = orders.select(
+        F.col("o_orderpriority").alias("name"),
+        F.col("o_orderdate").cast("date").alias("start_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("end_date"),
+    )
+    out = sweep_overlap_dates(iv)
+    return out.select(
+        "name",
+        F.date_format("seg_start", "yyyy-MM-dd").alias("seg_start"),
+        F.date_format("seg_end", "yyyy-MM-dd").alias("seg_end"),
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+
+@register(
+    "f_json_extract",
+    oracle="""
+SELECT event_type AS event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8 JSON field extraction (nl_targeting_save.py:46-61) over the
+    events.props JSON blob column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "f_date_epoch_roundtrip",
+    oracle="""
+SELECT o_orderkey AS o_orderkey,
+       STRFTIME(o_orderdate, '%Y%m%d') AS ymd,
+       CAST(DATE_DIFF('day', DATE '1970-01-01', o_orderdate::DATE) AS BIGINT) AS epoch_day,
+       STRFTIME(DATE '1970-01-01'
+                + DATE_DIFF('day', DATE '1970-01-01', o_orderdate::DATE)::INT,
+                '%Y-%m-%d') AS roundtrip
+FROM orders WHERE o_orderkey < 1000
+""",
+)
+def f_date_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 date↔epoch-day conversions (sru.Epoch_date / date_from_epoch,
+    camp_vec_rcmn.py:131-132,204-209), standardized on day-granularity."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    epoch = F.lit("1970-01-01").cast("date")
+    eday = F.datediff(F.col("o_orderdate").cast("date"), epoch)
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyyMMdd").alias("ymd"),
+        eday.cast("long").alias("epoch_day"),
+        F.date_format(F.date_add(epoch, eday), "yyyy-MM-dd").alias("roundtrip"),
+    )
+
+
+@register(
+    "j_semi_topk",
+    oracle="""
+SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS o_custkey,
+       o.o_orderstatus AS o_orderstatus
+FROM orders o
+WHERE o.o_custkey IN (
+  SELECT c_custkey FROM (
+    SELECT c_custkey FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 5))
+""",
+)
+def j_semi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 semi-join against a top-k id set (camp_vec_rcmn.py:74-82's
+    IN-list of top-5 ids, done as left_semi instead of string splicing)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    top5 = cust.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).limit(5)
+    return orders.join(
+        F.broadcast(top5), orders.o_custkey == top5.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+@register(
+    "j_anti_negative",
+    oracle="""
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderstatus = 'F' AND o.o_totalprice > 100000)
+""",
+)
+def j_anti_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/U3 negative-set subtraction (nl_targeting.py:112-123) as a
+    left_anti join: customers minus the 'negative' audience."""
+    cust = _t(spark, sf_dir, "customer")
+    neg = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000)
+    )
+    return cust.join(
+        neg, cust.c_custkey == neg.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "p_filters_composite",
+    oracle="""
+SELECT l_orderkey AS l_orderkey, l_linenumber AS l_linenumber,
+       l_returnflag AS l_returnflag, ROUND(l_quantity, 2) AS l_quantity
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R')
+  AND l_quantity >= 49
+  AND l_shipdate IS NOT NULL
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'
+""",
+)
+def p_filters_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P6 composite predicates: IN-list, threshold, IS NOT NULL, range —
+    all pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_quantity") >= 49)
+        & F.col("l_shipdate").isNotNull()
+        & F.col("l_shipdate").between("1996-01-01", "1997-01-01")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_quantity", 2).alias("l_quantity"),
+    )
+
+
+@register(
+    "f_sentence_serialize",
+    oracle="""
+SELECT c_custkey AS c_custkey,
+       'c_name은 ' || c_name || ' 입니다. c_mktsegment은 ' || c_mktsegment
+       || ' 입니다. c_nationkey은 ' || CAST(c_nationkey AS VARCHAR)
+       || ' 입니다.' AS sentence
+FROM customer WHERE c_custkey < 50
+""",
+)
+def f_sentence_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 row→sentence serialization for embedding input
+    (camp_vec_save.py:49-56: '{col}은 {val} 입니다.' joined by spaces)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    return cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("c_name은 "), F.col("c_name"),
+            F.lit(" 입니다. c_mktsegment은 "), F.col("c_mktsegment"),
+            F.lit(" 입니다. c_nationkey은 "),
+            F.col("c_nationkey").cast("string"),
+            F.lit(" 입니다."),
+        ).alias("sentence"),
+    )

@@ -35,6 +35,17 @@ def sf_dir_from_env() -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which the vectorized parquet
+        # reader rejects; read nanos as long and surface a clean timestamp
+        # column (µs precision — all downstream bucketing is ≥1s grain).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
