@@ -24,6 +24,11 @@ HEADLINE = [
     "j_groupwise_max",
     "a_group_concat_ordered",
     "a_count_distinct_union",
+    "t_sweepline_dates",
+    "w_running_sum",
+    "d_minhash_lsh_pairs",
+    "d_jaccard_pairs",
+    "t_quality_score",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Tests for the dedup family + text functions."""
+
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions.text import poly_hash
+from vector_search_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    tokenset_fingerprint,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps", "s0"),
+        (2, "the quick brown fox jumps", "s0"),          # exact dup of 1
+        (3, "jumps fox brown quick the the", "s0"),      # same token set as 1
+        (4, "completely different words here now", "s0"),
+        (5, "the quick brown fox leaps", "s0"),          # near dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_tokenset_fingerprint_order_insensitive(spark):
+    fp = {
+        r.doc_id: r.fingerprint
+        for r in tokenset_fingerprint(_docs(spark), "text", "doc_id").collect()
+    }
+    assert fp[1] == fp[2] == fp[3]
+    assert fp[1] != fp[4]
+
+
+def test_jaccard_pairs_exact(spark):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(_docs(spark), "text", "doc_id", ["source"], 0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 1.0
+    # {the,quick,brown,fox,jumps} vs {the,quick,brown,fox,leaps}: 4/6
+    assert abs(got[(1, 5)] - 4 / 6) < 1e-9
+    assert (1, 4) not in got
+
+
+def test_lsh_sound_and_finds_exact_dups(spark):
+    # soundness: every emitted pair really has jaccard >= threshold;
+    # exact duplicates (jaccard 1.0) always collide in every band.
+    for hash_fn in ("poly", "xxhash64"):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in minhash_lsh_pairs(
+                _docs(spark), "text", "doc_id", 16, 4, 0.5, hash_fn
+            ).collect()
+        }
+        assert got[(1, 2)] == 1.0
+        assert got[(1, 3)] == 1.0
+        for j in got.values():
+            assert j >= 0.5
+
+
+def test_lsh_subset_of_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, "text", "doc_id", [], 0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", 16, 4, 0.5).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) > 0.5  # decent recall at these params
+
+
+def test_poly_hash_deterministic_and_spread(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("ab",), ("ba",), ("a",)], ["s"])
+    vals = [r.h for r in df.select(poly_hash("s").alias("h")).collect()]
+    assert vals[0] == vals[4]
+    assert len({vals[0], vals[1], vals[2], vals[3]}) == 4
+    assert all(0 <= v < 1_000_000_007 for v in vals)

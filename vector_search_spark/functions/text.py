@@ -1,0 +1,134 @@
+"""Text-analysis expression library (north-star LLM-data-pipeline surface).
+
+Everything here is pure Catalyst expressions (HOFs over arrays of tokens /
+characters) — no Python UDFs in the hot path, so the operators run JVM-side
+at any scale. The portable polynomial hash is arithmetic-only and therefore
+bit-identical in the DuckDB oracle (verified), which lets even MinHash/LSH
+candidate generation be oracle-checked exactly.
+
+Hash design: fold ``(a*31 + ascii(ch)) % 1000000007`` over the characters,
+then an avalanche step ``((h+13) * 2654435761) % 1000000007`` so short
+tokens don't monotonically produce small values (min-hash would otherwise
+always pick the shortest token). All intermediates < 2^62 — no overflow in
+either engine. For 100 TB runs where oracle parity is not needed, swap in
+``F.xxhash64`` (faster, same API shape) via ``hash_fn="xxhash64"``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+HASH_MOD = 1_000_000_007
+HASH_MIX = 2_654_435_761
+
+# Marker token sets for the heuristic language/domain classifier.
+LANG_MARKERS = {
+    "article": ["the", "a"],
+    "engine": ["spark", "query", "table", "join"],
+    "data": ["vector", "row", "column", "value"],
+}
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: ColumnOrName, pattern: str = " ") -> Column:
+    """Whitespace tokenization (F5: split + strip)."""
+    return F.split(_c(col), pattern)
+
+
+def distinct_tokens(col: ColumnOrName) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def poly_hash(col: ColumnOrName) -> Column:
+    """Portable 30-bit polynomial string hash (identical in DuckDB SQL)."""
+    s = _c(col)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substr(s, i, F.lit(1))).cast("long"),
+    )
+    folded = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + c) % F.lit(HASH_MOD),
+    )
+    return ((folded + 13) * F.lit(HASH_MIX)) % F.lit(HASH_MOD)
+
+
+def minhash_signature(
+    tokens_col: ColumnOrName, n_hashes: int = 16, hash_fn: str = "poly"
+) -> Column:
+    """MinHash signature: per seed s, min over tokens of hash(token + '#' + s).
+
+    ``hash_fn='poly'`` is oracle-portable; ``'xxhash64'`` is the fast path
+    for production scale (JVM intrinsic, not reproducible in DuckDB).
+    """
+    tk = _c(tokens_col)
+
+    def one_seed(s: Column) -> Column:
+        if hash_fn == "xxhash64":
+            return F.array_min(
+                F.transform(tk, lambda t: F.xxhash64(F.concat_ws("#", t, s)))
+            )
+        return F.array_min(
+            F.transform(
+                tk,
+                lambda t: poly_hash(F.concat(t, F.lit("#"), s.cast("string"))),
+            )
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(n_hashes - 1)), one_seed)
+
+
+def simhash30(tokens_col: ColumnOrName) -> Column:
+    """30-bit SimHash from portable token hashes: bit j of the result is 1
+    iff Σ_tokens (±1 depending on bit j of hash(token)) > 0."""
+    tk = _c(tokens_col)
+    hashes = F.transform(tk, poly_hash)
+
+    def bit_vote(j: Column) -> Column:
+        # shiftright/shiftleft only take literal shift amounts — use exact
+        # integer arithmetic instead: bit j of h == (h div 2^j) % 2.
+        p2 = F.pow(F.lit(2.0), j).cast("long")
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when((h / p2).cast("long") % 2 == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, p2).otherwise(F.lit(0).cast("long"))
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(29)), bit_vote)
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
+def char_ngrams(col: ColumnOrName, n: int = 3) -> Column:
+    """Character n-gram shingles."""
+    s = _c(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0))),
+        lambda i: F.substr(s, i, F.lit(n)),
+    )
+
+
+def rolling_fingerprint(col: ColumnOrName) -> Column:
+    """Whole-document rolling-hash fingerprint (north-star doc fingerprint)."""
+    return poly_hash(col)
+
+
+def stopword_ratio(tokens_col: ColumnOrName, stopwords: list[str] | None = None) -> Column:
+    tk = _c(tokens_col)
+    sw = [F.lit(w) for w in (stopwords or STOPWORDS)]
+    n_stop = F.size(F.filter(tk, lambda t: t.isin(*[w for w in (stopwords or STOPWORDS)])))
+    return n_stop.cast("double") / F.size(tk)
+
+
+def marker_score(tokens_col: ColumnOrName, markers: list[str]) -> Column:
+    tk = _c(tokens_col)
+    return F.size(F.filter(tk, lambda t: t.isin(*markers)))

@@ -655,3 +655,365 @@ def f_sentence_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" 입니다."),
         ).alias("sentence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star: dedup + text-analysis family over `documents` (SURVEY §7.5 +
+# driver north_star: "dedup, similarity search, text analysis")
+# ---------------------------------------------------------------------------
+
+
+def _duck_poly(expr: str, v: str = "x") -> str:
+    """DuckDB SQL for the portable polynomial hash of a string expression.
+
+    Mirrors functions.text.poly_hash bit-for-bit. ``v`` prefixes lambda
+    variable names so nested uses don't shadow each other.
+    """
+    return (
+        f"((list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({expr})), "
+        f"{v}i -> CAST(ascii(substr({expr}, {v}i, 1)) AS BIGINT))), "
+        f"({v}a, {v}c) -> ({v}a * 31 + {v}c) % 1000000007) + 13) "
+        f"* 2654435761) % 1000000007"
+    )
+
+
+_DUCK_TOKENS = "list_distinct(string_split(text, ' '))"
+_DUCK_MINHASH_SIG = (
+    "list_transform(generate_series(0, 15), s -> "
+    "list_min(list_transform(tk, t -> "
+    + _duck_poly("(t || '#' || s)", v="p")
+    + ")))"
+)
+
+
+@register(
+    "d_exact_dedup_stats",
+    oracle="""
+SELECT source AS source,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT text) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT text) AS n_dups
+FROM documents GROUP BY source
+""",
+)
+def d_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: per-source duplicate statistics."""
+    from ..operators.dedup import exact_dup_stats
+
+    return exact_dup_stats(_t(spark, sf_dir, "documents"), "text", ["source"])
+
+
+@register(
+    "d_tokenset_dedup",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         {_duck_poly("array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS fingerprint
+  FROM documents)
+SELECT lang AS lang, COUNT(*) AS n_docs,
+       COUNT(DISTINCT fingerprint) AS n_distinct_sets
+FROM fp GROUP BY lang
+""",
+)
+def d_tokenset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical token-set dedup: docs with the same distinct-token set share
+    a fingerprint regardless of word order/repetition."""
+    from ..operators.dedup import tokenset_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = tokenset_fingerprint(docs, "text", "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return fp.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct_sets"),
+    )
+
+
+@register(
+    "d_jaccard_pairs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, lang, list_distinct(string_split(text, ' ')) AS tk
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.tk, b.tk))::DOUBLE
+             / len(list_distinct(list_concat(a.tk, b.tk))), 6) AS jaccard
+FROM t a JOIN t b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+      / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+""",
+)
+def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/token Jaccard near-dup pairs within (source, lang) blocks."""
+    from ..operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    res = jaccard_pairs(docs, "text", "doc_id", ["source", "lang"], 0.5)
+    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "d_minhash_lsh_pairs",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS id, {_DUCK_TOKENS} AS tk FROM documents),
+sigs AS (
+  SELECT id, tk, {_DUCK_MINHASH_SIG} AS sig FROM t),
+banded AS (
+  SELECT id, tk, b.band,
+         array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+                                        x -> CAST(x AS VARCHAR)), ',') AS key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id),
+rerank AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ta.tk, tb.tk))::DOUBLE
+         / len(list_distinct(list_concat(ta.tk, tb.tk))) AS jaccard
+  FROM cands c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM rerank WHERE jaccard >= 0.5
+""",
+)
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle → 16-hash signature → 4 bands
+    → bucket-join candidates → exact-Jaccard re-rank. Candidate generation
+    is oracle-checked exactly (portable hash)."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    res = minhash_lsh_pairs(docs, "text", "doc_id", 16, 4, 0.5)
+    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "d_simhash_groups",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS id, {_DUCK_TOKENS} AS tk FROM documents),
+sh AS (
+  SELECT id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(0, 29), j ->
+        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(tk, t ->
+                 CASE WHEN ({_duck_poly("t", v="q")} >> j) & 1 = 1
+                      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+               (va, vb) -> va + vb) > 0
+             THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)),
+      (ba, bb) -> ba + bb) AS simhash
+  FROM t)
+SELECT sh.id AS id, sh.simhash AS simhash, g.group_size AS group_size
+FROM sh JOIN (SELECT simhash, COUNT(*) AS group_size FROM sh GROUP BY simhash) g
+  USING (simhash)
+""",
+)
+def d_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (30-bit, portable hash) fingerprints + collision-group size."""
+    from ..operators.dedup import simhash_groups
+
+    return simhash_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "d_embedding_neardup",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+""",
+)
+def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within cluster blocks."""
+    from ..operators.dedup import embedding_neardup_pairs
+
+    res = embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    return res.select("id_a", "id_b", "block", F.round("cos", 6).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis (language-ID, quality, token counts, fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_lang_id",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+scores AS (
+  SELECT doc_id,
+         len(list_filter(tk, t -> t IN ('the', 'a'))) AS s_article,
+         len(list_filter(tk, t -> t IN ('spark', 'query', 'table', 'join'))) AS s_engine,
+         len(list_filter(tk, t -> t IN ('vector', 'row', 'column', 'value'))) AS s_data
+  FROM t)
+SELECT doc_id AS doc_id,
+       CASE WHEN s_article > s_engine AND s_article > s_data THEN 'article'
+            WHEN s_engine > s_article AND s_engine > s_data THEN 'engine'
+            WHEN s_data > s_article AND s_data > s_engine THEN 'data'
+            ELSE 'tie' END AS pred_class,
+       CAST(s_article AS BIGINT) AS s_article,
+       CAST(s_engine AS BIGINT) AS s_engine,
+       CAST(s_data AS BIGINT) AS s_data
+FROM scores
+""",
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-token classifier (the language-ID shape: n-gram /
+    marker profiles → argmax with deterministic tie rule)."""
+    from ..functions.text import LANG_MARKERS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    d = docs.select(
+        "doc_id",
+        F.size(F.filter(tk, lambda t: t.isin(*LANG_MARKERS["article"]))).alias("s_article"),
+        F.size(F.filter(tk, lambda t: t.isin(*LANG_MARKERS["engine"]))).alias("s_engine"),
+        F.size(F.filter(tk, lambda t: t.isin(*LANG_MARKERS["data"]))).alias("s_data"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_article") > F.col("s_engine"))
+            & (F.col("s_article") > F.col("s_data")),
+            "article",
+        )
+        .when(
+            (F.col("s_engine") > F.col("s_article"))
+            & (F.col("s_engine") > F.col("s_data")),
+            "engine",
+        )
+        .when(
+            (F.col("s_data") > F.col("s_article"))
+            & (F.col("s_data") > F.col("s_engine")),
+            "data",
+        )
+        .otherwise("tie")
+    )
+    return d.select(
+        "doc_id",
+        pred.alias("pred_class"),
+        F.col("s_article").cast("long").alias("s_article"),
+        F.col("s_engine").cast("long").alias("s_engine"),
+        F.col("s_data").cast("long").alias("s_data"),
+    )
+
+
+@register(
+    "t_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         list_distinct(string_split(text, ' ')) AS dtk
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(tk) AS n_tok,
+         len(dtk)::DOUBLE / len(tk) AS distinct_ratio,
+         len(list_filter(tk, t -> t IN ('the','a','and','of','to','in','is')))::DOUBLE
+           / len(tk) AS stop_ratio,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(tk, t -> CAST(length(t) AS BIGINT))),
+           (a, b) -> a + b)::DOUBLE / len(tk) AS mean_len
+  FROM t)
+SELECT doc_id AS doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       ROUND(distinct_ratio, 6) AS distinct_ratio,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(mean_len, 6) AS mean_len,
+       ROUND(0.4 * distinct_ratio + 0.3 * (1 - stop_ratio)
+             + 0.3 * LEAST(mean_len / 10, 1.0), 6) AS quality
+FROM m
+""",
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: distinct-token ratio, stopword ratio,
+    mean token length → weighted composite score."""
+    from ..functions.text import STOPWORDS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        tokens("text").alias("tk"),
+        F.array_distinct(tokens("text")).alias("dtk"),
+    )
+    n_tok = F.size("tk")
+    distinct_ratio = F.size("dtk").cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter("tk", lambda t: t.isin(*STOPWORDS))).cast("double") / n_tok
+    )
+    mean_len = (
+        F.aggregate(
+            F.transform("tk", lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).cast("double")
+        / n_tok
+    )
+    quality = (
+        0.4 * distinct_ratio
+        + 0.3 * (1 - stop_ratio)
+        + 0.3 * F.least(mean_len / 10, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_len, 6).alias("mean_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "t_token_count",
+    oracle="""
+SELECT doc_id AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex (BPE-ish) token count."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("alpha_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "t_fingerprint",
+    oracle=f"""
+SELECT doc_id AS doc_id, {_duck_poly("text")} AS fingerprint
+FROM documents
+""",
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (portable polynomial hash)."""
+    from ..functions.text import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+@register("a_approx_count_distinct", oracle=None)
+def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 at 100 TB: approx_count_distinct (HLL) variant of the audience
+    count — estimator-specific, so rows-only (no DuckDB value oracle)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
