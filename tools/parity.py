@@ -91,9 +91,11 @@ def main():
     con = duck_connect(sf_dir)
 
     failed = []
+    ran = 0
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
+        ran += 1
         if spec.oracle is None:
             n = spec.fn(spark, sf_dir).count()
             status = f"ROWS-ONLY ({n} rows)"
@@ -106,7 +108,7 @@ def main():
         print(f"{'PASS' if ok else 'FAIL'}  {name}: {status}")
         if not ok:
             failed.append(name)
-    print(f"\n{len(QUERIES) - len(failed)}/{len(QUERIES)} pass")
+    print(f"\n{ran - len(failed)}/{ran} pass ({len(QUERIES)} registered)")
     sys.exit(1 if failed else 0)
 
 

@@ -1,0 +1,148 @@
+"""Similar-campaign recommendation → audience count (SURVEY §3.2,
+camp_vec_rcmn.py end-to-end).
+
+Stages, re-expressed Spark-first:
+  L4 query expansion (5 probes)      → driver-side fake/LLM call
+  per-probe KNN + score fusion (V5)  → one distributed plan (multiprobe_fusion)
+  condition fetch for top-5 (A4/J6)  → semi-join + ordered group_concat
+  dynamic threshold (A8)             → mean + 0.5·stddev_samp scalar
+  interval mining (A10)              → sweep-line windows, int + date flavors
+  SQL codegen (S7)                   → plans.codegen → ANSI SQL
+  audience count (U1+A9)             → spark.sql COUNT(DISTINCT) over UNION
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm.clients import (
+    EmbeddingClient,
+    FakeEmbeddingClient,
+    FakeLLMClient,
+    LLMClient,
+)
+from ..operators.knn import multiprobe_fusion
+from ..operators.sweepline import sweep_overlap, sweep_overlap_dates
+from ..plans.codegen import Condition, audience_count_sql
+from ..sources.catalog import load_table
+from .ingest import build_campaign_vectors
+
+
+def recommend_similar_and_count(
+    spark: SparkSession,
+    sf_dir: str,
+    user_query: str,
+    llm: LLMClient | None = None,
+    embedder: EmbeddingClient | None = None,
+    campaign_vectors: DataFrame | None = None,
+    k: int = 10,
+    top_n: int = 5,
+) -> dict:
+    """Returns {"recommendations": DataFrame, "conditions": list[Condition],
+    "audience_sql": str, "audience_count": DataFrame}."""
+    llm = llm or FakeLLMClient()
+    embedder = embedder or FakeEmbeddingClient()
+    camp = (
+        campaign_vectors
+        if campaign_vectors is not None
+        else build_campaign_vectors(spark, sf_dir, embedder)
+    )
+
+    # L4 + V6: expand and embed driver-side (5 tiny rows), then one
+    # distributed fusion plan (the reference loops 5 sequential KNN queries).
+    texts = llm.expand_query(user_query, 5)
+    vecs = embedder.embed_batch(texts)
+    probes = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "probe_id int, probe_vec array<float>",
+    )
+    top = multiprobe_fusion(
+        camp, probes, k=k, top_n=top_n, n_probes_norm=5, corpus_id="camp_id"
+    ).cache()
+
+    # A8 dynamic threshold over the fused scores (mean + 0.5σ, ddof=1).
+    stats = top.agg(
+        (F.avg("fused_score") + 0.5 * F.coalesce(F.stddev_samp("fused_score"), F.lit(0.0))).alias("thr")
+    ).collect()[0]
+    thr = float(stats.thr)
+
+    # J6: conditions of the recommended campaigns = their order history.
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    top_ids = top.select(F.col("camp_id"), "fused_score")
+    cond_orders = orders.join(
+        F.broadcast(top_ids), orders.o_custkey == top_ids.camp_id, "inner"
+    )
+
+    # A7: string conditions — segment scores summed over campaigns.
+    seg_scores = (
+        cust.join(F.broadcast(top_ids), cust.c_custkey == top_ids.camp_id)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("fused_score").alias("score"))
+        .filter(F.col("score") > F.lit(thr) * 0.2)
+    )
+    segments = sorted(r.c_mktsegment for r in seg_scores.collect())
+
+    # A10 integer sweep: totalprice bands weighted by campaign similarity.
+    int_iv = cond_orders.select(
+        F.lit("o_totalprice").alias("name"),
+        (F.col("o_totalprice") * 0.9).cast("long").alias("start"),
+        (F.col("o_totalprice") * 1.1).cast("long").alias("end"),
+        F.col("fused_score").alias("w"),
+    )
+    int_segs = sweep_overlap(int_iv, "name", "start", "end", "w").filter(
+        F.col("weight") >= thr
+    )
+    int_bounds = int_segs.agg(
+        F.min("seg_start").alias("lo"), F.max("seg_end").alias("hi")
+    ).collect()[0]
+
+    # A10 date sweep: order-date windows weighted the same way.
+    date_iv = cond_orders.select(
+        F.lit("o_orderdate").alias("name"),
+        F.col("o_orderdate").cast("date").alias("start_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("end_date"),
+        F.col("fused_score").alias("w"),
+    )
+    date_segs = sweep_overlap_dates(date_iv, weight_col="w").filter(
+        F.col("weight") >= thr
+    )
+    date_bounds = date_segs.agg(
+        F.min("seg_start").alias("lo"), F.max("seg_end").alias("hi")
+    ).collect()[0]
+
+    # S7 codegen → U1+A9 audience count, executed by spark.sql (and equally
+    # valid DuckDB — the string is its own oracle).
+    conds: list[Condition] = []
+    slices: list[tuple[str, str, list[Condition]]] = []
+    if int_bounds.lo is not None:
+        conds.append(
+            Condition("o_totalprice", "between", (int(int_bounds.lo), int(int_bounds.hi)))
+        )
+    if date_bounds.lo is not None:
+        conds.append(
+            Condition(
+                "o_orderdate",
+                "between",
+                (f"{date_bounds.lo} 00:00:00", f"{date_bounds.hi} 23:59:59"),
+            )
+        )
+    if conds:
+        slices.append(("orders", "o_custkey", conds))
+    if segments:
+        slices.append(
+            ("customer", "c_custkey", [Condition("c_mktsegment", "in", tuple(segments))])
+        )
+
+    sql = audience_count_sql(slices)
+    for name in ("orders", "customer"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    count_df = spark.sql(sql)
+
+    return {
+        "recommendations": top,
+        "conditions": conds,
+        "audience_sql": sql,
+        "audience_count": count_df,
+    }

@@ -1017,3 +1017,108 @@ def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline surface (SURVEY §3.1-3.3): ingest + query dataflows with
+# deterministic LLM/embedding fakes. Relational stages get oracles; stages
+# depending on embedding values are rows-only by design (SURVEY §5.2.4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_condition_catalog",
+    oracle="""
+WITH cat AS (
+  SELECT '세그먼트' AS cond_nm, code, code AS code_nm, 'string' AS cond_type,
+         'c_mktsegment' AS column_nm, 'customer' AS table_nm
+  FROM (SELECT DISTINCT c_mktsegment AS code FROM customer)
+  UNION ALL
+  SELECT '국가', CAST(n_nationkey AS VARCHAR), n_name, 'string',
+         'c_nationkey', 'customer'
+  FROM nation
+  UNION ALL
+  SELECT '주문금액', '', '주문 총액', 'integer', 'o_totalprice', 'orders'
+  UNION ALL
+  SELECT '주문일자', '', '주문 일자', 'datePopup', 'o_orderdate', 'orders')
+SELECT cond_nm || '#' || code AS cond_id,
+       cond_nm AS cond_nm, code AS code, code_nm AS code_nm,
+       cond_type AS cond_type, column_nm AS column_nm, table_nm AS table_nm,
+       cond_nm || ' ' || code_nm || ' 검색 문장 ' || CAST(i AS VARCHAR) AS sentence
+FROM cat, (SELECT unnest(generate_series(0, 2)) AS i)
+""",
+)
+def pipe_condition_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nl_targeting_save.py catalog + L5 paraphrase fan-out, pre-embedding —
+    the relational spine of the condition-vector ingest (S3 dynamic lookups
+    pre-joined, 3 paraphrases per condition)."""
+    from ..pipelines.ingest import build_condition_vectors
+
+    df = build_condition_vectors(spark, sf_dir)
+    return df.select(
+        "cond_id", "cond_nm", "code", "code_nm", "cond_type",
+        "column_nm", "table_nm", "sentence",
+    )
+
+
+@register(
+    "pipe_campaign_sentences",
+    oracle="""
+WITH agg AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(o_orderstatus))), ',') AS statuses
+  FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey AS camp_id,
+       '이름은 ' || c.c_name || ' 입니다. 국가는 ' || COALESCE(n.n_name, '없음')
+       || ' 입니다. 세그먼트는 ' || c.c_mktsegment || ' 입니다. 주문수는 '
+       || CAST(COALESCE(a.n_orders, 0) AS VARCHAR) || ' 입니다. 상태는 '
+       || COALESCE(a.statuses, '없음') || ' 입니다.' AS sentence
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN agg a ON c.c_custkey = a.o_custkey
+""",
+)
+def pipe_campaign_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """camp_vec_save.py denormalization + F4 sentence serialization,
+    pre-embedding (the write-pipeline's relational spine)."""
+    from ..pipelines.ingest import _campaign_denorm
+
+    return _campaign_denorm(spark, sf_dir)
+
+
+@register("pipe_campaign_vectors", oracle=None)
+def pipe_campaign_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full camp_vec_save equivalent incl. mapInPandas batch embedding —
+    rows-only (embedding values live outside SQL)."""
+    from ..pipelines.ingest import build_campaign_vectors
+
+    df = build_campaign_vectors(spark, sf_dir)
+    return df.select(
+        "camp_id", F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, b: a + b)), 4).alias("l2norm"),
+    )
+
+
+@register("pipe_nl_targeting", oracle=None)
+def pipe_nl_targeting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end nl_targeting.py equivalent with deterministic fakes:
+    keyword extraction → vector threshold search → code resolution →
+    negative subtraction. Rows-only (depends on fake-embedding cosines)."""
+    from ..pipelines.nl_targeting import nl_targeting_conditions
+
+    return nl_targeting_conditions(
+        spark, sf_dir, "세그먼트=BUILDING 국가=NATION_5 not_국가=NATION_7"
+    )
+
+
+@register("pipe_recommend_audience", oracle=None)
+def pipe_recommend_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end camp_vec_rcmn.py equivalent: expansion → fusion → condition
+    mining (sweep-line) → SQL codegen → COUNT(DISTINCT) audience. Rows-only
+    (fused scores come from fake embeddings)."""
+    from ..pipelines.recommend import recommend_similar_and_count
+
+    out = recommend_similar_and_count(spark, sf_dir, "프리미엄 고객 대상 할인 캠페인")
+    return out["audience_count"]
