@@ -1,0 +1,68 @@
+"""ANN recall tests: approximate results vs exact brute-force KNN."""
+
+from pyspark.sql import functions as F
+
+from vector_search_spark.operators.ann import (
+    hyperplane_lsh_knn,
+    ivf_assign,
+    ivf_knn,
+    make_planes,
+)
+from vector_search_spark.operators.knn import knn
+from vector_search_spark.sources.catalog import load_table
+
+
+def _probes(emb, n):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+
+
+def _exact_topk(emb, probes, k):
+    out = {}
+    for r in knn(emb, probes, k=k).collect():
+        out.setdefault(r.probe_id, []).append(r.vec_id)
+    return out
+
+
+def test_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = _probes(emb, 5)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = ivf_assign(emb, cents)
+    # every corpus row lands in exactly one bucket
+    assert assigned.count() == emb.count()
+    approx = {}
+    for r in ivf_knn(assigned, cents, probes, k=10, n_probe=8).collect():
+        approx.setdefault(r.probe_id, set()).add(r.vec_id)
+    exact = _exact_topk(emb, probes, 10)
+    # probing half the centroids must recover the probe itself (cos=1) and
+    # a reasonable share of true neighbors
+    recalls = []
+    for pid, want in exact.items():
+        got = approx.get(pid, set())
+        assert pid in got  # self-hit always in its own centroid bucket
+        recalls.append(len(got & set(want)) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_lsh_self_hit_and_soundness(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = _probes(emb, 5)
+    res = hyperplane_lsh_knn(emb, probes, k=10, n_planes=6)
+    rows = res.collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for pid, rs in by_probe.items():
+        ids = [r.vec_id for r in rs]
+        assert pid in ids  # identical vector → identical bucket
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_planes_deterministic():
+    assert make_planes(4, 8, 1) == make_planes(4, 8, 1)
+    assert make_planes(4, 8, 1) != make_planes(4, 8, 2)

@@ -1,0 +1,58 @@
+"""MLlib-backed ANN (the BASELINE.json "MLlib batch vector indexing" path).
+
+``BucketedRandomProjectionLSH`` hashes L2-normalized vectors (cosine order ≡
+euclidean order on the unit sphere, functions.vector.l2_normalize) into
+buckets; ``approxSimilarityJoin`` produces candidate pairs with distances.
+Seeded → deterministic, but the hash family is JVM-internal, so these are
+rows-only on the correctness surface; tests check recall against exact KNN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import l2_normalize
+
+
+def brp_lsh_neighbors(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float = 1.2,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+) -> DataFrame:
+    """Approximate neighbor pairs within euclidean ``threshold`` on the unit
+    sphere (cosine ≥ 1 - threshold²/2). Returns probe_id, vec_id, eucl_dist,
+    cosine_equiv."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(corpus_id),
+        array_to_vector(l2_normalize(corpus_vec)).alias("features"),
+    )
+    p = probes.select(
+        F.col(probe_id),
+        array_to_vector(l2_normalize(probe_vec)).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    pairs = model.approxSimilarityJoin(p, c, threshold, distCol="eucl_dist")
+    return pairs.select(
+        F.col(f"datasetA.{probe_id}").alias(probe_id),
+        F.col(f"datasetB.{corpus_id}").alias(corpus_id),
+        F.col("eucl_dist"),
+        (1 - F.col("eucl_dist") * F.col("eucl_dist") / 2).alias("cosine_equiv"),
+    )

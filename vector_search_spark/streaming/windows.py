@@ -1,0 +1,105 @@
+"""Structured Streaming extension (SURVEY §2.12, §7.6 — north star, the
+reference itself is batch-only).
+
+The same windowed aggregations run in BOTH modes: pass a batch DataFrame
+(correctness surface, DuckDB-oracleable) or a streaming DataFrame from
+``stream_events`` (incremental with watermarked state eviction). This is the
+Spark-idiomatic re-expression of A6-style fusion as incremental aggregation:
+``groupBy(window(...), keys).agg(...)`` is a streaming-safe stateful agg.
+
+Late data: ``withWatermark(ts, delay)`` bounds state; events later than the
+watermark are dropped — the policy the reference never had to state because
+it re-reads whole tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS), which the file
+# source only reads as long under nanosAsLong (see sources.catalog).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path_dir: str) -> DataFrame:
+    """File-source stream over events parquet (use Trigger.availableNow in
+    tests to drain it as a bounded stream)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path_dir)
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def tumbling_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type (batch or stream)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window aggregation (each event lands in window/slide panes)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "5 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of silence."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
