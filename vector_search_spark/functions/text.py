@@ -61,29 +61,48 @@ def poly_hash(col: ColumnOrName) -> Column:
     return ((folded + 13) * F.lit(HASH_MIX)) % F.lit(HASH_MOD)
 
 
+def minhash_perm(h: Column, s: Column) -> Column:
+    """Universal-hash permutation of a base hash ``h`` for seed ``s``:
+    ``(h * a_s + b_s) mod p`` with arithmetically-derived odd multipliers.
+    All intermediates < 1.1e18 < 2^63 — overflow-free in Spark and DuckDB."""
+    a = ((s * 2 + 1) * F.lit(HASH_MIX)) % F.lit(HASH_MOD)
+    b = s * F.lit(40503) + F.lit(7)
+    return (h * a + b) % F.lit(HASH_MOD)
+
+
 def minhash_signature(
     tokens_col: ColumnOrName, n_hashes: int = 16, hash_fn: str = "poly"
 ) -> Column:
-    """MinHash signature: per seed s, min over tokens of hash(token + '#' + s).
+    """MinHash signature. The character-fold hash runs ONCE per token; the
+    ``n_hashes`` signature slots are arithmetic permutations of that base
+    hash (classic universal-hashing MinHash) — 16× less char-folding than
+    hashing ``token#seed`` per seed, same collision statistics.
 
     ``hash_fn='poly'`` is oracle-portable; ``'xxhash64'`` is the fast path
     for production scale (JVM intrinsic, not reproducible in DuckDB).
     """
     tk = _c(tokens_col)
 
-    def one_seed(s: Column) -> Column:
-        if hash_fn == "xxhash64":
-            return F.array_min(
-                F.transform(tk, lambda t: F.xxhash64(F.concat_ws("#", t, s)))
-            )
-        return F.array_min(
-            F.transform(
-                tk,
-                lambda t: poly_hash(F.concat(t, F.lit("#"), s.cast("string"))),
-            )
+    if hash_fn == "xxhash64":
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda s: F.array_min(F.transform(tk, lambda t: F.xxhash64(t, s))),
         )
 
-    return F.transform(F.sequence(F.lit(0), F.lit(n_hashes - 1)), one_seed)
+    return minhash_signature_from_hashes(F.transform(tk, poly_hash), n_hashes)
+
+
+def minhash_signature_from_hashes(
+    hashes_col: ColumnOrName, n_hashes: int = 16
+) -> Column:
+    """MinHash signature from precomputed base hashes. Feed this a bound
+    column (project the hash array in a separate ``select`` first) so the
+    char-fold runs once per row instead of once per signature slot."""
+    hs = _c(hashes_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda s: F.array_min(F.transform(hs, lambda h: minhash_perm(h, s))),
+    )
 
 
 def simhash30(tokens_col: ColumnOrName) -> Column:
@@ -106,6 +125,22 @@ def simhash30(tokens_col: ColumnOrName) -> Column:
 
     bits = F.transform(F.sequence(F.lit(0), F.lit(29)), bit_vote)
     return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
+def word_shingles(col: ColumnOrName, n: int = 3) -> Column:
+    """Distinct n-word shingles (the standard MinHash unit). On a random-word
+    corpus unigram token sets collide constantly; n-word shingles are
+    near-unique per document, so near-dup detection finds real duplicates
+    instead of vocabulary overlap. Documents shorter than ``n`` words yield
+    an empty shingle set (mirrors generate_series(1, 0) = [] in the oracle)."""
+    tk = tokens(col)
+    cnt = F.size(tk) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.array_join(F.slice(tk, i, F.lit(n)), " "),
+    )
+    empty = F.slice(tk, 1, 0)
+    return F.array_distinct(F.when(cnt >= 1, grams).otherwise(empty))
 
 
 def char_ngrams(col: ColumnOrName, n: int = 3) -> Column:

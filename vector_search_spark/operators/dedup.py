@@ -20,11 +20,91 @@ are handled by AQE skew-join splitting.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import distinct_tokens, minhash_signature, poly_hash, simhash30
+from ..functions.text import (
+    distinct_tokens,
+    minhash_signature,
+    minhash_signature_from_hashes,
+    poly_hash,
+    simhash30,
+    word_shingles,
+)
 from ..functions.vector import cosine_sim, l2_norm
+
+
+def _unit_sets(df: DataFrame, text_col: str, id_col: str, shingle_n: int | None):
+    """(id, tk) comparison units: distinct n-word shingles when ``shingle_n``
+    is set (the MinHash-standard unit), else distinct unigram tokens."""
+    tk = word_shingles(text_col, shingle_n) if shingle_n else distinct_tokens(text_col)
+    return df.select(F.col(id_col).alias("id"), tk.alias("tk"))
+
+
+def _minhash_signatures(hashed: DataFrame, n_hashes: int) -> DataFrame:
+    """(id, hs) → (id, sig): Arrow-batched MinHash permutation-min via
+    ``mapInPandas``. Same int64 arithmetic as ``functions.text.minhash_perm``
+    (bit-identical, oracle-portable), but one NumPy broadcast per row
+    instead of n_hashes × n_tokens interpreted Catalyst lambda evaluations
+    (~30× faster at 5k docs). A plan node (not an expression) so the
+    optimizer can never inline Python into a generator/aggregate."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from ..functions.text import HASH_MIX, HASH_MOD
+
+    a = ((2 * np.arange(n_hashes, dtype=np.int64) + 1) * HASH_MIX) % HASH_MOD
+    b = np.arange(n_hashes, dtype=np.int64) * 40503 + 7
+    schema = StructType(
+        [hashed.schema["id"], StructField("sig", ArrayType(LongType()))]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            sigs = []
+            for h in pdf["hs"]:
+                arr = np.asarray(h, dtype=np.int64)
+                if arr.size == 0:
+                    # mirror array_min([]) = NULL per slot
+                    sigs.append([None] * n_hashes)
+                else:
+                    # h*a < 1.02e18 < 2^63: exact in int64
+                    sigs.append(
+                        ((arr[None, :] * a[:, None] + b[:, None]) % HASH_MOD).min(
+                            axis=1
+                        )
+                    )
+            yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
+
+    return hashed.mapInPandas(compute, schema)
+
+
+def _bucket_pairs(banded: DataFrame) -> DataFrame:
+    """Candidate pairs from LSH buckets via groupBy + in-bucket pair
+    explosion — evaluates the (expensive) signature plan ONCE, vs twice for
+    a self-join, and shuffles only (band, key, id). Hot buckets are the
+    same quadratic risk as the join formulation; at 100 TB cap bucket size
+    upstream (more rows per band) rather than here."""
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def exact_dup_stats(df: DataFrame, text_col: str, by: list[str]) -> DataFrame:
@@ -52,14 +132,15 @@ def jaccard_pairs(
     id_col: str,
     block_cols: list[str],
     threshold: float = 0.5,
+    shingle_n: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard over pairs within blocking keys.
+    """Exact n-gram/token-set Jaccard over pairs within blocking keys.
 
     Output: id_a, id_b, jaccard. Blocking keeps the join linear-ish; the
     quadratic blowup is bounded by the largest block.
     """
-    t = df.select(
-        F.col(id_col).alias("id"), *block_cols, distinct_tokens(text_col).alias("tk")
+    t = _unit_sets(df, text_col, id_col, shingle_n).join(
+        df.select(F.col(id_col).alias("id"), *block_cols), "id"
     )
     a = t.select(
         F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in block_cols],
@@ -90,22 +171,29 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     hash_fn: str = "poly",
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup detection (shingle → minhash → band →
     bucket-join → exact re-rank).
 
     Candidate pairs collide in ≥1 band (rows/band = n_hashes/bands); each
     candidate is then re-ranked with exact Jaccard and thresholded. The
-    only shuffle is on (band_id, band_signature) — never all-pairs.
+    only shuffle is on (band_id, band_signature) — never all-pairs — and it
+    carries just (id, band, key): the shingle arrays are joined back by id
+    only for the (small) candidate set, so the wide rows never shuffle with
+    the banding fan-out.
     """
     rows_per_band = n_hashes // bands
-    t = df.select(
-        F.col(id_col).alias("id"),
-        distinct_tokens(text_col).alias("tk"),
-    ).withColumn("sig", minhash_signature("tk", n_hashes, hash_fn))
-    banded = t.select(
+    t = _unit_sets(df, text_col, id_col, shingle_n)
+    if hash_fn == "poly":
+        # Char-fold each token once JVM-side into `hs`, then derive all
+        # signature slots with the Arrow-batched permutation-min.
+        hashed = t.select("id", F.transform("tk", poly_hash).alias("hs"))
+        sig_src = _minhash_signatures(hashed, n_hashes)
+    else:
+        sig_src = t.withColumn("sig", minhash_signature("tk", n_hashes, hash_fn))
+    banded = sig_src.select(
         "id",
-        "tk",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -121,23 +209,15 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("id", "tk", "bk.band", "bk.key")
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("tk").alias("tk_a"), "band", "key"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("tk").alias("tk_b"), "band", "key"
-    )
-    cands = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "tk_a", "tk_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    ).select("id", "bk.band", "bk.key")
+    cands = _bucket_pairs(banded)
+    rerank = cands.join(
+        t.select(F.col("id").alias("id_a"), F.col("tk").alias("tk_a")), "id_a"
+    ).join(t.select(F.col("id").alias("id_b"), F.col("tk").alias("tk_b")), "id_b")
     inter = F.size(F.array_intersect("tk_a", "tk_b"))
     union = F.size(F.array_union("tk_a", "tk_b"))
     return (
-        cands.withColumn("jaccard", inter.cast("double") / union)
+        rerank.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -679,11 +679,19 @@ def _duck_poly(expr: str, v: str = "x") -> str:
 
 
 _DUCK_TOKENS = "list_distinct(string_split(text, ' '))"
+# 3-word shingles over ws = string_split(text, ' ') — mirrors
+# functions.text.word_shingles(col, 3) exactly (empty set under 3 words).
+_DUCK_SHINGLES3 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 0)), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+)
+# Universal-hash MinHash: base poly hash per token, then per-seed
+# permutation (h * a_s + b_s) % p — mirrors functions.text.minhash_perm.
 _DUCK_MINHASH_SIG = (
     "list_transform(generate_series(0, 15), s -> "
-    "list_min(list_transform(tk, t -> "
-    + _duck_poly("(t || '#' || s)", v="p")
-    + ")))"
+    "list_min(list_transform(hs, h -> "
+    "(h * (((s*2 + 1) * 2654435761) % 1000000007) + s * 40503 + 7) "
+    "% 1000000007)))"
 )
 
 
@@ -733,37 +741,42 @@ def d_tokenset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_jaccard_pairs",
-    oracle="""
-WITH t AS (
-  SELECT doc_id, source, lang, list_distinct(string_split(text, ' ')) AS tk
-  FROM documents)
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, lang, string_split(text, ' ') AS ws FROM documents),
+t AS (
+  SELECT doc_id, source, lang, {_DUCK_SHINGLES3} AS tk FROM w)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ROUND(len(list_intersect(a.tk, b.tk))::DOUBLE
              / len(list_distinct(list_concat(a.tk, b.tk))), 6) AS jaccard
 FROM t a JOIN t b
   ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
-      / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+      / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.2
 """,
 )
 def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram/token Jaccard near-dup pairs within (source, lang) blocks."""
+    """3-gram-shingle Jaccard near-dup pairs within (source, lang) blocks."""
     from ..operators.dedup import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    res = jaccard_pairs(docs, "text", "doc_id", ["source", "lang"], 0.5)
+    res = jaccard_pairs(docs, "text", "doc_id", ["source", "lang"], 0.2, shingle_n=3)
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 @register(
     "d_minhash_lsh_pairs",
     oracle=f"""
-WITH t AS (
-  SELECT doc_id AS id, {_DUCK_TOKENS} AS tk FROM documents),
+WITH w AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+t AS (
+  SELECT id, {_DUCK_SHINGLES3} AS tk FROM w),
+hashed AS (
+  SELECT id, list_transform(tk, t -> {_duck_poly("t", v="q")}) AS hs FROM t),
 sigs AS (
-  SELECT id, tk, {_DUCK_MINHASH_SIG} AS sig FROM t),
+  SELECT id, {_DUCK_MINHASH_SIG} AS sig FROM hashed),
 banded AS (
-  SELECT id, tk, b.band,
+  SELECT id, b.band,
          array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
                                         x -> CAST(x AS VARCHAR)), ',') AS key
   FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
@@ -787,7 +800,7 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    res = minhash_lsh_pairs(docs, "text", "doc_id", 16, 4, 0.5)
+    res = minhash_lsh_pairs(docs, "text", "doc_id", 16, 4, 0.5, shingle_n=3)
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
