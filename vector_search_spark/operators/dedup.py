@@ -136,28 +136,40 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram/token-set Jaccard over pairs within blocking keys.
 
-    Output: id_a, id_b, jaccard. Blocking keeps the join linear-ish; the
-    quadratic blowup is bounded by the largest block.
+    Output: id_a, id_b, jaccard. One shuffle on the block key, then
+    in-block pair explosion (the shingle sets are computed exactly once —
+    a blocked self-join would evaluate them per side). The quadratic
+    blowup is bounded by the largest block, same as the join formulation.
     """
     t = _unit_sets(df, text_col, id_col, shingle_n).join(
         df.select(F.col(id_col).alias("id"), *block_cols), "id"
     )
-    a = t.select(
-        F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in block_cols],
-        F.col("tk").alias("tk_a"),
+    buckets = (
+        t.groupBy(*block_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("id", "tk"))).alias("items"))
+        .filter(F.size("items") > 1)
     )
-    b = t.select(
-        F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in block_cols],
-        F.col("tk").alias("tk_b"),
+    pairs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + 2, F.size("items")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["tk"].alias("tk_a"),
+                    y["tk"].alias("tk_b"),
+                ),
+            ),
+        )
     )
-    cond = F.col("id_a") < F.col("id_b")
-    for c in block_cols:
-        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    exploded = buckets.select(F.explode(pairs).alias("p")).select(
+        "p.id_a", "p.id_b", "p.tk_a", "p.tk_b"
+    )
     inter = F.size(F.array_intersect("tk_a", "tk_b"))
     union = F.size(F.array_union("tk_a", "tk_b"))
     return (
-        a.join(b, cond)
-        .withColumn("jaccard", inter.cast("double") / union)
+        exploded.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -184,7 +196,14 @@ def minhash_lsh_pairs(
     the banding fan-out.
     """
     rows_per_band = n_hashes // bands
-    t = _unit_sets(df, text_col, id_col, shingle_n)
+    # The (id, shingle-set) relation feeds three consumers (signature path +
+    # both sides of the re-rank join); persist it so shingling runs once.
+    # MEMORY_AND_DISK: at cluster scale this spills instead of OOMing.
+    from pyspark import StorageLevel
+
+    t = _unit_sets(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if hash_fn == "poly":
         # Char-fold each token once JVM-side into `hs`, then derive all
         # signature slots with the Arrow-batched permutation-min.
@@ -225,12 +244,41 @@ def minhash_lsh_pairs(
 
 def simhash_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """SimHash fingerprint per document + collision-group size (docs sharing
-    a fingerprint are near-dup candidates)."""
-    t = df.select(
-        F.col(id_col).alias("id"), simhash30(distinct_tokens(text_col)).alias("simhash")
+    a fingerprint are near-dup candidates).
+
+    Token hashes fold once JVM-side; the 30 bit votes run as one NumPy
+    broadcast per row (same int64 math as ``functions.text.simhash30``,
+    which stays available as the pure-expression variant). Group size via a
+    window over the fingerprint — one shuffle, no self-join recompute."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(distinct_tokens(text_col), poly_hash).alias("hs"),
     )
-    counts = t.groupBy("simhash").agg(F.count("*").alias("group_size"))
-    return t.join(counts, "simhash").select("id", "simhash", "group_size")
+    schema = StructType([hashed.schema["id"], StructField("simhash", LongType())])
+    powers = 1 << np.arange(30, dtype=np.int64)
+
+    def compute(batches):
+        for pdf in batches:
+            fps = []
+            for h in pdf["hs"]:
+                arr = np.asarray(h, dtype=np.int64)
+                if arr.size == 0:
+                    fps.append(0)
+                else:
+                    bits = (arr[:, None] >> np.arange(30)) & 1  # n_tokens × 30
+                    votes = np.where(bits == 1, 1, -1).sum(axis=0)
+                    fps.append(int(powers[votes > 0].sum()))
+            yield pd.DataFrame({"id": pdf["id"], "simhash": fps})
+
+    t = hashed.mapInPandas(compute, schema)
+    return t.select(
+        "id",
+        "simhash",
+        F.count("*").over(Window.partitionBy("simhash")).alias("group_size"),
+    )
 
 
 def embedding_neardup_pairs(
