@@ -64,3 +64,75 @@ def test_session_stream_equals_batch(spark, sf_dir, events_dir):
         ).collect()
     }
     assert got == batch
+
+
+def test_stateful_totals_accumulate_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState must carry per-user state across micro-batches:
+    two files processed one per trigger, final emission = global totals."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.streaming.stateful import stateful_user_totals
+    from vector_search_spark.streaming.windows import stream_events
+
+    events = load_table(spark, sf_dir, "events")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.filter(F.col("event_id") % 2 == 1)
+    d = str(tmp_path / "ev")
+    half.coalesce(1).write.mode("overwrite").parquet(d)
+    other.coalesce(1).write.mode("append").parquet(d)
+
+    src = spark.readStream.option("maxFilesPerTrigger", "1").schema(
+        events.schema
+    ).parquet(d)
+    q = (
+        stateful_user_totals(src)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("t_stateful")
+    # more than one batch ran, so users appearing in both emit twice
+    assert emitted.groupBy("user_id").count().filter("count > 1").count() > 0
+    final = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
+        )
+    )
+    batch = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    got = {r.user_id: (r.n_events, r.sum_value) for r in final.collect()}
+    want = {r.user_id: (r.n_events, r.sum_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_dedup_drops_repeats(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicated bounded stream dedups back
+    to the distinct event set."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.streaming.stateful import stream_dedup
+
+    events = load_table(spark, sf_dir, "events").limit(500)
+    d = str(tmp_path / "dup")
+    events.coalesce(1).write.mode("overwrite").parquet(d)
+    events.coalesce(1).write.mode("append").parquet(d)  # exact duplicates
+
+    src = spark.readStream.schema(events.schema).parquet(d)
+    deduped = stream_dedup(src.withColumn(
+        "ts", F.col("ts")  # already timestamp in rewritten parquet
+    ), ["event_id"], watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("t_dedup").count() == 500

@@ -47,16 +47,16 @@ def distinct_tokens(col: ColumnOrName) -> Column:
 
 
 def poly_hash(col: ColumnOrName) -> Column:
-    """Portable 30-bit polynomial string hash (identical in DuckDB SQL)."""
+    """Portable 30-bit polynomial string hash (identical in DuckDB SQL).
+
+    Folds over ``split(s, '')`` — per-character array access is O(1),
+    whereas ``substr(s, i, 1)`` re-seeks the UTF8 string from the front and
+    makes the fold quadratic in string length."""
     s = _c(col)
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(s)),
-        lambda i: F.ascii(F.substr(s, i, F.lit(1))).cast("long"),
-    )
     folded = F.aggregate(
-        chars,
+        F.split(s, ""),
         F.lit(0).cast("long"),
-        lambda a, c: (a * 31 + c) % F.lit(HASH_MOD),
+        lambda a, ch: (a * 31 + F.ascii(ch).cast("long")) % F.lit(HASH_MOD),
     )
     return ((folded + 13) * F.lit(HASH_MIX)) % F.lit(HASH_MOD)
 

@@ -1340,3 +1340,88 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_no", F.length("frame_bytes").alias("n_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-operation family closure (SURVEY §2.7 U3/U4, §2.4 A11/A12 as array ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u_array_set_ops",
+    oracle="""
+WITH pos AS (
+  SELECT c.c_mktsegment AS seg, list_sort(list(DISTINCT o.o_orderpriority)) AS pos_set
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE o.o_totalprice > 150000 GROUP BY 1),
+neg AS (
+  SELECT c.c_mktsegment AS seg, list_sort(list(DISTINCT o.o_orderpriority)) AS neg_set
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderstatus = 'F' GROUP BY 1)
+SELECT p.seg AS seg,
+       list_sort(list_filter(p.pos_set, x -> NOT list_contains(n.neg_set, x))) AS kept,
+       list_sort(list_distinct(list_concat(p.pos_set, n.neg_set))) AS merged,
+       len(list_filter(p.pos_set, x -> NOT list_contains(n.neg_set, x))) AS n_kept
+FROM pos p JOIN neg n ON p.seg = n.seg
+""",
+)
+def u_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/U4/A11/A12 as array algebra (nl_targeting.py:100-123): per-segment
+    positive order-priority set minus the negative set (array_except), plus
+    the union-dedup merge (array_union) — collect_set builds the sets, the
+    HOFs do the set logic, no per-row Python."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    pos = (
+        joined.filter(F.col("o_totalprice") > 150000)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("pos_set"))
+    )
+    neg = (
+        joined.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("neg_set"))
+    )
+    return pos.join(neg, "seg").select(
+        "seg",
+        F.sort_array(F.array_except("pos_set", "neg_set")).alias("kept"),
+        F.sort_array(F.array_union("pos_set", "neg_set")).alias("merged"),
+        F.size(F.array_except("pos_set", "neg_set")).cast("long").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming (SURVEY §2.12 / §7.6 — applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_STATEFUL_RUN_COUNTER = [0]
+
+
+@register(
+    "s_stateful_user_totals",
+    oracle="""
+SELECT user_id AS user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY user_id
+""",
+)
+def s_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals drained with Trigger.availableNow through a memory sink.
+    The final emission per user must equal the batch GROUP BY — which is
+    exactly what the oracle checks. Real streaming execution, not a batch
+    re-expression."""
+    from ..streaming.stateful import run_stateful_totals_availablenow
+    from ..streaming.windows import stream_events
+
+    _STATEFUL_RUN_COUNTER[0] += 1
+    name = f"stateful_user_totals_{_STATEFUL_RUN_COUNTER[0]}"
+    # file-source streams take a directory or glob, not a bare file path
+    src = stream_events(spark, f"{sf_dir}/events*.parquet")
+    res = run_stateful_totals_availablenow(spark, src, table_name=name)
+    return res.select(
+        "user_id", "n_events", F.round("sum_value", 4).alias("sum_value")
+    )
