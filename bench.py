@@ -18,6 +18,9 @@ if REPO not in sys.path:
 
 HEADLINE = [
     "r_q1_pricing_summary",
+    "r_q3_shipping_priority",
+    "r_q5_regional_volume",
+    "r_q18_large_orders",
     "v_cosine_topk",
     "v_multiprobe_fusion",
     "v_knn_join_docs",
