@@ -1,0 +1,70 @@
+"""Source/sink coverage: write paths (S5/S6 re-expressed as df.write) and
+bucketed co-located joins (the 100 TB shuffle-elision lever)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_spark.sources.bucketing import colocated_join, write_bucketed
+from vector_search_spark.sources.catalog import load_table
+
+
+def test_vector_sink_roundtrip(spark, sf_dir, tmp_path):
+    """S5 batch sink: vectors written as parquet read back bit-identical
+    (the reference's per-row INSERT with reconnect becomes one df.write)."""
+    from vector_search_spark.pipelines.ingest import build_campaign_vectors
+
+    out = str(tmp_path / "camp_vec")
+    written = build_campaign_vectors(spark, sf_dir, out_path=out)
+    direct = build_campaign_vectors(spark, sf_dir)
+    a = {r.camp_id: r.embedding for r in written.collect()}
+    b = {r.camp_id: r.embedding for r in direct.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Partitioned parquet: a filter on the partition column must prune
+    scanned files (PartitionFilters in the scan, not a post-filter)."""
+    out = str(tmp_path / "orders_by_status")
+    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    want = (
+        load_table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'").count()
+    )
+    assert df.count() == want
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key → SortMergeJoin with zero
+    Exchange nodes: the co-located join that kills the shuffle at scale."""
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketed_test LOCATION '{tmp_path / 'wh'}'"
+    )
+    spark.sql("USE bucketed_test")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        write_bucketed(
+            orders.withColumnRenamed("o_custkey", "custkey"),
+            "b_orders", ["custkey"], 8, sort_cols=["custkey"],
+        )
+        write_bucketed(
+            cust.withColumnRenamed("c_custkey", "custkey"),
+            "b_customer", ["custkey"], 8, sort_cols=["custkey"],
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = colocated_join(spark, "b_orders", "b_customer", ["custkey"])
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            want = (
+                orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+            )
+            assert joined.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketed_test CASCADE")
+        spark.sql("USE default")
