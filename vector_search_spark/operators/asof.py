@@ -1,0 +1,147 @@
+"""As-of and range joins — classic operators Spark lacks natively
+(SURVEY §2.3 notes their absence in both Spark and the reference; they are
+table stakes for event/time-series querying over the `events` surface).
+
+``asof_join`` uses the union+window formulation: tag both sides, union on
+(key, ts), and carry the most recent right-side payload forward with
+``last(..., ignorenulls=True)`` over an ordered window. ONE shuffle on the
+key — never a per-key loop, never a range cross-join — so it scales exactly
+like any windowed aggregation. Equal timestamps match (right sorts before
+left at the same instant), mirroring DuckDB/kdb ``ASOF JOIN`` `<=`
+semantics.
+
+``range_join_binned`` is the scalable band-join pattern: bin the right
+side's timestamp by the window width, explode each left row to the two
+bins its window can touch, equi-join on (key, bin), then filter the exact
+range. Each matching pair is produced exactly once (a right row lives in
+one bin; the left window spans at most two), so no dedup pass is needed.
+Turns an otherwise O(n·m) theta join into a hash join Catalyst can
+shuffle-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` keys.
+
+    Output: every left column plus ``matched_<c>`` for each requested right
+    payload column and ``matched_ts``. ``how='left'`` keeps unmatched left
+    rows with nulls; ``'inner'`` drops them (ASOF JOIN default).
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    left_payload = [c for c in left.columns if c not in on and c != left_ts]
+
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *left_payload,
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "*",
+        F.last("_rts", ignorenulls=True).over(w).alias("matched_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"matched_{c}")
+            for c in right_cols
+        ],
+    )
+    out = (
+        carried.filter(F.col("_side") == 1)
+        .drop("_side", "_rts", *[f"_r_{c}" for c in right_cols])
+        .withColumnRenamed("_ts", left_ts)
+    )
+    if how == "inner":
+        out = out.filter(F.col("matched_ts").isNotNull())
+    return out
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int = 86400,
+) -> DataFrame:
+    """Band join: pairs (l, r) with same keys and
+    ``l.ts <= r.ts < l.ts + window_seconds``, via bin-equi-join instead of
+    a theta join. Columns are prefixed ``l_``/``r_`` on collision."""
+    w = F.lit(window_seconds)
+    lsec = F.unix_timestamp(F.col(left_ts))
+    rsec = F.unix_timestamp(F.col(right_ts))
+
+    r2 = right.withColumn("_bin", F.floor(rsec / w))
+    overlap = set(left.columns) & set(right.columns) - set(on)
+    l_ren = left
+    for c in overlap:
+        l_ren = l_ren.withColumnRenamed(c, f"l_{c}")
+    r_ren = r2
+    for c in overlap:
+        r_ren = r_ren.withColumnRenamed(c, f"r_{c}")
+    l_ts_col = f"l_{left_ts}" if left_ts in overlap else left_ts
+    r_ts_col = f"r_{right_ts}" if right_ts in overlap else right_ts
+
+    lsec = F.unix_timestamp(F.col(l_ts_col))
+    rsec = F.unix_timestamp(F.col(r_ts_col))
+    exploded = l_ren.withColumn(
+        "_bin", F.explode(F.array(F.floor(lsec / w), F.floor(lsec / w) + 1))
+    )
+    joined = exploded.join(r_ren, [*on, "_bin"])
+    return joined.filter((rsec >= lsec) & (rsec < lsec + w)).drop("_bin")
+
+
+def salted_group_sum(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salt: int = 16,
+) -> Column | DataFrame:
+    """Two-phase salted aggregation for skewed keys: partial sums over
+    (keys, salt) spread a hot key across ``n_salt`` reducers, then a final
+    (cheap — ``n_salt`` rows per key) re-aggregation. The salt is a
+    deterministic hash of the whole row, so results are reproducible.
+    Identical semantics to a plain groupBy-sum (sums are reassociable);
+    the win is purely physical."""
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)).alias("_salt")
+    partial = (
+        df.select(*keys, F.col(value_col), salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.sum(value_col).alias("_partial_sum"), F.count("*").alias("_partial_n"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_partial_sum").alias(f"sum_{value_col}"),
+        F.sum("_partial_n").cast("long").alias("n_rows"),
+    )

@@ -1569,3 +1569,96 @@ def r_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series joins + skew-safe aggregation (operators Spark lacks natively;
+# asof.py docstring for the scale argument)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_asof_purchase_view",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS matched_ts,
+       ROUND(v.value, 4) AS matched_value
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def j_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union+window (one shuffle, no per-key loops): each
+    purchase matched to the user's most recent prior view. Oracle is
+    DuckDB's native ASOF JOIN — same `<=` tie semantics."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    res = asof_join(p, v, ["user_id"], right_cols=["value"], how="inner")
+    return res.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss").alias("matched_ts"),
+        F.round("matched_value", 4).alias("matched_value"),
+    )
+
+
+@register(
+    "j_range_join_binned",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT p.event_id AS event_id,
+       COUNT(*) AS n_views,
+       ROUND(SUM(v.value), 4) AS sum_value
+FROM p JOIN v ON p.user_id = v.user_id
+ AND v.ts >= p.ts AND v.ts < p.ts + INTERVAL 1 DAY
+GROUP BY p.event_id
+""",
+)
+def j_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join as bin-equi-join (no theta join): views within 1 day after
+    each purchase, counted per purchase."""
+    from ..operators.asof import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    pairs = range_join_binned(p, v, ["user_id"], window_seconds=86400)
+    return pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_views"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "a_salted_group_sum",
+    oracle="""
+SELECT l_returnflag AS l_returnflag,
+       ROUND(SUM(l_quantity), 2) AS sum_l_quantity,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def a_salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation — identical semantics to a
+    plain groupBy-sum (the oracle IS the plain GROUP BY), physically spread
+    across n_salt reducers per key."""
+    from ..operators.asof import salted_group_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = salted_group_sum(li, ["l_returnflag"], "l_quantity", n_salt=16)
+    return res.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        "n_rows",
+    )
