@@ -99,6 +99,53 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     return df.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int = 32, height: int = 24, decoder: str = "fake"
+) -> DataFrame:
+    """Resize each image payload to width×height (Arrow-batched).
+
+    ``decoder='fake'``: deterministic resample — the payload bytes repeated
+    cyclically and truncated to width*height (so output CONTENT, not just
+    shape, is oracle-checkable: DuckDB reproduces it with repeat+substr).
+    A real decoder would pixel-resample; the batch shape, binary transfer,
+    and schema contract are identical."""
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder {decoder!r} requires codec libraries not present here; "
+            "only the deterministic 'fake' decoder is available"
+        )
+    images = df.filter(F.col("kind") == "image")
+    target = width * height
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "n_bytes": [], "resized": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                resized = (b * (target // max(len(b), 1) + 1))[:target] if b else b"\x00" * target
+                out["media_id"].append(mid)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["n_bytes"].append(len(resized))
+                out["resized"].append(resized)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -1662,3 +1662,28 @@ def a_salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
         "n_rows",
     )
+
+
+@register(
+    "m_resize_images",
+    oracle="""
+SELECT doc_id AS media_id, 32 AS width, 24 AS height,
+       CAST(768 AS BIGINT) AS n_bytes,
+       md5(substr(repeat(text, CAST(768 / length(text) AS INT) + 1), 1, 768))
+         AS digest
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def m_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: image payloads resampled to 32x24 via
+    Arrow batches; the fake resampler is cyclic byte repetition, so DuckDB
+    reproduces the exact CONTENT (md5 of repeat+substr) — byte-exact binary
+    round-trip through the resize stage. Fixture text is pure ASCII, so the
+    char-based oracle equals the byte-based payload."""
+    from ..multimodal.binary_ops import make_media_table, resize_media
+
+    media = make_media_table(spark, sf_dir)
+    resized = resize_media(media, 32, 24, decoder="fake")
+    return resized.select(
+        "media_id", "width", "height", "n_bytes", F.md5("resized").alias("digest")
+    )
