@@ -90,7 +90,7 @@ def nl_targeting_conditions(
         F.col("cond_nm").alias("n_cond"), F.col("code").alias("n_code")
     )
     kept = pos.join(
-        neg,
+        F.broadcast(neg),
         (pos.cond_nm == neg.n_cond) & (pos.code == neg.n_code),
         "left_anti",
     )

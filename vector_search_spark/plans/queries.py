@@ -1385,7 +1385,8 @@ def u_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("seg"))
         .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("neg_set"))
     )
-    return pos.join(neg, "seg").select(
+    # both sides are segment-cardinality after the agg — broadcast the join
+    return pos.join(F.broadcast(neg), "seg").select(
         "seg",
         F.sort_array(F.array_except("pos_set", "neg_set")).alias("kept"),
         F.sort_array(F.array_union("pos_set", "neg_set")).alias("merged"),
