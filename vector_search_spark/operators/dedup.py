@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     distinct_tokens,
     minhash_signature,
-    minhash_signature_from_hashes,
     poly_hash,
     simhash30,
     word_shingles,
@@ -43,12 +42,39 @@ def _unit_sets(df: DataFrame, text_col: str, id_col: str, shingle_n: int | None)
     return df.select(F.col(id_col).alias("id"), tk.alias("tk"))
 
 
-def _minhash_signatures(hashed: DataFrame, n_hashes: int) -> DataFrame:
-    """(id, hs) → (id, sig): Arrow-batched MinHash permutation-min via
-    ``mapInPandas``. Same int64 arithmetic as ``functions.text.minhash_perm``
-    (bit-identical, oracle-portable), but one NumPy broadcast per row
-    instead of n_hashes × n_tokens interpreted Catalyst lambda evaluations
-    (~30× faster at 5k docs). A plan node (not an expression) so the
+def _poly_fold_batch(flat: list[bytes], HASH_MOD: int, HASH_MIX: int) -> np.ndarray:
+    """Vectorized portable polynomial hash over a batch of byte strings:
+    pad to a (N, maxlen) matrix and fold column-by-column — maxlen vector
+    passes instead of N×len scalar evaluations. Bit-identical to
+    ``functions.text.poly_hash`` for ASCII input (byte == codepoint)."""
+    n = len(flat)
+    lens = np.fromiter((len(s) for s in flat), dtype=np.int64, count=n)
+    max_len = int(lens.max()) if n else 0
+    m = np.zeros((n, max_len), dtype=np.int64)
+    for i, s in enumerate(flat):
+        if s:
+            m[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(max_len):
+        h = np.where(j < lens, (h * 31 + m[:, j]) % HASH_MOD, h)
+    return ((h + 13) * HASH_MIX) % HASH_MOD
+
+
+def _py_poly(s: str, HASH_MOD: int, HASH_MIX: int) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % HASH_MOD
+    return ((h + 13) * HASH_MIX) % HASH_MOD
+
+
+def _minhash_signatures_from_tokens(t: DataFrame, n_hashes: int) -> DataFrame:
+    """(id, tk) → (id, sig): base polynomial hash AND MinHash permutation-min
+    in one Arrow-batched ``mapInPandas`` stage. Same int64 arithmetic as the
+    ``functions.text`` expressions (bit-identical, oracle-portable); the
+    vectorized fold replaces ~n_tokens × len interpreted Catalyst lambda
+    evaluations per row. ASCII fast path folds utf-8 bytes; any token with
+    a non-ASCII byte falls back to an exact per-codepoint fold (matching
+    ``F.ascii`` semantics). A plan node, not an expression, so the
     optimizer can never inline Python into a generator/aggregate."""
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -56,28 +82,36 @@ def _minhash_signatures(hashed: DataFrame, n_hashes: int) -> DataFrame:
 
     a = ((2 * np.arange(n_hashes, dtype=np.int64) + 1) * HASH_MIX) % HASH_MOD
     b = np.arange(n_hashes, dtype=np.int64) * 40503 + 7
-    schema = StructType(
-        [hashed.schema["id"], StructField("sig", ArrayType(LongType()))]
-    )
+    schema = StructType([t.schema["id"], StructField("sig", ArrayType(LongType()))])
 
     def compute(batches):
         for pdf in batches:
+            rows = list(pdf["tk"])
+            counts = [len(r) for r in rows]
+            flat_str = [s for row in rows for s in row]
+            flat = [s.encode("utf-8") for s in flat_str]
+            if flat:
+                h = _poly_fold_batch(flat, HASH_MOD, HASH_MIX)
+                non_ascii = [i for i, s in enumerate(flat) if any(c >= 128 for c in s)]
+                for i in non_ascii:
+                    h[i] = _py_poly(flat_str[i], HASH_MOD, HASH_MIX)
+            else:
+                h = np.empty(0, dtype=np.int64)
             sigs = []
-            for h in pdf["hs"]:
-                arr = np.asarray(h, dtype=np.int64)
-                if arr.size == 0:
-                    # mirror array_min([]) = NULL per slot
-                    sigs.append([None] * n_hashes)
+            off = 0
+            for n in counts:
+                if n == 0:
+                    sigs.append([None] * n_hashes)  # mirror array_min([]) = NULL
                 else:
+                    hh = h[off : off + n]
                     # h*a < 1.02e18 < 2^63: exact in int64
                     sigs.append(
-                        ((arr[None, :] * a[:, None] + b[:, None]) % HASH_MOD).min(
-                            axis=1
-                        )
+                        ((hh[None, :] * a[:, None] + b[:, None]) % HASH_MOD).min(axis=1)
                     )
+                off += n
             yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
 
-    return hashed.mapInPandas(compute, schema)
+    return t.mapInPandas(compute, schema)
 
 
 def _bucket_pairs(banded: DataFrame) -> DataFrame:
@@ -205,10 +239,8 @@ def minhash_lsh_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     if hash_fn == "poly":
-        # Char-fold each token once JVM-side into `hs`, then derive all
-        # signature slots with the Arrow-batched permutation-min.
-        hashed = t.select("id", F.transform("tk", poly_hash).alias("hs"))
-        sig_src = _minhash_signatures(hashed, n_hashes)
+        # One Arrow stage computes base hashes + all signature slots.
+        sig_src = _minhash_signatures_from_tokens(t.select("id", "tk"), n_hashes)
     else:
         sig_src = t.withColumn("sig", minhash_signature("tk", n_hashes, hash_fn))
     banded = sig_src.select(
