@@ -66,3 +66,30 @@ def test_lsh_self_hit_and_soundness(spark, sf_dir):
 def test_planes_deterministic():
     assert make_planes(4, 8, 1) == make_planes(4, 8, 1)
     assert make_planes(4, 8, 1) != make_planes(4, 8, 2)
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF index must (a) return the same results as the
+    in-memory assignment and (b) prune the probe scan to the probed
+    centroid partitions (PartitionFilters present, dynamic or pushed)."""
+    from vector_search_spark.operators.ann import ivf_build_index, ivf_probe_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    probes = _probes(emb, 3)
+
+    path = str(tmp_path / "ivf_index")
+    ivf_build_index(emb, cents, path)
+
+    got_df = ivf_probe_index(spark, path, cents, probes, k=5, n_probe=2)
+    got_df.collect()
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan  # DPP prunes to probed buckets
+
+    assigned = ivf_assign(emb, cents)
+    want_df = ivf_knn(assigned, cents, probes, k=5, n_probe=2)
+    got = {(r.probe_id, r.vec_id) for r in got_df.collect()}
+    want = {(r.probe_id, r.vec_id) for r in want_df.collect()}
+    assert got == want and len(got) == 15

@@ -94,6 +94,37 @@ def ivf_assign(
     return best.select(corpus_id, corpus_vec, centroid_id)
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    **assign_kwargs,
+) -> None:
+    """Persist the IVF assignment table partitioned by centroid id. At
+    100 TB this is the batch index build: a probe that touches ``n_probe``
+    centroids then reads only those directories — partition pruning turns
+    bucket probes into O(bucket) scans instead of a full corpus pass."""
+    centroid_id = assign_kwargs.get("centroid_id", "centroid_id")
+    assigned = ivf_assign(corpus, centroids, **assign_kwargs)
+    assigned.write.mode("overwrite").partitionBy(centroid_id).parquet(path)
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    **kwargs,
+) -> DataFrame:
+    """Query a persisted IVF index. The centroid-id filter lands on the
+    partition column, so the scan prunes to the probed buckets (verify:
+    PartitionFilters in the plan)."""
+    assigned = spark.read.parquet(path)
+    return ivf_knn(assigned, centroids, probes, k=k, n_probe=n_probe, **kwargs)
+
+
 def ivf_knn(
     corpus_assigned: DataFrame,
     centroids: DataFrame,
