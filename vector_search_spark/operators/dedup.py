@@ -115,28 +115,17 @@ def _minhash_signatures_from_tokens(t: DataFrame, n_hashes: int) -> DataFrame:
 
 
 def _bucket_pairs(banded: DataFrame) -> DataFrame:
-    """Candidate pairs from LSH buckets via groupBy + in-bucket pair
-    explosion — evaluates the (expensive) signature plan ONCE, vs twice for
-    a self-join, and shuffles only (band, key, id). Hot buckets are the
-    same quadratic risk as the join formulation; at 100 TB cap bucket size
-    upstream (more rows per band) rather than here."""
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    """Candidate pairs from LSH buckets via an ids-only self-join on
+    (band, key). The banded relation must be persisted by the caller so
+    the signature plan still evaluates once. A sort-merge join spills a
+    pathological hot bucket to disk; materializing a bucket's pairs as one
+    array value would be O(bucket²) memory in a single row."""
+    a = banded.select(F.col("id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "key")
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -170,40 +159,32 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram/token-set Jaccard over pairs within blocking keys.
 
-    Output: id_a, id_b, jaccard. One shuffle on the block key, then
-    in-block pair explosion (the shingle sets are computed exactly once —
-    a blocked self-join would evaluate them per side). The quadratic
-    blowup is bounded by the largest block, same as the join formulation.
+    Output: id_a, id_b, jaccard. Formulated as a blocked SELF-JOIN, not an
+    in-block pair explosion: a sort-merge join streams and SPILLS a hot
+    block, whereas materializing all of a block's pairs as one array value
+    is O(block²) memory in a single row and OOMs at scale (observed at the
+    10× scale probe). The shingle sets are evaluated once per side — at
+    scale that 2× compute is the price of bounded memory.
     """
     t = _unit_sets(df, text_col, id_col, shingle_n).join(
         df.select(F.col(id_col).alias("id"), *block_cols), "id"
     )
-    buckets = (
-        t.groupBy(*block_cols)
-        .agg(F.array_sort(F.collect_list(F.struct("id", "tk"))).alias("items"))
-        .filter(F.size("items") > 1)
+    a = t.select(
+        F.col("id").alias("id_a"), *block_cols, F.col("tk").alias("tk_a")
     )
-    pairs = F.flatten(
-        F.transform(
-            "items",
-            lambda x, i: F.transform(
-                F.slice("items", i + 2, F.size("items")),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["tk"].alias("tk_a"),
-                    y["tk"].alias("tk_b"),
-                ),
-            ),
-        )
+    b = t.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+        F.col("tk").alias("tk_b"),
     )
-    exploded = buckets.select(F.explode(pairs).alias("p")).select(
-        "p.id_a", "p.id_b", "p.tk_a", "p.tk_b"
-    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(c) == F.col(f"_b_{c}"))
     inter = F.size(F.array_intersect("tk_a", "tk_b"))
     union = F.size(F.array_union("tk_a", "tk_b"))
     return (
-        exploded.withColumn("jaccard", inter.cast("double") / union)
+        a.join(b, cond)
+        .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -261,6 +242,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+    # narrow (id, band, key) rows; persisted so the Python signature stage
+    # runs once even though the candidate self-join reads it twice
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     cands = _bucket_pairs(banded)
     rerank = cands.join(
         t.select(F.col("id").alias("id_a"), F.col("tk").alias("tk_a")), "id_a"
