@@ -98,15 +98,14 @@ def _condition_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("c_nationkey").alias("column_nm"),
         F.lit("customer").alias("table_nm"),
     )
-    price = spark.createDataFrame(
-        [("주문금액", "", "주문 총액", "integer", "o_totalprice", "orders")],
+    static = spark.createDataFrame(
+        [
+            ("주문금액", "", "주문 총액", "integer", "o_totalprice", "orders"),
+            ("주문일자", "", "주문 일자", "datePopup", "o_orderdate", "orders"),
+        ],
         ["cond_nm", "code", "code_nm", "cond_type", "column_nm", "table_nm"],
     )
-    date = spark.createDataFrame(
-        [("주문일자", "", "주문 일자", "datePopup", "o_orderdate", "orders")],
-        ["cond_nm", "code", "code_nm", "cond_type", "column_nm", "table_nm"],
-    )
-    cat = reduce(DataFrame.unionByName, [segs, nations, price, date])
+    cat = reduce(DataFrame.unionByName, [segs, nations, static])
     return cat.withColumn(
         "cond_id",
         F.concat_ws("#", "cond_nm", "code"),
