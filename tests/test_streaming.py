@@ -136,3 +136,32 @@ def test_stream_dedup_drops_repeats(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.table("t_dedup").count() == 500
+
+
+def test_streaming_fusion_equals_batch(spark, sf_dir, tmp_path):
+    """A6 fusion as streaming aggregation: a vector stream scored against
+    broadcast probes accumulates the same fused scores the batch plan
+    computes — split into two micro-batches to prove state accumulation."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.streaming.fusion import (
+        fused_scores,
+        run_fused_scores_availablenow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    d = str(tmp_path / "vecs")
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(d)
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.mode("append").parquet(d)
+
+    src = spark.readStream.option("maxFilesPerTrigger", "1").schema(emb.schema).parquet(d)
+    got_df = run_fused_scores_availablenow(spark, src, probes, "t_fusion", 0.2)
+    got = {r.vec_id: (r.n_hits, round(r.fused_score, 6)) for r in got_df.collect()}
+    want = {
+        r.vec_id: (r.n_hits, round(r.fused_score, 6))
+        for r in fused_scores(emb, probes, 0.2).collect()
+    }
+    assert got == want and len(got) > 0

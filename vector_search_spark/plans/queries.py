@@ -990,19 +990,29 @@ SELECT doc_id AS doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+            w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS subword_est
 FROM documents
 """,
 )
 def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + regex (BPE-ish) token count."""
+    """Token counting: whitespace tokens, regex word tokens, and a BPE-ish
+    subword estimate (ceil(len/4) per word — the standard chars-per-token
+    heuristic for byte-pair vocabularies)."""
     docs = _t(spark, sf_dir, "documents")
+    subword = F.aggregate(
+        F.split("text", " "),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
     return docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
         F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("alpha_tokens"),
         F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("distinct_tokens"),
         F.length("text").cast("long").alias("n_chars"),
+        subword.alias("subword_est"),
     )
 
 
@@ -1687,4 +1697,36 @@ def m_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_media(media, 32, 24, decoder="fake")
     return resized.select(
         "media_id", "width", "height", "n_bytes", F.md5("resized").alias("digest")
+    )
+
+
+@register(
+    "s_streaming_fusion",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 3)
+SELECT e.vec_id AS vec_id, COUNT(*) AS n_hits,
+       ROUND(SUM(list_cosine_similarity(e.v, p.pv)), 6) AS fused_score
+FROM e CROSS JOIN p
+WHERE list_cosine_similarity(e.v, p.pv) >= 0.2
+GROUP BY e.vec_id
+""",
+)
+def s_streaming_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 score fusion as REAL streaming aggregation: the embedding corpus
+    streamed through the same cosine expression the batch path uses, fused
+    per id in update-mode state, drained with availableNow. Oracle is the
+    batch cross-join + GROUP BY."""
+    from ..streaming.fusion import run_fused_scores_availablenow
+
+    _STATEFUL_RUN_COUNTER[0] += 1
+    name = f"streaming_fusion_{_STATEFUL_RUN_COUNTER[0]}"
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    src = spark.readStream.schema(emb.schema).parquet(f"{sf_dir}/embeddings*.parquet")
+    res = run_fused_scores_availablenow(spark, src, probes, name, 0.2)
+    return res.select(
+        "vec_id", "n_hits", F.round("fused_score", 6).alias("fused_score")
     )
