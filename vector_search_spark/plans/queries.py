@@ -1730,3 +1730,38 @@ def s_streaming_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "vec_id", "n_hits", F.round("fused_score", 6).alias("fused_score")
     )
+
+
+@register(
+    "r_q14_promo_revenue",
+    oracle="""
+SELECT ROUND(100.0 *
+         SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+""",
+)
+def r_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact scan with a tight date slice, broadcast join to
+    the part dim, conditional aggregate ratio (F2 CASE + A-family in one)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
