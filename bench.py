@@ -43,8 +43,24 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup cost.
+    # Warm the engine paths every query pays for once — parquet reader,
+    # broadcast-join + window + HOF codegen, and the Python/Arrow worker —
+    # so measured timings reflect the operators, not JVM startup.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = Window.partitionBy("r_regionkey").orderBy("n_nationkey")
+    warm = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("arr", F.transform(F.sequence(F.lit(1), F.lit(3)), lambda i: i * 2))
+        .withColumn("s", F.aggregate("arr", F.lit(0), lambda a, b: a + b))
+    )
+    warm.collect()
+    spark.createDataFrame([(1,)], ["x"]).mapInPandas(lambda it: it, "x long").collect()
 
     names = [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}
