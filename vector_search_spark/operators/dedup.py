@@ -35,11 +35,71 @@ from ..functions.text import (
 from ..functions.vector import cosine_sim, l2_norm
 
 
-def _unit_sets(df: DataFrame, text_col: str, id_col: str, shingle_n: int | None):
+def _unit_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int | None,
+    hashed: bool = False,
+):
     """(id, tk) comparison units: distinct n-word shingles when ``shingle_n``
-    is set (the MinHash-standard unit), else distinct unigram tokens."""
-    tk = word_shingles(text_col, shingle_n) if shingle_n else distinct_tokens(text_col)
-    return df.select(F.col(id_col).alias("id"), tk.alias("tk"))
+    is set (the MinHash-standard unit), else distinct unigram tokens.
+
+    The shingle path runs as one Arrow stage — Python string slicing beats
+    the slice+array_join HOF expression ~2× here, and the result sets are
+    identical (split/dedup semantics match; element order is irrelevant to
+    every consumer: set ops, MinHash min, sorted fingerprints).
+
+    ``hashed=True`` emits the portable polynomial hash of each shingle
+    (int64) instead of the string: set operations over ~17-char strings
+    become set operations over longs — smaller shuffles, cheaper
+    intersects — and the oracle reproduces the exact same values, so
+    hash-set Jaccard stays bit-exact across engines."""
+    if not shingle_n:
+        assert not hashed, "hashed units require shingle mode"
+        return df.select(
+            F.col(id_col).alias("id"), distinct_tokens(text_col).alias("tk")
+        )
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    from ..functions.text import HASH_MIX, HASH_MOD
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    elem = LongType() if hashed else StringType()
+    schema = StructType([src.schema["id"], StructField("tk", ArrayType(elem))])
+    n = shingle_n
+
+    def sh(batches):
+        for pdf in batches:
+            out = []
+            for t in pdf["_text"]:
+                w = t.split(" ")
+                if len(w) < n:
+                    out.append([])
+                else:
+                    out.append(
+                        list(
+                            dict.fromkeys(
+                                " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+                            )
+                        )
+                    )
+            if hashed:
+                flat = [s.encode("utf-8") for row in out for s in row]
+                if flat:
+                    h = _poly_fold_batch(flat, HASH_MOD, HASH_MIX)
+                    flat_str = [s for row in out for s in row]
+                    for i, s in enumerate(flat):
+                        if any(c >= 128 for c in s):
+                            h[i] = _py_poly(flat_str[i], HASH_MOD, HASH_MIX)
+                    hashed_rows, off = [], 0
+                    for row in out:
+                        hashed_rows.append(h[off : off + len(row)])
+                        off += len(row)
+                    out = hashed_rows
+            yield pd.DataFrame({"id": pdf["id"], "tk": out})
+
+    return src.mapInPandas(sh, schema)
 
 
 def _poly_fold_batch(flat: list[bytes], HASH_MOD: int, HASH_MIX: int) -> np.ndarray:
@@ -156,6 +216,7 @@ def jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     shingle_n: int | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """Exact n-gram/token-set Jaccard over pairs within blocking keys.
 
@@ -166,7 +227,7 @@ def jaccard_pairs(
     10× scale probe). The shingle sets are evaluated once per side — at
     scale that 2× compute is the price of bounded memory.
     """
-    t = _unit_sets(df, text_col, id_col, shingle_n).join(
+    t = _unit_sets(df, text_col, id_col, shingle_n, hashed=hashed).join(
         df.select(F.col(id_col).alias("id"), *block_cols), "id"
     )
     a = t.select(

@@ -745,7 +745,9 @@ def d_tokenset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH w AS (
   SELECT doc_id, source, lang, string_split(text, ' ') AS ws FROM documents),
 t AS (
-  SELECT doc_id, source, lang, {_DUCK_SHINGLES3} AS tk FROM w)
+  SELECT doc_id, source, lang,
+         list_transform({_DUCK_SHINGLES3}, q -> {_duck_poly("q", v="h")}) AS tk
+  FROM w)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ROUND(len(list_intersect(a.tk, b.tk))::DOUBLE
              / len(list_distinct(list_concat(a.tk, b.tk))), 6) AS jaccard
@@ -756,11 +758,16 @@ WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
 """,
 )
 def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram-shingle Jaccard near-dup pairs within (source, lang) blocks."""
+    """3-gram-shingle hash-set Jaccard near-dup pairs within (source, lang)
+    blocks: shingles carried as portable int64 hashes (identical values in
+    the oracle, so the comparison stays exact) — set ops over longs shuffle
+    and intersect far cheaper than over strings."""
     from ..operators.dedup import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    res = jaccard_pairs(docs, "text", "doc_id", ["source", "lang"], 0.2, shingle_n=3)
+    res = jaccard_pairs(
+        docs, "text", "doc_id", ["source", "lang"], 0.2, shingle_n=3, hashed=True
+    )
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
