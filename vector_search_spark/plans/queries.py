@@ -1772,3 +1772,52 @@ def r_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@register(
+    "a_rollup_sales",
+    oracle="""
+SELECT l_returnflag AS l_returnflag, l_linestatus AS l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grp_id,
+       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def a_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotal aggregation (ROLLUP — beyond the reference's
+    flat GROUP BYs): per (flag, status), per flag, and grand total in one
+    pass; grouping_id disambiguates subtotal rows from NULL-valued keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grp_id"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "grp_id", "sum_qty", "n")
+    )
+
+
+@register(
+    "a_percentiles",
+    oracle="""
+SELECT l_returnflag AS l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-equal at 4 dp). The approximate
+    scale path is `approx_percentile` — same API shape, sketch-based."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
