@@ -1821,3 +1821,68 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
     )
+
+
+@register(
+    "w_rank_family",
+    oracle="""
+SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER w, 2) AS delta_prev
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function family breadth: rank / dense_rank / ntile / lag over
+    one per-customer frame (deterministic: price then orderkey ordering)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+        ).alias("delta_prev"),
+    )
+
+
+@register(
+    "a_pivot_status",
+    oracle="""
+SELECT o_orderpriority AS o_orderpriority,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+       ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS sum_f
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def a_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts and totals spread across status columns
+    (groupBy().pivot() — Catalyst rewrites to conditional aggregates, which
+    is exactly what the oracle spells out)."""
+    orders = _t(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.col("F_sum").alias("sum_f"),
+    )
