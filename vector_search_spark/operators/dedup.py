@@ -25,13 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import (
-    distinct_tokens,
-    minhash_signature,
-    poly_hash,
-    simhash30,
-    word_shingles,
-)
+from ..functions.text import distinct_tokens, minhash_signature, poly_hash
 from ..functions.vector import cosine_sim, l2_norm
 
 
