@@ -89,3 +89,49 @@ def test_salted_sum_equals_plain(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof (backward,
+    allow_exact_matches=True — the same <= semantics), 500 left rows on
+    5 keys with duplicate-free right timestamps per key."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    base = 1_700_000_000
+    right_rows = []
+    seen = set()
+    for _ in range(300):
+        k = rng.randint(1, 5)
+        ts = base + rng.randint(0, 100_000)
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        right_rows.append((k, ts, rng.random()))
+    left_rows = [
+        (i, rng.randint(1, 5), base + rng.randint(-1000, 101_000))
+        for i in range(500)
+    ]
+
+    lpdf = pd.DataFrame(left_rows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rpdf = pd.DataFrame(right_rows, columns=["k", "ts", "px"]).sort_values("ts")
+    want_pdf = pd.merge_asof(
+        lpdf, rpdf, on="ts", by="k", direction="backward", allow_exact_matches=True
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.px) else round(float(r.px), 9))
+        for r in want_pdf.itertuples()
+    }
+
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts in left_rows], "lid long, k long, ts long"
+    )
+    right = spark.createDataFrame(right_rows, "k long, ts long, px double")
+    got_df = asof_join(left, right, ["k"], right_cols=["px"], how="left")
+    got = {
+        int(r.lid): (None if r.matched_px is None else round(r.matched_px, 9))
+        for r in got_df.collect()
+    }
+    assert got == want
