@@ -1886,3 +1886,35 @@ def a_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("P_n", F.lit(0)).alias("n_p"),
         F.col("F_sum").alias("sum_f"),
     )
+
+
+@register(
+    "r_sql_correlated",
+    oracle="""
+SELECT c.c_custkey AS c_custkey,
+       (SELECT ROUND(MAX(o.o_totalprice), 2) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_price
+FROM customer c
+WHERE c.c_custkey < 200
+  AND EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey)
+""",
+)
+def r_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text surface: a correlated scalar subquery + correlated
+    EXISTS run through spark.sql over registered views — Catalyst decorrelates
+    both into joins (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery),
+    the same plans the DataFrame API would build."""
+    from ..sources.catalog import load_table
+
+    for name in ("customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS c_custkey,
+               (SELECT ROUND(MAX(o.o_totalprice), 2) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM customer c
+        WHERE c.c_custkey < 200
+          AND EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey)
+        """
+    )
