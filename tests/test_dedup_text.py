@@ -79,3 +79,25 @@ def test_poly_hash_deterministic_and_spread(spark):
     assert vals[0] == vals[4]
     assert len({vals[0], vals[1], vals[2], vals[3]}) == 4
     assert all(0 <= v < 1_000_000_007 for v in vals)
+
+
+def test_word_shingles_expression_matches_arrow_impl(spark, sf_dir):
+    """The expression-variant word_shingles and the Arrow shingle stage in
+    dedup._unit_sets must produce the same shingle SETS — both mirror the
+    _DUCK_SHINGLES3 oracle, so divergence would break parity silently."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.functions.text import word_shingles
+    from vector_search_spark.operators.dedup import _unit_sets
+    from vector_search_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    expr = {
+        r.doc_id: frozenset(r.tk)
+        for r in docs.select("doc_id", word_shingles("text", 3).alias("tk")).collect()
+    }
+    arrow = {
+        r.id: frozenset(r.tk)
+        for r in _unit_sets(docs, "text", "doc_id", 3).collect()
+    }
+    assert expr == arrow and len(expr) == 100

@@ -137,14 +137,25 @@ class HttpLLMClient:
         return (parts + [query] * n)[:n]
 
     def extract_keywords(self, query: str) -> list[dict]:
-        """L1: sentence → [{attr, polarity, value}] JSON."""
+        """L1: sentence → [{attr, polarity, value}] JSON. Models wrap JSON
+        in markdown fences or prose even at temperature 0, so extract the
+        outermost JSON array before parsing (the F8 repair surface)."""
         out = self._chat(
             "Extract audience-targeting conditions from the sentence. Return a "
             "JSON list of objects with keys attr, polarity ('긍정' or '부정'), "
             "value. JSON only.",
             query,
         )
-        return json.loads(out)
+        start, end = out.find("["), out.rfind("]")
+        if start == -1 or end <= start:
+            return []
+        try:
+            return json.loads(out[start : end + 1])
+        except json.JSONDecodeError:
+            try:
+                return json.loads(out[start : end + 1].replace("'", '"'))
+            except json.JSONDecodeError:
+                return []
 
     def paraphrase(self, attribute: str, value: str, n: int = 3) -> list[str]:
         """L5: (attribute, value) → n search sentences, '!!!!'-separated."""

@@ -41,6 +41,8 @@ def asof_join(
     payload column and ``matched_ts``. ``how='left'`` keeps unmatched left
     rows with nulls; ``'inner'`` drops them (ASOF JOIN default).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join how must be 'inner' or 'left', got {how!r}")
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
@@ -115,12 +117,21 @@ def range_join_binned(
     r_ts_col = f"r_{right_ts}" if right_ts in overlap else right_ts
 
     lsec = F.unix_timestamp(F.col(l_ts_col))
-    rsec = F.unix_timestamp(F.col(r_ts_col))
     exploded = l_ren.withColumn(
         "_bin", F.explode(F.array(F.floor(lsec / w), F.floor(lsec / w) + 1))
     )
     joined = exploded.join(r_ren, [*on, "_bin"])
-    return joined.filter((rsec >= lsec) & (rsec < lsec + w)).drop("_bin")
+    # The bins are second-truncated (coarse is fine: two width-w bins cover
+    # any exact [l, l+w) window), but the final filter must compare the
+    # EXACT timestamps — truncating here would admit sub-second-early rows
+    # and drop boundary rows on fractional-second data.
+    return joined.filter(
+        (F.col(r_ts_col) >= F.col(l_ts_col))
+        & (
+            F.col(r_ts_col)
+            < F.col(l_ts_col) + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+        )
+    ).drop("_bin")
 
 
 def salted_group_sum(
@@ -128,14 +139,16 @@ def salted_group_sum(
     keys: list[str],
     value_col: str,
     n_salt: int = 16,
-) -> Column | DataFrame:
+) -> DataFrame:
     """Two-phase salted aggregation for skewed keys: partial sums over
     (keys, salt) spread a hot key across ``n_salt`` reducers, then a final
     (cheap — ``n_salt`` rows per key) re-aggregation. The salt is a
-    deterministic hash of the whole row, so results are reproducible.
-    Identical semantics to a plain groupBy-sum (sums are reassociable);
-    the win is purely physical."""
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)).alias("_salt")
+    per-row id, NOT a row hash — a hot key made of identical rows (the
+    canonical skew case: repeated events) would hash to ONE salt and defeat
+    the spread. The salt assignment varies run-to-run, but sums/counts are
+    reassociable, so the OUTPUT is identical to a plain groupBy-sum
+    regardless of assignment; the win is purely physical."""
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).alias("_salt")
     partial = (
         df.select(*keys, F.col(value_col), salt)
         .groupBy(*keys, "_salt")

@@ -35,6 +35,7 @@ def _unit_sets(
     id_col: str,
     shingle_n: int | None,
     hashed: bool = False,
+    extra_cols: list[str] | None = None,
 ):
     """(id, tk) comparison units: distinct n-word shingles when ``shingle_n``
     is set (the MinHash-standard unit), else distinct unigram tokens.
@@ -49,25 +50,38 @@ def _unit_sets(
     become set operations over longs — smaller shuffles, cheaper
     intersects — and the oracle reproduces the exact same values, so
     hash-set Jaccard stays bit-exact across engines."""
+    extra_cols = extra_cols or []
     if not shingle_n:
         assert not hashed, "hashed units require shingle mode"
         return df.select(
-            F.col(id_col).alias("id"), distinct_tokens(text_col).alias("tk")
+            F.col(id_col).alias("id"),
+            distinct_tokens(text_col).alias("tk"),
+            *extra_cols,
         )
     from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
     from ..functions.text import HASH_MIX, HASH_MOD
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text"), *extra_cols
+    )
     elem = LongType() if hashed else StringType()
-    schema = StructType([src.schema["id"], StructField("tk", ArrayType(elem))])
+    schema = StructType(
+        [
+            src.schema["id"],
+            StructField("tk", ArrayType(elem)),
+            *[src.schema[c] for c in extra_cols],
+        ]
+    )
     n = shingle_n
 
     def sh(batches):
         for pdf in batches:
             out = []
             for t in pdf["_text"]:
-                w = t.split(" ")
+                # NULL text → empty unit set (a null row must not kill the
+                # task; it simply can't match anything)
+                w = t.split(" ") if t is not None else []
                 if len(w) < n:
                     out.append([])
                 else:
@@ -91,7 +105,10 @@ def _unit_sets(
                         hashed_rows.append(h[off : off + len(row)])
                         off += len(row)
                     out = hashed_rows
-            yield pd.DataFrame({"id": pdf["id"], "tk": out})
+            cols = {"id": pdf["id"], "tk": out}
+            for c in extra_cols:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
 
     return src.mapInPandas(sh, schema)
 
@@ -140,7 +157,7 @@ def _minhash_signatures_from_tokens(t: DataFrame, n_hashes: int) -> DataFrame:
 
     def compute(batches):
         for pdf in batches:
-            rows = list(pdf["tk"])
+            rows = [r if r is not None else [] for r in pdf["tk"]]
             counts = [len(r) for r in rows]
             flat_str = [s for row in rows for s in row]
             flat = [s.encode("utf-8") for s in flat_str]
@@ -221,8 +238,8 @@ def jaccard_pairs(
     10× scale probe). The shingle sets are evaluated once per side — at
     scale that 2× compute is the price of bounded memory.
     """
-    t = _unit_sets(df, text_col, id_col, shingle_n, hashed=hashed).join(
-        df.select(F.col(id_col).alias("id"), *block_cols), "id"
+    t = _unit_sets(
+        df, text_col, id_col, shingle_n, hashed=hashed, extra_cols=block_cols
     )
     a = t.select(
         F.col("id").alias("id_a"), *block_cols, F.col("tk").alias("tk_a")
@@ -269,11 +286,18 @@ def minhash_lsh_pairs(
     # The (id, shingle-set) relation feeds three consumers (signature path +
     # both sides of the re-rank join); persist it so shingling runs once.
     # MEMORY_AND_DISK: at cluster scale this spills instead of OOMing.
+    # NB: the two persists below live until LRU eviction / session end —
+    # a long-lived service calling this repeatedly should clear them
+    # (spark.catalog.clearCache or unpersist) after consuming the result.
     from pyspark import StorageLevel
 
     t = _unit_sets(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Empty unit sets (short/NULL docs) can't match anything, but their
+    # all-NULL signatures would concat_ws to the SAME key "" and pile into
+    # one O(k²) hot bucket of doomed candidates — drop them up front.
+    t = t.filter(F.size("tk") > 0)
     if hash_fn == "poly":
         # One Arrow stage computes base hashes + all signature slots.
         sig_src = _minhash_signatures_from_tokens(t.select("id", "tk"), n_hashes)
@@ -335,6 +359,10 @@ def simhash_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         for pdf in batches:
             fps = []
             for h in pdf["hs"]:
+                if h is None:
+                    # mirror the expression path: NULL text → NULL simhash
+                    fps.append(None)
+                    continue
                 arr = np.asarray(h, dtype=np.int64)
                 if arr.size == 0:
                     fps.append(0)
