@@ -57,6 +57,14 @@ def l2_norm(a: ColumnOrName) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def euclidean_dist(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Euclidean distance (DuckDB ``list_distance`` twin) — the metric for
+    inner-product-free workloads; on L2-normalized vectors its ordering is
+    the cosine ordering (dist² = 2 - 2·cos)."""
+    diff = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") - y.cast("double"))
+    return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def l2_normalize(a: ColumnOrName) -> Column:
     """Scale to unit L2 norm (cosine on unit sphere == monotone in euclidean,
     which is what lets BucketedRandomProjectionLSH stand in for cosine ANN)."""

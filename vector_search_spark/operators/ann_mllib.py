@@ -15,6 +15,37 @@ from pyspark.sql import functions as F
 from ..functions.vector import l2_normalize
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    seed: int = 42,
+    corpus_vec: str = "embedding",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train IVF centroids with MLlib KMeans over L2-normalized vectors
+    (the batch index build of the north-star 'MLlib batch vector indexing'
+    approach). Returns (centroid_id, centroid_vec) ready for
+    ``operators.ann.ivf_assign`` / ``ivf_knn`` — trained centroids track
+    the data distribution, so bucket sizes balance and recall at a given
+    n_probe beats arbitrary seed vectors."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from pyspark.sql import functions as F2
+
+    train = corpus.select(
+        array_to_vector(l2_normalize(corpus_vec)).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(
+        rows, "centroid_id int, centroid_vec array<float>"
+    ).select("centroid_id", F2.col("centroid_vec"))
+
+
 def brp_lsh_neighbors(
     corpus: DataFrame,
     probes: DataFrame,

@@ -36,13 +36,16 @@ def topk_per_key(
     k: int,
     tiebreak: list[str] | None = None,
     two_phase: bool = True,
+    ascending: bool = False,
 ) -> DataFrame:
-    """Top-k rows per key ordered by ``order_col`` DESC (W2/T1).
+    """Top-k rows per key ordered by ``order_col`` (W2/T1) — DESC for
+    similarity scores, ``ascending=True`` for distances.
 
     ``two_phase=True`` pre-reduces each input partition to k rows per key
     before the global per-key window — same result, bounded shuffle.
     """
-    order = [F.desc(order_col)] + [F.asc(c) for c in (tiebreak or [])]
+    direction = F.asc(order_col) if ascending else F.desc(order_col)
+    order = [direction] + [F.asc(c) for c in (tiebreak or [])]
     if two_phase:
         local = Window.partitionBy(*keys, F.spark_partition_id()).orderBy(*order)
         df = (

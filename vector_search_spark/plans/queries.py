@@ -1918,3 +1918,35 @@ def r_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey)
         """
     )
+
+
+@register(
+    "v_knn_euclidean",
+    oracle="""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE vec_id < 3)
+SELECT probe_id AS probe_id, vec_id AS vec_id, ROUND(d, 6) AS dist
+FROM (
+  SELECT p.probe_id, c.vec_id, list_distance(c.e, p.e) AS d,
+         ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                            ORDER BY list_distance(c.e, p.e) ASC, c.vec_id ASC)
+           AS rn
+  FROM c CROSS JOIN p) t
+WHERE rn <= 10
+""",
+)
+def v_knn_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-variant KNN: euclidean distance (ascending top-k) — the
+    L2 metric twin of the cosine path, same broadcast/two-phase plan."""
+    from ..functions.vector import euclidean_dist
+    from ..operators.knn import topk_per_key
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = _probes(emb, 3)
+    scored = emb.crossJoin(F.broadcast(probes)).withColumn(
+        "dist", euclidean_dist("embedding", "probe_vec")
+    )
+    top = topk_per_key(scored, ["probe_id"], "dist", 10, tiebreak=["vec_id"],
+                       ascending=True)
+    return top.select("probe_id", "vec_id", F.round("dist", 6).alias("dist"))
