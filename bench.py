@@ -31,7 +31,12 @@ HEADLINE = [
     "w_running_sum",
     "d_minhash_lsh_pairs",
     "d_jaccard_pairs",
+    "d_simhash_groups",
     "t_quality_score",
+    "r_q14_promo_revenue",
+    "j_asof_purchase_view",
+    "a_salted_group_sum",
+    "v_knn_euclidean",
 ]
 
 
