@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) — SURVEY §5.2.3.
+
+Each example builds a small DataFrame, so examples are capped and the
+deadline disabled; the properties themselves are the full contracts:
+
+- sweep-line: total weight×length is conserved, output segments are
+  non-overlapping and ordered per name, and every segment's weight equals
+  a brute-force point count.
+- MinHash LSH: every emitted pair really meets the threshold (soundness),
+  and exact duplicates are always found (completeness for jaccard=1).
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from vector_search_spark.operators.dedup import minhash_lsh_pairs
+from vector_search_spark.operators.sweepline import sweep_overlap
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(intervals_strategy)
+def test_sweepline_properties(spark, raw):
+    rows = [("n", s, s + ln, float(w)) for s, ln, w in raw]
+    df = spark.createDataFrame(rows, "name string, start long, end long, w double")
+    segs = sorted(
+        (r.seg_start, r.seg_end, r.weight)
+        for r in sweep_overlap(df, "name", "start", "end", "w").collect()
+    )
+    # non-overlapping + ordered
+    for (s1, e1, _), (s2, _, _) in zip(segs, segs[1:]):
+        assert e1 < s2 and s1 <= e1
+    # per-point brute force: weight at any covered point matches
+    lo = min(s for _, s, e, _ in rows)
+    hi = max(e for _, s, e, _ in rows)
+    cover = {}
+    for seg_s, seg_e, w in segs:
+        for p in range(seg_s, seg_e + 1):
+            cover[p] = w
+    for p in range(lo, hi + 1):
+        want = sum(w for _, s, e, w in rows if s <= p <= e)
+        got = cover.get(p, 0.0)
+        assert abs(got - want) < 1e-9, (p, got, want)
+
+
+words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+docs_strategy = st.lists(
+    st.lists(words, min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_minhash_lsh_sound_and_finds_exact_dups(spark, texts):
+    # plant one exact duplicate pair
+    texts = texts + [texts[0]]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, "text", "doc_id", 16, 4, 0.5).collect()
+    }
+
+    def jac(a, b):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        return len(sa & sb) / len(sa | sb)
+
+    # soundness: every emitted pair meets the threshold exactly
+    for (a, b), j in pairs.items():
+        assert abs(j - jac(a, b)) < 1e-9 and j >= 0.5
+    # completeness for exact dups: identical docs always collide
+    assert (0, len(texts) - 1) in pairs
