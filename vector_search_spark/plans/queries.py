@@ -1950,3 +1950,27 @@ def v_knn_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = topk_per_key(scored, ["probe_id"], "dist", 10, tiebreak=["vec_id"],
                        ascending=True)
     return top.select("probe_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
+@register(
+    "t_fuzzy_match",
+    oracle="""
+SELECT c_custkey AS c_custkey, c_name AS c_name,
+       CAST(levenshtein(c_name, 'Customer#000000025') AS BIGINT) AS edit_dist
+FROM customer
+WHERE c_custkey < 100
+  AND levenshtein(c_name, 'Customer#000000025') <= 1
+""",
+)
+def t_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching by edit distance (Levenshtein is standard in
+    both engines) — the text-analysis entry for name/near-typo matching;
+    at scale pair generation goes through blocking/LSH first, the distance
+    is only ever computed on candidates."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    d = F.levenshtein("c_name", F.lit("Customer#000000025"))
+    return (
+        cust.withColumn("edit_dist", d.cast("long"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("c_custkey", "c_name", "edit_dist")
+    )
