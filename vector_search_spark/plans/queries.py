@@ -1974,3 +1974,86 @@ def t_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 1)
         .select("c_custkey", "c_name", "edit_dist")
     )
+
+
+@register(
+    "a_cube_sales",
+    oracle="""
+SELECT l_returnflag AS l_returnflag, l_linestatus AS l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grp_id,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def a_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^d grouping combinations in one pass (the ROLLUP sibling —
+    per-dimension marginals plus the grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grp_id"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "grp_id", "sum_price", "n")
+    )
+
+
+@register(
+    "u_intersect_except",
+    oracle="""
+WITH building AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+           WHERE o_totalprice > 200000)
+SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM buyers) t
+UNION ALL
+SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM buyers) t
+""",
+)
+def u_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (absent from the reference's SQL —
+    the deduplicating forms, covered here via DataFrame intersect/
+    exceptAll-with-distinct so both engines agree on multiset handling)."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    inter = building.intersect(buyers).agg(
+        F.lit("intersect").alias("op"), F.count("*").alias("n")
+    )
+    exc = building.distinct().exceptAll(buyers).agg(
+        F.lit("except").alias("op"), F.count("*").alias("n")
+    )
+    return inter.unionByName(exc)
+
+
+@register(
+    "a_corr_stats",
+    oracle="""
+SELECT l_returnflag AS l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def a_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics aggregates (corr / covar_samp / stddev_samp) —
+    verified numerically identical between engines at the rounded
+    precision."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+    )
