@@ -242,16 +242,23 @@ def jaccard_pairs(
         df, text_col, id_col, shingle_n, hashed=hashed, extra_cols=block_cols
     )
     a = t.select(
-        F.col("id").alias("id_a"), *block_cols, F.col("tk").alias("tk_a")
+        F.col("id").alias("id_a"), *block_cols,
+        F.col("tk").alias("tk_a"), F.size("tk").alias("_sz_a"),
     )
     b = t.select(
         F.col("id").alias("id_b"),
         *[F.col(c).alias(f"_b_{c}") for c in block_cols],
-        F.col("tk").alias("tk_b"),
+        F.col("tk").alias("tk_b"), F.size("tk").alias("_sz_b"),
     )
     cond = F.col("id_a") < F.col("id_b")
     for c in block_cols:
         cond = cond & (F.col(c) == F.col(f"_b_{c}"))
+    # Sound size prefilter: jaccard = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
+    # so size-incompatible pairs can never reach the threshold — skip their
+    # intersects entirely. Never drops a qualifying pair.
+    cond = cond & (
+        F.least("_sz_a", "_sz_b") >= F.lit(threshold) * F.greatest("_sz_a", "_sz_b")
+    )
     inter = F.size(F.array_intersect("tk_a", "tk_b"))
     union = F.size(F.array_union("tk_a", "tk_b"))
     return (
