@@ -59,6 +59,17 @@ def canon_rows(cols, rows):
 def compare(name: str, spark_df, con) -> tuple[bool, str]:
     import vector_search_spark  # noqa: F401  (path check)
 
+    # The driver's canonicalizer sorts rows via pandas and dies on
+    # array-typed cells (unhashable list). Reject them here so the local
+    # replica can never pass what the driver would fail.
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    if bad:
+        return False, f"array/map/struct output columns not gate-safe: {bad}"
+
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     from vector_search_spark.plans.queries import QUERIES

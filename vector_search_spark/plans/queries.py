@@ -1376,8 +1376,8 @@ neg AS (
   FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
   WHERE o.o_orderstatus = 'F' GROUP BY 1)
 SELECT p.seg AS seg,
-       list_sort(list_filter(p.pos_set, x -> NOT list_contains(n.neg_set, x))) AS kept,
-       list_sort(list_distinct(list_concat(p.pos_set, n.neg_set))) AS merged,
+       COALESCE(array_to_string(list_sort(list_filter(p.pos_set, x -> NOT list_contains(n.neg_set, x))), ','), '') AS kept,
+       COALESCE(array_to_string(list_sort(list_distinct(list_concat(p.pos_set, n.neg_set))), ','), '') AS merged,
        len(list_filter(p.pos_set, x -> NOT list_contains(n.neg_set, x))) AS n_kept
 FROM pos p JOIN neg n ON p.seg = n.seg
 """,
@@ -1386,7 +1386,9 @@ def u_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3/U4/A11/A12 as array algebra (nl_targeting.py:100-123): per-segment
     positive order-priority set minus the negative set (array_except), plus
     the union-dedup merge (array_union) — collect_set builds the sets, the
-    HOFs do the set logic, no per-row Python."""
+    HOFs do the set logic, no per-row Python. Outputs are flattened with
+    array_join so the gate's row-canonicalizer (pandas sort + hash) can
+    handle them — raw array columns are unhashable driver-side."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders")
     joined = orders.join(
@@ -1405,8 +1407,12 @@ def u_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides are segment-cardinality after the agg — broadcast the join
     return pos.join(F.broadcast(neg), "seg").select(
         "seg",
-        F.sort_array(F.array_except("pos_set", "neg_set")).alias("kept"),
-        F.sort_array(F.array_union("pos_set", "neg_set")).alias("merged"),
+        F.array_join(F.sort_array(F.array_except("pos_set", "neg_set")), ",").alias(
+            "kept"
+        ),
+        F.array_join(F.sort_array(F.array_union("pos_set", "neg_set")), ",").alias(
+            "merged"
+        ),
         F.size(F.array_except("pos_set", "neg_set")).cast("long").alias("n_kept"),
     )
 
