@@ -1051,9 +1051,58 @@ def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Pipeline surface (SURVEY §3.1-3.3): ingest + query dataflows with
-# deterministic LLM/embedding fakes. Relational stages get oracles; stages
-# depending on embedding values are rows-only by design (SURVEY §5.2.4).
+# deterministic LLM/embedding fakes. The fakes are md5-based and therefore
+# SQL-expressible: the oracles below reproduce llm.clients.FakeEmbeddingClient
+# bit-for-bit in DuckDB (verified: float32 embeddings AND the double-fold
+# cosine are bit-identical between engines), so even the embedding-dependent
+# stages get exact value oracles.
 # ---------------------------------------------------------------------------
+
+
+def _duck_embed_raw(txt: str) -> str:
+    """DuckDB DOUBLE[] of FakeEmbeddingClient._embed_one pre-normalization
+    values for a text expression: uint64(md5(text||'#'||d)[:8]) / 2^63 - 1.
+    Bit-identical to the Python fake (hex→uint64 verified exact; division by
+    a power of two commutes with the single float64 rounding)."""
+    return (
+        f"list_transform(generate_series(0, 63), _ed -> "
+        f"('0x' || substr(md5({txt} || '#' || _ed), 1, 16))::UINT64::DOUBLE "
+        f"/ 9223372036854775808.0 - 1.0)"
+    )
+
+
+def _duck_cos(a: str, b: str) -> str:
+    """Left-to-right double-fold cosine over two FLOAT[] columns —
+    bit-identical to functions.vector.cosine_sim (same element order, same
+    float64 accumulation, norms recomputed from the float32 arrays)."""
+    return (
+        f"(list_sum(list_transform(generate_series(1, 64), "
+        f"_ck -> {a}[_ck]::DOUBLE * {b}[_ck]::DOUBLE)) / "
+        f"(sqrt(list_sum(list_transform({a}, _cx -> _cx::DOUBLE * _cx::DOUBLE))) * "
+        f"sqrt(list_sum(list_transform({b}, _cy -> _cy::DOUBLE * _cy::DOUBLE)))))"
+    )
+
+
+# Campaign sentence CTEs shared by the campaign-vector / recommend oracles
+# (same text as the pipe_campaign_sentences oracle, then the md5 embedding).
+_DUCK_CAMPAIGN_CORPUS = f"""
+agg AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(o_orderstatus))), ',') AS statuses
+  FROM orders GROUP BY o_custkey),
+sent AS (
+  SELECT c.c_custkey AS camp_id,
+         '이름은 ' || c.c_name || ' 입니다. 국가는 ' || COALESCE(n.n_name, '없음')
+         || ' 입니다. 세그먼트는 ' || c.c_mktsegment || ' 입니다. 주문수는 '
+         || CAST(COALESCE(a.n_orders, 0) AS VARCHAR) || ' 입니다. 상태는 '
+         || COALESCE(a.statuses, '없음') || ' 입니다.' AS sentence
+  FROM customer c
+  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN agg a ON c.c_custkey = a.o_custkey),
+cr AS (SELECT camp_id, {_duck_embed_raw('sentence')} AS rv FROM sent),
+cn AS (SELECT camp_id, rv, sqrt(list_sum(list_transform(rv, _nx -> _nx * _nx))) AS nrm FROM cr),
+corpus AS (SELECT camp_id, list_transform(rv, _vx -> (_vx / nrm)::FLOAT) AS emb FROM cn)
+"""
 
 
 @register(
@@ -1116,26 +1165,100 @@ def pipe_campaign_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _campaign_denorm(spark, sf_dir)
 
 
-@register("pipe_campaign_vectors", oracle=None)
+@register(
+    "pipe_campaign_vectors",
+    oracle=f"""
+WITH {_DUCK_CAMPAIGN_CORPUS}
+SELECT camp_id,
+       CAST(len(emb) AS BIGINT) AS dim,
+       ROUND(sqrt(list_sum(list_transform(emb, _lx -> _lx::DOUBLE * _lx::DOUBLE))), 4) AS l2norm,
+       ROUND(emb[1]::DOUBLE, 6) AS e0,
+       ROUND(emb[32]::DOUBLE, 6) AS e31,
+       ROUND(emb[64]::DOUBLE, 6) AS e63
+FROM corpus
+""",
+)
 def pipe_campaign_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full camp_vec_save equivalent incl. mapInPandas batch embedding —
-    rows-only (embedding values live outside SQL)."""
+    """Full camp_vec_save equivalent incl. mapInPandas batch embedding (V6).
+    The md5 fake embedder is reproduced bit-for-bit in the DuckDB oracle, so
+    the projected embedding components are exact value checks, not just
+    shape checks."""
     from ..pipelines.ingest import build_campaign_vectors
 
     df = build_campaign_vectors(spark, sf_dir)
     return df.select(
-        "camp_id", F.size("embedding").alias("dim"),
+        "camp_id",
+        F.size("embedding").cast("long").alias("dim"),
         F.round(F.sqrt(F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0), lambda a, b: a + b)), 4).alias("l2norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+        F.round(F.element_at("embedding", 32).cast("double"), 6).alias("e31"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("e63"),
     )
 
 
-@register("pipe_nl_targeting", oracle=None)
+@register(
+    "pipe_nl_targeting",
+    oracle=f"""
+WITH cat AS (
+  SELECT '세그먼트' AS cond_nm, code, code AS code_nm, 'string' AS cond_type,
+         'c_mktsegment' AS column_nm, 'customer' AS table_nm
+  FROM (SELECT DISTINCT c_mktsegment AS code FROM customer)
+  UNION ALL
+  SELECT '국가', CAST(n_nationkey AS VARCHAR), n_name, 'string',
+         'c_nationkey', 'customer'
+  FROM nation
+  UNION ALL
+  SELECT '주문금액', '', '주문 총액', 'integer', 'o_totalprice', 'orders'
+  UNION ALL
+  SELECT '주문일자', '', '주문 일자', 'datePopup', 'o_orderdate', 'orders'),
+csent AS (
+  SELECT cat.*, cond_nm || ' ' || code_nm || ' 검색 문장 ' || CAST(i AS VARCHAR) AS sentence
+  FROM cat, (SELECT unnest(generate_series(0, 2)) AS i)),
+ccr AS (SELECT csent.*, {_duck_embed_raw('sentence')} AS rv FROM csent),
+ccn AS (SELECT ccr.*, sqrt(list_sum(list_transform(rv, _nx -> _nx * _nx))) AS nrm FROM ccr),
+corpus AS (SELECT ccn.* EXCLUDE (rv, nrm),
+                  list_transform(rv, _vx -> (_vx / nrm)::FLOAT) AS cv FROM ccn),
+ptxt(probe_id, attr, polarity, value, ptext) AS (VALUES
+  (0, '세그먼트', '긍정', 'BUILDING', '세그먼트 BUILDING 검색 문장 0'),
+  (1, '국가', '긍정', 'NATION_5', '국가 NATION_5 검색 문장 0'),
+  (2, '국가', '부정', 'NATION_7', '국가 NATION_7 검색 문장 0')),
+pcr AS (SELECT ptxt.*, {_duck_embed_raw('ptext')} AS rv FROM ptxt),
+pcn AS (SELECT pcr.*, sqrt(list_sum(list_transform(rv, _nx -> _nx * _nx))) AS nrm FROM pcr),
+probes AS (SELECT pcn.* EXCLUDE (rv, nrm),
+                  list_transform(rv, _vx -> (_vx / nrm)::FLOAT) AS pv FROM pcn),
+hits AS (
+  SELECT p.probe_id, p.attr, p.polarity, p.value, c.cond_nm, c.code, c.code_nm,
+         c.cond_type, c.column_nm, c.table_nm,
+         MAX({_duck_cos('c.cv', 'p.pv')}) AS max_score
+  FROM corpus c, probes p
+  WHERE {_duck_cos('c.cv', 'p.pv')} >= 0.5
+  GROUP BY ALL),
+resolved AS (
+  SELECT hits.*, CASE cond_type
+    WHEN 'integer' THEN '>= ' ||
+      COALESCE(NULLIF(regexp_replace(value, '[^0-9]', '', 'g'), ''), '0')
+    WHEN 'datePopup' THEN
+      rpad(substr(regexp_replace(value, '[^0-9]', '', 'g'), 1, 8), 8, '0')
+    ELSE '' END AS op_expr
+  FROM hits)
+SELECT cond_nm AS cond_nm, column_nm AS column_nm, table_nm AS table_nm,
+       code AS code, code_nm AS code_nm, cond_type AS cond_type,
+       ROUND(max_score, 6) AS max_score, op_expr AS op_expr
+FROM resolved r
+WHERE polarity = '긍정'
+  AND NOT EXISTS (SELECT 1 FROM resolved n
+                  WHERE n.polarity = '부정'
+                    AND n.cond_nm = r.cond_nm AND n.code = r.code)
+""",
+)
 def pipe_nl_targeting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end nl_targeting.py equivalent with deterministic fakes:
     keyword extraction → vector threshold search → code resolution →
-    negative subtraction. Rows-only (depends on fake-embedding cosines)."""
+    negative subtraction. The oracle replays the WHOLE dataflow in SQL —
+    fake L1 keyword grammar hardcoded for the fixed input, md5 embeddings
+    and the cosine fold reproduced bit-for-bit."""
     from ..pipelines.nl_targeting import nl_targeting_conditions
 
     return nl_targeting_conditions(
@@ -1143,11 +1266,100 @@ def pipe_nl_targeting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipe_recommend_audience", oracle=None)
+@register(
+    "pipe_recommend_audience",
+    oracle=f"""
+WITH {_DUCK_CAMPAIGN_CORPUS},
+ptxt(probe_id, ptext) AS (VALUES
+  (0, '프리미엄 고객 대상 할인 캠페인'),
+  (1, '프리미엄 고객 대상 할인 캠페인 variant 1'),
+  (2, '프리미엄 고객 대상 할인 캠페인 variant 2'),
+  (3, '프리미엄 고객 대상 할인 캠페인 variant 3'),
+  (4, '프리미엄 고객 대상 할인 캠페인 variant 4')),
+pcr AS (SELECT probe_id, {_duck_embed_raw('ptext')} AS rv FROM ptxt),
+pcn AS (SELECT probe_id, rv, sqrt(list_sum(list_transform(rv, _nx -> _nx * _nx))) AS nrm FROM pcr),
+probes AS (SELECT probe_id, list_transform(rv, _vx -> (_vx / nrm)::FLOAT) AS pv FROM pcn),
+scored AS (
+  SELECT p.probe_id, c.camp_id, {_duck_cos('c.emb', 'p.pv')} AS score
+  FROM corpus c, probes p),
+hits AS (
+  SELECT probe_id, camp_id, score FROM (
+    SELECT probe_id, camp_id, score,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY score DESC, camp_id ASC) AS rn
+    FROM scored) WHERE rn <= 10),
+fused AS (
+  SELECT camp_id, SUM(score) AS fused_score FROM hits GROUP BY camp_id),
+top5 AS (
+  SELECT camp_id, fused_score FROM fused
+  ORDER BY fused_score DESC, camp_id ASC LIMIT 5),
+thr AS (
+  SELECT AVG(fused_score) + 0.5 * COALESCE(STDDEV_SAMP(fused_score), 0.0) AS t
+  FROM top5),
+seg_scores AS (
+  SELECT c.c_mktsegment AS seg, SUM(t.fused_score) AS score
+  FROM customer c JOIN top5 t ON c.c_custkey = t.camp_id
+  GROUP BY c.c_mktsegment),
+segs AS (SELECT seg FROM seg_scores, thr WHERE score > thr.t * 0.2),
+cond_orders AS (
+  SELECT o.o_totalprice, o.o_orderdate, t.fused_score
+  FROM orders o JOIN top5 t ON o.o_custkey = t.camp_id),
+int_iv AS (
+  SELECT CAST(trunc(o_totalprice * 0.9::DOUBLE) AS BIGINT) AS s,
+         CAST(trunc(o_totalprice * 1.1::DOUBLE) AS BIGINT) AS e,
+         fused_score AS w
+  FROM cond_orders),
+int_ev AS (
+  SELECT s AS point, w AS delta FROM int_iv
+  UNION ALL SELECT e + 1, -w FROM int_iv),
+int_del AS (SELECT point, SUM(delta) AS delta FROM int_ev GROUP BY point),
+int_seg AS (
+  SELECT point AS seg_start,
+         LEAD(point) OVER (ORDER BY point) - 1 AS seg_end,
+         SUM(delta) OVER (ORDER BY point ROWS UNBOUNDED PRECEDING) AS weight
+  FROM int_del),
+int_bounds AS (
+  SELECT MIN(seg_start) AS lo, MAX(seg_end) AS hi
+  FROM int_seg, thr
+  WHERE seg_end IS NOT NULL AND weight > 0 AND weight >= thr.t),
+date_iv AS (
+  SELECT (o_orderdate::DATE - DATE '1970-01-01') AS s,
+         (o_orderdate::DATE - DATE '1970-01-01') + 30 AS e,
+         fused_score AS w
+  FROM cond_orders),
+date_ev AS (
+  SELECT s AS point, w AS delta FROM date_iv
+  UNION ALL SELECT e + 1, -w FROM date_iv),
+date_del AS (SELECT point, SUM(delta) AS delta FROM date_ev GROUP BY point),
+date_seg AS (
+  SELECT point AS seg_start,
+         LEAD(point) OVER (ORDER BY point) - 1 AS seg_end,
+         SUM(delta) OVER (ORDER BY point ROWS UNBOUNDED PRECEDING) AS weight
+  FROM date_del),
+date_bounds AS (
+  SELECT DATE '1970-01-01' + MIN(seg_start)::INT AS lo,
+         DATE '1970-01-01' + MAX(seg_end)::INT AS hi
+  FROM date_seg, thr
+  WHERE seg_end IS NOT NULL AND weight > 0 AND weight >= thr.t),
+cand AS (
+  SELECT o_custkey AS cust_id FROM orders, int_bounds ib, date_bounds db
+  WHERE NOT (ib.lo IS NULL AND db.lo IS NULL)
+    AND (ib.lo IS NULL OR o_totalprice BETWEEN ib.lo AND ib.hi)
+    AND (db.lo IS NULL OR o_orderdate::DATE BETWEEN db.lo AND db.hi)
+  UNION
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment IN (SELECT seg FROM segs))
+SELECT COUNT(DISTINCT cust_id) AS audience_cnt FROM cand
+""",
+)
 def pipe_recommend_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end camp_vec_rcmn.py equivalent: expansion → fusion → condition
-    mining (sweep-line) → SQL codegen → COUNT(DISTINCT) audience. Rows-only
-    (fused scores come from fake embeddings)."""
+    mining (sweep-line) → SQL codegen → COUNT(DISTINCT) audience. The oracle
+    replays the whole chain in SQL: md5 embeddings + cosine fold
+    (bit-identical), per-probe top-10, score fusion, mean+0.5σ threshold,
+    both sweep-line condition miners, and the generated audience count
+    (slice-absent-when-unmined semantics expressed as NULL-guarded
+    predicates)."""
     from ..pipelines.recommend import recommend_similar_and_count
 
     out = recommend_similar_and_count(spark, sf_dir, "프리미엄 고객 대상 할인 캠페인")
