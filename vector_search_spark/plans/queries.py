@@ -1038,14 +1038,34 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
 
 
-@register("a_approx_count_distinct", oracle=None)
+@register(
+    "a_approx_count_distinct",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       CAST(1 AS BIGINT) AS within_bound
+FROM orders
+""",
+)
 def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 at 100 TB: approx_count_distinct (HLL) variant of the audience
-    count — estimator-specific, so rows-only (no DuckDB value oracle)."""
+    """A9 at 100 TB: approx_count_distinct (HLL++) variant of the audience
+    count. The estimate itself is estimator-specific, so the gate row checks
+    the exact count plus an in-bound flag: |approx-exact|/exact must stay
+    within 3x the requested rsd (0.05) — a real accuracy assertion on the
+    sketch, oracle-expressible as exact count + literal TRUE."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+    agg = orders.agg(
+        F.approx_count_distinct("o_custkey", 0.05).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    return agg.select(
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.15
+        )
+        .cast("long")
+        .alias("within_bound"),
     )
 
 
@@ -1558,16 +1578,33 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, decoder="fake")
 
 
-@register("m_frame_sample", oracle=None)
+@register(
+    "m_frame_sample",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_no,
+       CAST(length(substr(text, i * greatest(length(text) // 4, 1) + 1,
+                          greatest(length(text) // 4, 1))) AS BIGINT) AS n_bytes,
+       md5(substr(text, i * greatest(length(text) // 4, 1) + 1,
+                  greatest(length(text) // 4, 1))) AS digest
+FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)
+WHERE doc_id % 3 = 2
+""",
+)
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: per-video byte-range frames (rows-only —
-    binary output column)."""
+    """Frame-sampling plumbing: per-video byte-range frames through Arrow
+    mapInPandas. The fake sampler slices byte ranges deterministically, so
+    DuckDB reproduces the exact frame CONTENT with substr (fixture text is
+    ASCII → char offsets equal byte offsets); md5 proves it byte-exactly."""
     from ..multimodal.binary_ops import frame_sample, make_media_table
 
     media = make_media_table(spark, sf_dir)
     frames = frame_sample(media, n_frames=4)
     return frames.select(
-        "media_id", "frame_no", F.length("frame_bytes").alias("n_bytes")
+        "media_id",
+        "frame_no",
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        F.md5("frame_bytes").alias("digest"),
     )
 
 
