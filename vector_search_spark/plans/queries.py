@@ -1386,6 +1386,98 @@ def pipe_recommend_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["audience_count"]
 
 
+_SINK_RUN_COUNTER = [0]
+
+
+@register(
+    "pipe_vector_sink_roundtrip",
+    oracle=f"""
+WITH {_DUCK_CAMPAIGN_CORPUS}
+SELECT camp_id,
+       CAST(len(emb) AS BIGINT) AS dim,
+       ROUND(emb[1]::DOUBLE, 6) AS e0,
+       ROUND(emb[32]::DOUBLE, 6) AS e31,
+       ROUND(emb[64]::DOUBLE, 6) AS e63
+FROM corpus
+""",
+)
+def pipe_vector_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 + V1 as a gate row: campaign vectors serialized with
+    vec_to_text (the MariaDB ``VEC_FromText`` ingest boundary,
+    camp_vec_save.py:59-79 / nl_targeting_save.py:139-146), written to a
+    parquet sink, read back, parsed with vec_from_text. The oracle
+    recomputes the expected embeddings from the SOURCE tables, so a green
+    row proves the write → read → text-parse path loses nothing (float32
+    JSON round-trip verified exact)."""
+    import os
+    import tempfile
+
+    from ..functions.vector import vec_from_text, vec_to_text
+    from ..pipelines.ingest import build_campaign_vectors
+
+    _SINK_RUN_COUNTER[0] += 1
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sink_{os.getpid()}_{_SINK_RUN_COUNTER[0]}",
+    )
+    vecs = build_campaign_vectors(spark, sf_dir)
+    vecs.select(
+        "camp_id", "sentence", vec_to_text("embedding").alias("vec_text")
+    ).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).select(
+        "camp_id", vec_from_text("vec_text").alias("embedding")
+    )
+    return back.select(
+        "camp_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+        F.round(F.element_at("embedding", 32).cast("double"), 6).alias("e31"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("e63"),
+    )
+
+
+def _audience_slices():
+    from .codegen import Condition
+
+    return [
+        (
+            "orders",
+            "o_custkey",
+            [
+                Condition("o_totalprice", "between", (50000, 150000)),
+                Condition(
+                    "o_orderdate",
+                    "between",
+                    ("1994-01-01 00:00:00", "1996-12-31 23:59:59"),
+                ),
+            ],
+        ),
+        (
+            "customer",
+            "c_custkey",
+            [Condition("c_mktsegment", "in", ("BUILDING", "MACHINERY"))],
+        ),
+    ]
+
+
+def _audience_sql() -> str:
+    from .codegen import audience_count_sql
+
+    return audience_count_sql(_audience_slices())
+
+
+@register("pipe_audience_codegen", oracle=_audience_sql())
+def pipe_audience_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 + S7 as a gate row: the generated audience SQL
+    (camp_vec_rcmn.py:240-293 — template comment-strip, placeholder fill,
+    dangling-AND repair, UNION + COUNT(DISTINCT)) executed by spark.sql.
+    The oracle IS the identical generated string run by DuckDB — the
+    codegen output is its own oracle."""
+    for name in ("orders", "customer"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_audience_sql())
+
+
 # ---------------------------------------------------------------------------
 # ANN scale path (SURVEY §7.5, north star "MLlib batch vector indexing"):
 # IVF and hyperplane-LSH approximate KNN, exact-re-ranked.
