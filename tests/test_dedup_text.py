@@ -101,3 +101,92 @@ def test_word_shingles_expression_matches_arrow_impl(spark, sf_dir):
         for r in _unit_sets(docs, "text", "doc_id", 3).collect()
     }
     assert expr == arrow and len(expr) == 100
+
+
+def test_jaccard_max_block_size_small_blocks_unchanged(spark):
+    """With every block under the bound, the guarded path must be EXACTLY
+    the unguarded result (guard only reroutes oversized blocks)."""
+    docs = _docs(spark)
+    plain = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, "text", "doc_id", ["source"], 0.5).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", ["source"], 0.5, max_block_size=100
+        ).collect()
+    }
+    assert plain == guarded
+
+
+def test_jaccard_max_block_size_oversized_block_degrades_soundly(spark, sf_dir):
+    """A block over the bound switches to MinHash-banded candidates: the
+    result must be a SUBSET of the exact pairs (exact precision), keep
+    every exact-duplicate pair (jaccard 1.0 collides in all bands), and
+    retain decent recall on the planted near-dups."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, "text", "doc_id", [], 0.5, shingle_n=3).collect()
+    }
+    # one global block of 200 docs > bound of 50 -> the LSH path handles all
+    guarded = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", [], 0.5, shingle_n=3, max_block_size=50
+        ).collect()
+    }
+    assert set(guarded) <= set(exact)
+    for pair, j in guarded.items():
+        assert j == exact[pair]  # identical exact re-rank values
+    full = {p for p, j in exact.items() if j == 1.0}
+    assert full <= set(guarded)
+    if exact:
+        assert len(guarded) / len(exact) > 0.5
+
+
+def test_jaccard_max_block_size_hashed_units(spark, sf_dir):
+    """The guard must also work with hashed shingle units (prehashed
+    signature path)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", [], 0.5, shingle_n=3, hashed=True
+        ).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", [], 0.5, shingle_n=3, hashed=True,
+            max_block_size=40,
+        ).collect()
+    }
+    assert guarded <= exact
+
+
+def test_embedding_neardup_max_block_size(spark, sf_dir):
+    """Oversized embedding blocks degrade to hyperplane-LSH sub-buckets:
+    subset of exact pairs, identical cosines, self-similar planted pairs
+    (cos ~ 1) always collide."""
+    from vector_search_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_neardup_pairs(
+            emb, "embedding", "vec_id", "label", 0.8
+        ).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_neardup_pairs(
+            emb, "embedding", "vec_id", "label", 0.8, max_block_size=20
+        ).collect()
+    }
+    assert set(guarded) <= set(exact)
+    for pair, c in guarded.items():
+        assert c == exact[pair]
+    near_identical = {p for p, c in exact.items() if c > 0.999}
+    assert near_identical <= set(guarded)

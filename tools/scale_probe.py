@@ -96,6 +96,26 @@ def main() -> None:
     def jacc(src):
         return lambda: jaccard_pairs(src, "text", "doc_id", ["source", "lang"], 0.2, shingle_n=3).collect()
 
+    def jacc_guarded(src):
+        return lambda: jaccard_pairs(
+            src, "text", "doc_id", ["source", "lang"], 0.2, shingle_n=3,
+            max_block_size=500,
+        ).collect()
+
+    def neardup(src):
+        from vector_search_spark.operators.dedup import embedding_neardup_pairs
+
+        return lambda: embedding_neardup_pairs(
+            src, "embedding", "vec_id", "label", 0.8
+        ).collect()
+
+    def neardup_guarded(src):
+        from vector_search_spark.operators.dedup import embedding_neardup_pairs
+
+        return lambda: embedding_neardup_pairs(
+            src, "embedding", "vec_id", "label", 0.8, max_block_size=500
+        ).collect()
+
     def asof(src):
         p = src.filter("event_type = 'purchase'").select("user_id", "ts", "event_id")
         v = src.filter("event_type = 'view'").select("user_id", "ts", "value")
@@ -106,6 +126,9 @@ def main() -> None:
         ("knn_topk", topk(emb), topk(emb_big)),
         ("minhash_lsh", minhash(docs), minhash(docs_big)),
         ("jaccard_blocked", jacc(docs), jacc(docs_big)),
+        ("jaccard_guarded", jacc_guarded(docs), jacc_guarded(docs_big)),
+        ("embedding_neardup", neardup(emb), neardup(emb_big)),
+        ("embedding_neardup_guarded", neardup_guarded(emb), neardup_guarded(emb_big)),
         ("asof_join", asof(ev), asof(ev_big)),
     ]
     for name, base, scaled in probes:

@@ -53,6 +53,7 @@ def hyperplane_lsh_knn(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     probe_id: str = "probe_id",
@@ -60,8 +61,11 @@ def hyperplane_lsh_knn(
 ) -> DataFrame:
     """Approximate KNN: candidates share the probe's LSH bucket, then exact
     cosine re-rank. Recall trades off with n_planes (more planes → smaller
-    buckets → faster, lower recall)."""
-    dim = len(corpus.select(corpus_vec).first()[0])
+    buckets → faster, lower recall). Pass ``dim`` explicitly — the fallback
+    sniffs one corpus row, which is a driver-side action at plan-build time
+    (fine interactively, avoid in pipelines)."""
+    if dim is None:
+        dim = len(corpus.select(corpus_vec).first()[0])
     planes = make_planes(n_planes, dim, seed)
     c = corpus.withColumn("_sig", lsh_signature(F.col(corpus_vec), planes))
     p = probes.withColumn("_sig", lsh_signature(F.col(probe_vec), planes))

@@ -138,7 +138,12 @@ def _py_poly(s: str, HASH_MOD: int, HASH_MIX: int) -> int:
     return ((h + 13) * HASH_MIX) % HASH_MOD
 
 
-def _minhash_signatures_from_tokens(t: DataFrame, n_hashes: int) -> DataFrame:
+def _minhash_signatures_from_tokens(
+    t: DataFrame,
+    n_hashes: int,
+    extra_cols: list[str] | None = None,
+    prehashed: bool = False,
+) -> DataFrame:
     """(id, tk) → (id, sig): base polynomial hash AND MinHash permutation-min
     in one Arrow-batched ``mapInPandas`` stage. Same int64 arithmetic as the
     ``functions.text`` expressions (bit-identical, oracle-portable); the
@@ -151,23 +156,39 @@ def _minhash_signatures_from_tokens(t: DataFrame, n_hashes: int) -> DataFrame:
 
     from ..functions.text import HASH_MIX, HASH_MOD
 
+    extra_cols = extra_cols or []
     a = ((2 * np.arange(n_hashes, dtype=np.int64) + 1) * HASH_MIX) % HASH_MOD
     b = np.arange(n_hashes, dtype=np.int64) * 40503 + 7
-    schema = StructType([t.schema["id"], StructField("sig", ArrayType(LongType()))])
+    schema = StructType(
+        [
+            t.schema["id"],
+            StructField("sig", ArrayType(LongType())),
+            *[t.schema[c] for c in extra_cols],
+        ]
+    )
 
     def compute(batches):
         for pdf in batches:
             rows = [r if r is not None else [] for r in pdf["tk"]]
             counts = [len(r) for r in rows]
-            flat_str = [s for row in rows for s in row]
-            flat = [s.encode("utf-8") for s in flat_str]
-            if flat:
-                h = _poly_fold_batch(flat, HASH_MOD, HASH_MIX)
-                non_ascii = [i for i, s in enumerate(flat) if any(c >= 128 for c in s)]
-                for i in non_ascii:
-                    h[i] = _py_poly(flat_str[i], HASH_MOD, HASH_MIX)
+            if prehashed:
+                h = np.fromiter(
+                    (v for row in rows for v in row),
+                    dtype=np.int64,
+                    count=sum(counts),
+                )
             else:
-                h = np.empty(0, dtype=np.int64)
+                flat_str = [s for row in rows for s in row]
+                flat = [s.encode("utf-8") for s in flat_str]
+                if flat:
+                    h = _poly_fold_batch(flat, HASH_MOD, HASH_MIX)
+                    non_ascii = [
+                        i for i, s in enumerate(flat) if any(c >= 128 for c in s)
+                    ]
+                    for i in non_ascii:
+                        h[i] = _py_poly(flat_str[i], HASH_MOD, HASH_MIX)
+                else:
+                    h = np.empty(0, dtype=np.int64)
             sigs = []
             off = 0
             for n in counts:
@@ -180,7 +201,10 @@ def _minhash_signatures_from_tokens(t: DataFrame, n_hashes: int) -> DataFrame:
                         ((hh[None, :] * a[:, None] + b[:, None]) % HASH_MOD).min(axis=1)
                     )
                 off += n
-            yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
+            cols = {"id": pdf["id"], "sig": sigs}
+            for c in extra_cols:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
 
     return t.mapInPandas(compute, schema)
 
@@ -220,27 +244,11 @@ def tokenset_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     )
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    block_cols: list[str],
-    threshold: float = 0.5,
-    shingle_n: int | None = None,
-    hashed: bool = False,
+def _jaccard_pairs_exact(
+    t: DataFrame, block_cols: list[str], threshold: float
 ) -> DataFrame:
-    """Exact n-gram/token-set Jaccard over pairs within blocking keys.
-
-    Output: id_a, id_b, jaccard. Formulated as a blocked SELF-JOIN, not an
-    in-block pair explosion: a sort-merge join streams and SPILLS a hot
-    block, whereas materializing all of a block's pairs as one array value
-    is O(block²) memory in a single row and OOMs at scale (observed at the
-    10× scale probe). The shingle sets are evaluated once per side — at
-    scale that 2× compute is the price of bounded memory.
-    """
-    t = _unit_sets(
-        df, text_col, id_col, shingle_n, hashed=hashed, extra_cols=block_cols
-    )
+    """Exact within-block pair join over a prepared (id, tk, *block_cols)
+    relation — the Σblock² core of :func:`jaccard_pairs`."""
     a = t.select(
         F.col("id").alias("id_a"), *block_cols,
         F.col("tk").alias("tk_a"), F.size("tk").alias("_sz_a"),
@@ -267,6 +275,119 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _jaccard_pairs_lsh_blocked(
+    t: DataFrame,
+    block_cols: list[str],
+    threshold: float,
+    n_hashes: int,
+    bands: int,
+    hashed: bool,
+) -> DataFrame:
+    """MinHash-banded candidate generation scoped WITHIN blocking keys, then
+    exact Jaccard re-rank — the degraded path for pathological blocks.
+    Precision is exact (same threshold filter); recall is the standard LSH
+    probability for pairs near the threshold."""
+    rows_per_band = n_hashes // bands
+    # One Arrow stage either way: pre-hashed units skip the poly fold and go
+    # straight to the permutation-min (same int64 math, same band keys).
+    sig_src = _minhash_signatures_from_tokens(
+        t.select("id", "tk", *block_cols),
+        n_hashes,
+        extra_cols=block_cols,
+        prehashed=hashed,
+    )
+    banded = sig_src.select(
+        "id",
+        *block_cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", *block_cols, "bk.band", "bk.key")
+    a = banded.select(F.col("id").alias("id_a"), *block_cols, "band", "key")
+    b = banded.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+        "band",
+        "key",
+    )
+    cands = a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
+    for c in block_cols:
+        cands = cands.filter(F.col(c) == F.col(f"_b_{c}"))
+    cands = cands.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    rerank = cands.join(
+        t.select(F.col("id").alias("id_a"), F.col("tk").alias("tk_a")), "id_a"
+    ).join(t.select(F.col("id").alias("id_b"), F.col("tk").alias("tk_b")), "id_b")
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    union = F.size(F.array_union("tk_a", "tk_b"))
+    return (
+        rerank.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    shingle_n: int | None = None,
+    hashed: bool = False,
+    max_block_size: int | None = None,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Exact n-gram/token-set Jaccard over pairs within blocking keys.
+
+    Output: id_a, id_b, jaccard. Formulated as a blocked SELF-JOIN, not an
+    in-block pair explosion: a sort-merge join streams and SPILLS a hot
+    block, whereas materializing all of a block's pairs as one array value
+    is O(block²) memory in a single row and OOMs at scale (observed at the
+    10× scale probe). The shingle sets are evaluated once per side — at
+    scale that 2× compute is the price of bounded memory.
+
+    ``max_block_size`` guards the Σblock² contract against pathological
+    blocks: blocks larger than the bound degrade to MinHash-banded candidate
+    generation (scoped within the block) + exact re-rank instead of the
+    all-pairs join. Small blocks keep exact semantics; oversized blocks get
+    LSH recall with exact precision — bounded work either way.
+    """
+    t = _unit_sets(
+        df, text_col, id_col, shingle_n, hashed=hashed, extra_cols=block_cols
+    )
+    if max_block_size is None:
+        return _jaccard_pairs_exact(t, block_cols, threshold)
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    t = t.withColumn(
+        "_bn", F.count("*").over(Window.partitionBy(*block_cols))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    small = t.filter(F.col("_bn") <= max_block_size).drop("_bn")
+    # Empty unit sets can't reach any positive threshold but would share one
+    # hot "" band key — drop them before banding.
+    big = t.filter((F.col("_bn") > max_block_size) & (F.size("tk") > 0)).drop("_bn")
+    exact = _jaccard_pairs_exact(small, block_cols, threshold)
+    approx = _jaccard_pairs_lsh_blocked(
+        big, block_cols, threshold, n_hashes, bands, hashed
+    )
+    return exact.unionByName(approx)
 
 
 def minhash_lsh_pairs(
@@ -387,32 +508,73 @@ def simhash_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _embedding_pairs_exact(t: DataFrame, join_cols: list[str]) -> DataFrame:
+    """Within-group pair join over a prepared (id, blk, v, nrm, *) relation;
+    ``join_cols`` name the equality keys (blk, and optionally an LSH sig)."""
+    a = t.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in join_cols],
+        F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = t.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in join_cols],
+        F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in join_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    return (
+        a.join(b, cond)
+        .withColumn("cos", cosine_sim("v_a", "v_b", "nrm_a", "nrm_b"))
+        .select("id_a", "id_b", F.col("blk_a").alias("block"), "cos")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str = "label",
     threshold: float = 0.3,
+    max_block_size: int | None = None,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking keys.
 
-    Blocking by a cluster/bucket column keeps this linear; for unblocked
-    corpora use LSH bucketing (see operators.ann) to generate blocks first.
-    """
+    Blocking by a cluster/bucket column keeps this linear in the common
+    case. ``max_block_size`` guards the within-block quadratic contract:
+    blocks larger than the bound are sub-bucketed by a deterministic
+    random-hyperplane LSH signature (operators.ann semantics), so candidate
+    pairs must also agree on the sign bucket — Σbucket² work instead of
+    Σblock². Precision stays exact (same cosine + threshold); recall for
+    oversized blocks is the standard hyperplane-LSH collision probability
+    (1 - θ/π)^n_planes. ``dim`` sizes the hyperplanes (no data sniff at
+    plan-build time)."""
     t = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
     ).withColumn("nrm", l2_norm("v"))
-    a = t.select(
-        F.col("id").alias("id_a"), F.col("blk").alias("blk_a"),
-        F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a"),
+    if max_block_size is None:
+        out = _embedding_pairs_exact(t, ["blk"])
+        return out.filter(F.col("cos") >= threshold)
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from .ann import lsh_signature, make_planes
+
+    t = t.withColumn(
+        "_bn", F.count("*").over(Window.partitionBy("blk"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    small = t.filter(F.col("_bn") <= max_block_size).drop("_bn")
+    planes = make_planes(n_planes, dim, seed)
+    big = (
+        t.filter(F.col("_bn") > max_block_size)
+        .drop("_bn")
+        .withColumn("_sig", lsh_signature(F.col("v"), planes))
     )
-    b = t.select(
-        F.col("id").alias("id_b"), F.col("blk").alias("blk_b"),
-        F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b"),
-    )
-    return (
-        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos", cosine_sim("v_a", "v_b", "nrm_a", "nrm_b"))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.col("blk_a").alias("block"), "cos")
-    )
+    exact = _embedding_pairs_exact(small, ["blk"])
+    approx = _embedding_pairs_exact(big, ["blk", "_sig"])
+    return exact.unionByName(approx).filter(F.col("cos") >= threshold)

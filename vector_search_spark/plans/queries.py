@@ -1551,7 +1551,7 @@ def v_lsh_hyperplane_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import hyperplane_lsh_knn
 
     emb = _t(spark, sf_dir, "embeddings")
-    res = hyperplane_lsh_knn(emb, _probes(emb, 3), k=10, n_planes=8, seed=42)
+    res = hyperplane_lsh_knn(emb, _probes(emb, 3), k=10, n_planes=8, seed=42, dim=64)
     return res.select("probe_id", "vec_id", F.round("score", 6).alias("score"))
 
 
