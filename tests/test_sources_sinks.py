@@ -68,3 +68,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketed_test CASCADE")
         spark.sql("USE default")
+
+
+def test_jdbc_scan_roundtrip_with_pushdown(spark, sf_dir):
+    """S1/S2 evidence: a REAL JDBC read path (embedded Derby, in-JVM) —
+    write nation over JDBC, read it back via load_jdbc with a partitioned
+    range read, and verify a filter lands in the scan's PushedFilters."""
+    from vector_search_spark.sources.catalog import load_jdbc, load_table
+
+    url = "jdbc:derby:memory:graftdb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    nation = load_table(spark, sf_dir, "nation")
+    (
+        nation.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    back = load_jdbc(
+        spark, url, "nation_jdbc", driver=driver,
+        partition_column="n_nationkey", num_partitions=4,
+        lower_bound=0, upper_bound=25,
+    )
+    assert back.count() == nation.count()
+    assert sorted(back.columns) == sorted(nation.columns)
+    filtered = back.filter("n_regionkey = 1").select("n_name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1][:200]
+    want = {r.n_name for r in nation.filter("n_regionkey = 1").collect()}
+    assert {r.n_name for r in filtered.collect()} == want

@@ -49,6 +49,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan — the literal S1/S2 path (MariaDB ``pymysql`` /
+    MSSQL ``pymssql`` reads in camp_vec_rcmn.py:40-47 and
+    nl_targeting_save.py:37-40, re-expressed as a Spark source).
+
+    Catalyst pushes filters and column pruning into the generated SQL
+    (``PushedFilters`` in the scan node), and ``partition_column`` +
+    bounds split the read into ``num_partitions`` parallel range queries —
+    at cluster scale a single-connection read is the bottleneck, so always
+    pass a numeric/key column here for big tables.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
