@@ -190,3 +190,30 @@ def test_embedding_neardup_max_block_size(spark, sf_dir):
         assert c == exact[pair]
     near_identical = {p for p, c in exact.items() if c > 0.999}
     assert near_identical <= set(guarded)
+
+
+def test_dup_clusters_connected_components(spark):
+    """Chain a-b-c-d must collapse into one cluster (propagation crosses
+    multiple hops), disjoint pair stays separate, ids not in any pair are
+    not emitted."""
+    from vector_search_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 40-node path graph needs multiple propagation rounds — the label
+    must still reach the far end within the iteration cap."""
+    from vector_search_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert set(got.values()) == {100}
+    assert len(got) == 41

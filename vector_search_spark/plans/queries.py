@@ -812,6 +812,83 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+t AS (
+  SELECT id, {_DUCK_SHINGLES3} AS tk FROM w),
+hashed AS (
+  SELECT id, list_transform(tk, t -> {_duck_poly("t", v="q")}) AS hs FROM t),
+sigs AS (
+  SELECT id, {_DUCK_MINHASH_SIG} AS sig FROM hashed),
+banded AS (
+  SELECT id, b.band,
+         array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+                                        x -> CAST(x AS VARCHAR)), ',') AS key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b
+  WHERE len(list_intersect(ta.tk, tb.tk))::DOUBLE
+        / len(list_distinct(list_concat(ta.tk, tb.tk))) >= 0.5),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(id, lab) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, reach.lab FROM edges e JOIN reach ON e.t = reach.id),
+members AS (
+  SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+ranked AS (
+  SELECT m.cluster_id, m.id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                            ORDER BY d.n_chars DESC, m.id ASC) AS rn
+  FROM members m JOIN documents d ON d.doc_id = m.id)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(CASE WHEN rn = 1 THEN id END) AS keeper_id,
+       array_to_string(list_sort(list(id)), ',') AS member_ids
+FROM ranked GROUP BY cluster_id
+""",
+)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash+LSH pairs → connected components
+    (iterative min-label propagation) → one keeper per cluster (longest
+    text, id tie-break) — the step that turns pairwise dedup output into
+    actionable keep/drop groups. The oracle reproduces the full chain:
+    portable-hash MinHash candidates, exact re-rank, a recursive-CTE
+    transitive closure, and the same keeper rule."""
+    from ..operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", 16, 4, 0.5, shingle_n=3)
+    clusters = dup_clusters(pairs)
+    ranked = (
+        clusters.join(
+            docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+        ).withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("n_chars"), F.asc("id")
+                )
+            ),
+        )
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min(F.when(F.col("rn") == 1, F.col("id"))).alias("keeper_id"),
+        F.array_join(F.sort_array(F.collect_list("id")), ",").alias("member_ids"),
+    )
+
+
+@register(
     "d_simhash_groups",
     oracle=f"""
 WITH t AS (
