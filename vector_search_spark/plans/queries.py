@@ -1101,6 +1101,189 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d_decontaminate",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+t AS (
+  SELECT doc_id,
+         list_transform({_DUCK_SHINGLES3}, q -> {_duck_poly("q", v="h")}) AS tk
+  FROM w),
+ex AS (SELECT doc_id, unnest(tk) AS h FROM t),
+bench AS (SELECT DISTINCT h FROM ex WHERE doc_id < 20)
+SELECT e.doc_id AS doc_id, CAST(COUNT(DISTINCT e.h) AS BIGINT) AS n_shared
+FROM ex e JOIN bench b ON e.h = b.h
+WHERE e.doc_id >= 20
+GROUP BY e.doc_id
+""",
+)
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-pipeline staple): flag corpus
+    docs sharing ANY 3-word shingle with the benchmark set (doc_id < 20
+    stands in for the eval set). Shingles travel as portable int64 hashes;
+    the only shuffle is the semi-join on the shingle hash — never
+    doc×benchmark pairs — so at 100 TB this is a broadcast/bloom of the
+    benchmark shingle set against a map-side scan."""
+    from ..functions.text import poly_hash, word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.transform(word_shingles("text", 3), poly_hash)).alias("h"),
+    )
+    bench = sh.filter(F.col("doc_id") < 20).select("h").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+    )
+
+
+@register(
+    "p_hash_split",
+    oracle=f"""
+WITH s AS (
+  SELECT lang, {_duck_poly("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents)
+SELECT lang AS lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s GROUP BY 1, 2
+""",
+)
+def p_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by portable id hash (the
+    reproducible-split pattern: membership is a pure function of the id,
+    stable under reshuffles, re-runs, and cluster size). No shuffle until
+    the per-(lang, split) count."""
+    from ..functions.text import poly_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = poly_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@register(
+    "t_quality_filter_funnel",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tk,
+         list_distinct(string_split(text, ' ')) AS dtk
+  FROM documents),
+m AS (
+  SELECT doc_id, lang, len(tk) AS n_tok,
+         0.4 * (len(dtk)::DOUBLE / len(tk))
+         + 0.3 * (1 - len(list_filter(tk,
+               t -> t IN ('the','a','and','of','to','in','is')))::DOUBLE / len(tk))
+         + 0.3 * LEAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(tk, t -> CAST(length(t) AS BIGINT))),
+               (a, b) -> a + b)::DOUBLE / len(tk)) / 10, 1.0) AS quality
+  FROM t)
+SELECT lang AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN n_tok < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       CAST(SUM(CASE WHEN n_tok >= 40 AND quality < 0.75 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_quality,
+       CAST(SUM(CASE WHEN n_tok >= 40 AND quality >= 0.75 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM m GROUP BY lang
+""",
+)
+def t_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality filter funnel: per language, how many docs each
+    filter stage drops (length gate first, then composite quality gate) and
+    how many survive — the per-reason accounting every corpus-cleaning run
+    reports. One pass, one groupBy; the quality expression is the same
+    JVM-side composite as t_quality_score."""
+    from ..functions.text import STOPWORDS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang",
+        tokens("text").alias("tk"),
+        F.array_distinct(tokens("text")).alias("dtk"),
+    )
+    n_tok = F.size("tk")
+    distinct_ratio = F.size("dtk").cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter("tk", lambda t: t.isin(*STOPWORDS))).cast("double") / n_tok
+    )
+    mean_len = (
+        F.aggregate(
+            F.transform("tk", lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).cast("double")
+        / n_tok
+    )
+    quality = (
+        0.4 * distinct_ratio
+        + 0.3 * (1 - stop_ratio)
+        + 0.3 * F.least(mean_len / 10, F.lit(1.0))
+    )
+    m = d.select("lang", n_tok.alias("n_tok"), quality.alias("quality"))
+    return m.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("n_tok") < 40, 1).otherwise(0)).alias("n_too_short"),
+        F.sum(
+            F.when((F.col("n_tok") >= 40) & (F.col("quality") < 0.75), 1).otherwise(0)
+        ).alias("n_low_quality"),
+        F.sum(
+            F.when((F.col("n_tok") >= 40) & (F.col("quality") >= 0.75), 1).otherwise(0)
+        ).alias("n_kept"),
+    )
+
+
+@register(
+    "a_shard_packing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT lang, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t)
+SELECT lang AS lang, CAST(cum // 2000 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1, 2
+""",
+)
+def a_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence/shard packing: docs stream into fixed token-budget shards
+    (2000 tokens) per language, assignment = floor(exclusive-running-total /
+    budget) — the deterministic, order-stable packing used to build training
+    shards. One window per language partition, then a count/sum rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("cum"),
+    )
+    return c.groupBy(
+        "lang", F.floor(F.col("cum") / 2000).cast("long").alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+@register(
     "t_fingerprint",
     oracle=f"""
 SELECT doc_id AS doc_id, {_duck_poly("text")} AS fingerprint
