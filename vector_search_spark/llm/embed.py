@@ -21,7 +21,10 @@ def embed_texts(
     client: EmbeddingClient | None = None,
     dim: int = 64,
 ) -> DataFrame:
+    from ..utils import fan_out
+
     client = client or FakeEmbeddingClient(dim)
+    df = fan_out(df)
     # NB: build a fresh field list — StructType(df.schema.fields).add(...)
     # would append to the DataFrame's own cached schema object.
     out_schema = StructType(

@@ -80,6 +80,9 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             f"decoder {decoder!r} requires codec libraries not present here; "
             "only the deterministic 'fake' decoder is available"
         )
+    from ..utils import fan_out
+
+    df = fan_out(df)
 
     def fn(batches):
         import pandas as pd
@@ -125,7 +128,9 @@ def resize_media(
             f"decoder {decoder!r} requires codec libraries not present here; "
             "only the deterministic 'fake' decoder is available"
         )
-    images = df.filter(F.col("kind") == "image")
+    from ..utils import fan_out
+
+    images = fan_out(df.filter(F.col("kind") == "image"))
     target = width * height
 
     def fn(batches):
@@ -159,7 +164,9 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Sample n byte-range 'frames' per video payload (the frame-sampling
     plumbing: explode → per-frame rows; a real decoder would seek instead
     of slicing bytes)."""
-    videos = df.filter(F.col("kind") == "video")
+    from ..utils import fan_out
+
+    videos = fan_out(df.filter(F.col("kind") == "video"))
 
     def fn(batches):
         import pandas as pd

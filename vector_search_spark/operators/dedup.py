@@ -62,8 +62,12 @@ def _unit_sets(
 
     from ..functions.text import HASH_MIX, HASH_MOD
 
-    src = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_text"), *extra_cols
+    from ..utils import fan_out
+
+    src = fan_out(
+        df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("_text"), *extra_cols
+        )
     )
     elem = LongType() if hashed else StringType()
     schema = StructType(
@@ -551,8 +555,12 @@ def simhash_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql.types import LongType, StructField, StructType
 
-    hashed = df.select(
-        F.col(id_col).alias("id"),
+    from ..utils import fan_out
+
+    # fan out BEFORE the per-token hash fold so the JVM expression work
+    # parallelizes too, not just the Python stage.
+    hashed = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
         F.transform(distinct_tokens(text_col), poly_hash).alias("hs"),
     )
     schema = StructType([hashed.schema["id"], StructField("simhash", LongType())])
