@@ -522,6 +522,9 @@ def dup_clusters(
         parent = prop.select(
             F.col("id").alias("_pid"), F.col("label").alias("_plabel")
         )
+        # lazy checkpoint: the convergence count below materializes it, so
+        # each round costs ONE job instead of an eager-checkpoint job + a
+        # count job (halves fixed scheduling overhead on small graphs).
         new = (
             prop.join(parent, prop.label == parent._pid, "left")
             .select(
@@ -530,7 +533,7 @@ def dup_clusters(
                     prop.label, F.coalesce("_plabel", prop.label)
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.join(labels.withColumnRenamed("label", "_old"), "id")

@@ -1125,8 +1125,11 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc×benchmark pairs — so at 100 TB this is a broadcast/bloom of the
     benchmark shingle set against a map-side scan."""
     from ..functions.text import poly_hash, word_shingles
+    from ..utils import fan_out
 
-    docs = _t(spark, sf_dir, "documents")
+    # fan_out: the shingle+hash fold is the expensive part — parallelize it
+    # instead of folding a one-file scan on a single core.
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         F.explode(F.transform(word_shingles("text", 3), poly_hash)).alias("h"),
