@@ -2667,3 +2667,106 @@ def a_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
     )
+
+
+@register(
+    "r_q7_nation_volume",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+)
+def r_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the same nation dim plays supplier-
+    and customer-side roles; the cross-nation disjunction filters AFTER both
+    broadcast joins resolve names, so only the two fact tables shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("snk"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("cnk"),
+                                  F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cnk"),
+    ).select("c_custkey", "cust_nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+
+
+@register(
+    "r_q10_returned_items",
+    oracle="""
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3
+ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey ASC
+LIMIT 20
+""",
+)
+def r_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): fact-fact shuffle join on
+    orderkey, broadcast customer-nation dim, top-20 by lost revenue via
+    TakeOrderedAndProject (per-partition heaps, no full sort). Ties broken
+    by customer key; ordering uses the UNROUNDED sum in both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "n_name")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+    )
+    return (
+        agg.orderBy(F.desc("_rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", F.round("_rev", 2).alias("revenue"))
+    )
