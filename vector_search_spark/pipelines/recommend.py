@@ -94,9 +94,6 @@ def recommend_similar_and_count(
     int_segs = sweep_overlap(int_iv, "name", "start", "end", "w").filter(
         F.col("weight") >= thr
     )
-    int_bounds = int_segs.agg(
-        F.min("seg_start").alias("lo"), F.max("seg_end").alias("hi")
-    ).collect()[0]
 
     # A10 date sweep: order-date windows weighted the same way.
     date_iv = cond_orders.select(
@@ -108,9 +105,29 @@ def recommend_similar_and_count(
     date_segs = sweep_overlap_dates(date_iv, weight_col="w").filter(
         F.col("weight") >= thr
     )
-    date_bounds = date_segs.agg(
-        F.min("seg_start").alias("lo"), F.max("seg_end").alias("hi")
-    ).collect()[0]
+
+    # Both bound pairs are 1-row aggregates — cross-join them into ONE
+    # driver round-trip instead of two sequential collect()s (the mined
+    # bounds are driver-side by contract: they parameterize the codegen).
+    bounds = (
+        int_segs.agg(
+            F.min("seg_start").alias("int_lo"), F.max("seg_end").alias("int_hi")
+        )
+        .crossJoin(
+            date_segs.agg(
+                F.min("seg_start").alias("date_lo"),
+                F.max("seg_end").alias("date_hi"),
+            )
+        )
+        .collect()[0]
+    )
+
+    class _B:  # noqa: D401 - tiny row adapters for the codegen below
+        pass
+
+    int_bounds, date_bounds = _B(), _B()
+    int_bounds.lo, int_bounds.hi = bounds.int_lo, bounds.int_hi
+    date_bounds.lo, date_bounds.hi = bounds.date_lo, bounds.date_hi
 
     # S7 codegen → U1+A9 audience count, executed by spark.sql (and equally
     # valid DuckDB — the string is its own oracle).
