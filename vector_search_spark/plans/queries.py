@@ -2770,3 +2770,26 @@ def r_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "n_name", F.round("_rev", 2).alias("revenue"))
     )
+
+
+@register(
+    "s_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type AS event_type,
+       COUNT(*) AS n, ROUND(SUM(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join as a REAL streaming run: events stream joins the
+    static customer dim (broadcast per micro-batch) and accumulates
+    per-(segment, event_type) totals in update-mode state, drained with
+    availableNow. Oracle is the batch join + GROUP BY."""
+    from ..streaming.windows import run_stream_static_agg_availablenow, stream_events
+
+    _STATEFUL_RUN_COUNTER[0] += 1
+    name = f"stream_static_join_{_STATEFUL_RUN_COUNTER[0]}"
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    src = stream_events(spark, f"{sf_dir}/events*.parquet")
+    return run_stream_static_agg_availablenow(spark, src, dim, name)

@@ -103,3 +103,42 @@ def session_agg(
             "sum_value",
         )
     )
+
+
+def stream_static_agg(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join + stateful aggregation: every micro-batch joins
+    the static (broadcast) customer dim, then per-(segment, event_type)
+    running totals accumulate in update-mode state. The static side is
+    re-planned per micro-batch by Structured Streaming — at scale it stays
+    a broadcast, so the stream never shuffles for the join itself."""
+    joined = events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def run_stream_static_agg_availablenow(
+    spark, events_stream: DataFrame, dim: DataFrame, table_name: str
+) -> DataFrame:
+    """Drain a bounded event stream through the stream-static join + agg
+    (update mode) and return the final state per key (running totals are
+    monotone in n, so max_by picks the last emission)."""
+    q = (
+        stream_static_agg(events_stream, dim)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(table_name)
+    return emitted.groupBy("segment", "event_type").agg(
+        F.max("n").alias("n"),
+        F.max_by("sum_value", "n").alias("sum_value"),
+    )
