@@ -2793,3 +2793,120 @@ def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     src = stream_events(spark, f"{sf_dir}/events*.parquet")
     return run_stream_static_agg_availablenow(spark, src, dim, name)
+
+
+@register(
+    "w_funnel_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click
+""",
+)
+def w_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    time-ordered per user) — the event-analytics staple. Each stage is a
+    per-user MIN over the previous stage's anchor; three shuffles on
+    user_id, each stage's output shrinks monotonically. Broadcast the
+    shrinking anchor sets at scale."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "t_profile_documents",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+FROM documents
+""",
+)
+def t_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling summary (row/null/distinct/min/max/avg) —
+    the table-health report every corpus intake runs first. Single
+    aggregate, no shuffle beyond the final combine."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "f_udtf_tokenize",
+    oracle="""
+SELECT d.doc_id AS doc_id, CAST(g.i - 1 AS INT) AS idx, d.ws[g.i] AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE doc_id < 5) d,
+     LATERAL (SELECT unnest(generate_series(1, len(d.ws))) AS i) g
+""",
+)
+def f_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 UDTF surface: a real Python UDTF (one row in, N rows out)
+    driven through SQL LATERAL — the table-function shape the reference
+    fakes with client-side loops. NOTE: UDTFs are row-at-a-time Python;
+    the production path for this exact job is explode(split(...)) (pure
+    Catalyst) — this entry exists to pin the UDTF plumbing, on a bounded
+    5-doc slice."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: int, word: string")
+    class _Tokenize:
+        def eval(self, text: str):
+            if text is not None:
+                for i, w in enumerate(text.split(" ")):
+                    yield i, w
+
+    spark.udtf.register("graft_tokenize", _Tokenize)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.idx, t.word "
+        "FROM udtf_docs d, LATERAL graft_tokenize(d.text) t"
+    )
