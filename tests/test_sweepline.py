@@ -112,3 +112,30 @@ def test_date_variant(spark):
         ("2024-01-10", "2024-01-10"): 2.0,
         ("2024-01-11", "2024-01-20"): 1.0,
     }
+
+
+def test_funnel_strict_ordering(spark):
+    """The funnel counts only stages that happen strictly AFTER the
+    previous stage's first occurrence — a click before the first view
+    must not count."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> purchase (full funnel)
+        (1, base, "view"), (1, base + dt.timedelta(minutes=1), "click"),
+        (1, base + dt.timedelta(minutes=2), "purchase"),
+        # user 2: click BEFORE first view -> click must not count
+        (2, base, "click"), (2, base + dt.timedelta(minutes=1), "view"),
+        # user 3: view then purchase without click -> purchase must not count
+        (3, base, "view"), (3, base + dt.timedelta(minutes=1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view")).groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click")).groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    assert v.count() == 3 and c.count() == 1 and p.count() == 1
