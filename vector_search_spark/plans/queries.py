@@ -2910,3 +2910,102 @@ def f_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.idx, t.word "
         "FROM udtf_docs d, LATERAL graft_tokenize(d.text) t"
     )
+
+
+@register(
+    "t_repetition_signals",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, len(ws) AS n_tok,
+         list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                        i -> ws[i] || ' ' || ws[i+1]) AS bigrams
+  FROM w)
+SELECT doc_id AS doc_id,
+       CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+       ROUND(CASE WHEN len(bigrams) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)
+             END, 6) AS dup_bigram_ratio,
+       CAST(CASE WHEN len(bigrams) > 0 AND
+                 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams) > 0.2
+            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM g
+""",
+)
+def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of duplicated
+    word bigrams per document (high ratio = boilerplate/looping text, a
+    standard pre-training drop rule). Pure Catalyst expressions — sequence/
+    transform/array_distinct — no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    cnt = F.size(ws) - 1
+    bigrams = F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.slice(ws, 1, 0))
+    g = docs.select("doc_id", bigrams.alias("bigrams"))
+    n = F.size("bigrams")
+    nd = F.size(F.array_distinct("bigrams"))
+    ratio = F.when(n == 0, F.lit(0.0)).otherwise(1.0 - nd.cast("double") / n)
+    return g.select(
+        "doc_id",
+        n.cast("long").alias("n_bigrams"),
+        nd.cast("long").alias("n_distinct_bigrams"),
+        F.round(ratio, 6).alias("dup_bigram_ratio"),
+        (ratio > 0.2).cast("long").alias("flagged"),
+    )
+
+
+@register(
+    "t_pii_scrub",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-000' || CAST(doc_id % 10 AS VARCHAR)
+              || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id AS doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            '\\+[0-9][0-9-]{6,}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+            '\\+[0-9][0-9-]{6,}', '<PHONE>', 'g')) AS scrubbed_digest
+FROM aug
+""",
+)
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene): detect + mask email/phone
+    patterns, count hits, and digest the scrubbed text (byte-exact oracle
+    proof of identical masking). Deterministic synthetic PII is appended to
+    each doc so the rule actually fires; regexes stick to the class/quantifier
+    subset where Java and RE2 semantics agree."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-000"),
+            (F.col("doc_id") % 10).cast("string"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    email = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+    phone = r"\+[0-9][0-9-]{6,}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(phone)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_digest"),
+    )
