@@ -3009,3 +3009,108 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(phone)).cast("long").alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_digest"),
     )
+
+
+@register(
+    "r_merge_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0),
+inserts AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 1000 = 1),
+delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+merged AS (
+  SELECT COALESCE(d.o_orderkey, t.o_orderkey) AS o_orderkey,
+         COALESCE(d.o_custkey, t.o_custkey) AS o_custkey,
+         COALESCE(d.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+         COALESCE(d.o_totalprice, ROUND(t.o_totalprice, 2)) AS o_totalprice
+  FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders) t
+  FULL OUTER JOIN delta d USING (o_orderkey))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey >= 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM merged
+""",
+)
+def r_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (SCD-1) without a table format: target FULL OUTER JOIN
+    delta on the key, delta wins per column — the update-in-place the
+    reference does with per-row REPLACE INTO (camp_vec_save.py:59-79),
+    expressed as one shuffle-join plan. At scale the join key is the
+    natural bucketing/partition key so the merge co-locates; with a lake
+    format this compiles to MERGE INTO. Output is a summary so the gate
+    hashes a stable shape."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 1).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    delta = updates.unionByName(inserts)
+    t = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    d = delta.select(
+        F.col("o_orderkey").alias("d_orderkey"),
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderstatus").alias("d_orderstatus"),
+        F.col("o_totalprice").alias("d_totalprice"),
+    )
+    merged = t.join(d, t.o_orderkey == d.d_orderkey, "full_outer").select(
+        F.coalesce("d_orderkey", "o_orderkey").alias("o_orderkey"),
+        F.coalesce("d_custkey", "o_custkey").alias("o_custkey"),
+        F.coalesce("d_orderstatus", "o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("d_totalprice", "o_totalprice").alias("o_totalprice"),
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("o_orderkey") >= 100000000).cast("long")).alias("n_inserted"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "p_stratified_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, {_duck_poly("CAST(doc_id AS VARCHAR)")} AS hk
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+  FROM h)
+SELECT lang AS lang, doc_id AS doc_id, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 10
+""",
+)
+def p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 10 docs per language,
+    chosen by smallest portable id-hash (uniform, reproducible across
+    runs/cluster sizes — the property `df.sample()` cannot give you).
+    Two-phase top-k bounds the shuffle at scale."""
+    from ..functions.text import poly_hash
+    from ..operators.knn import topk_per_key
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", poly_hash(F.col("doc_id").cast("string")).alias("hk")
+    )
+    picked = topk_per_key(
+        docs, ["lang"], "hk", 10, tiebreak=["doc_id"], ascending=True
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("hk"), F.asc("doc_id"))
+    return picked.select(
+        "lang", "doc_id", F.row_number().over(w).cast("long").alias("rn")
+    )
