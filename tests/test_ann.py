@@ -51,7 +51,7 @@ def test_ivf_recall(spark, sf_dir):
 def test_lsh_self_hit_and_soundness(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probes = _probes(emb, 5)
-    res = hyperplane_lsh_knn(emb, probes, k=10, n_planes=6)
+    res = hyperplane_lsh_knn(emb, probes, k=10, n_planes=6, dim=64)
     rows = res.collect()
     by_probe = {}
     for r in rows:

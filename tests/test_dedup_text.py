@@ -206,6 +206,86 @@ def test_dup_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_operators_own_persist_lifecycle(spark, sf_dir):
+    """minhash_lsh_pairs and the guarded jaccard/embedding paths must leave
+    storage memory flat: internal caches are released before returning, so
+    repeated invocation grows the persistent-RDD set by at most the
+    caller-owned result (≤1 per call), never by the internal intermediates
+    (2-3 per call unowned)."""
+    from vector_search_spark.operators.dedup import embedding_neardup_pairs
+
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return sc._jsc.getPersistentRDDs().size()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    base = n_persisted()
+    for i in range(3):
+        minhash_lsh_pairs(docs, "text", "doc_id", 16, 4, 0.5).collect()
+        jaccard_pairs(
+            docs, "text", "doc_id", [], 0.5, shingle_n=3, max_block_size=40
+        ).collect()
+        embedding_neardup_pairs(
+            emb, "embedding", "vec_id", "label", 0.8, max_block_size=20
+        ).collect()
+        # per round: ≤3 checkpointed results may linger until GC; the 6
+        # internal persists (t, banded, 2× blocked t) must all be gone
+        assert n_persisted() - base <= 3 * (i + 1)
+
+
+def test_embedding_neardup_dim_mismatch_fails_loudly(spark):
+    """A vector whose length differs from dim must fail the guarded path
+    (silently truncated hyperplane dots would degenerate the signature)."""
+    import pytest
+
+    from vector_search_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [(i, "b0", [float(i % 3), 1.0, 2.0]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    # block of 30 > bound of 5 -> LSH path engages -> dim check fires
+    with pytest.raises(Exception, match="dim mismatch"):
+        embedding_neardup_pairs(
+            emb, "embedding", "vec_id", "label", 0.1, max_block_size=5, dim=64
+        ).collect()
+    # correct dim works
+    assert (
+        embedding_neardup_pairs(
+            emb, "embedding", "vec_id", "label", 0.1, max_block_size=5, dim=3
+        ).count()
+        > 0
+    )
+
+
+def test_hyperplane_lsh_requires_dim(spark, sf_dir):
+    import pytest
+
+    from vector_search_spark.operators.ann import hyperplane_lsh_knn
+    from vector_search_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    with pytest.raises(ValueError, match="requires dim"):
+        hyperplane_lsh_knn(emb, probes, k=5)
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    """Exhausting max_iterations with labels still moving must raise, not
+    return wrong cluster ids silently."""
+    import pytest
+
+    from vector_search_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iterations=2).collect()
+
+
 def test_dup_clusters_long_chain_converges(spark):
     """A 40-node path graph needs multiple propagation rounds — the label
     must still reach the far end within the iteration cap."""

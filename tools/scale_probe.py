@@ -93,27 +93,31 @@ def main() -> None:
     def minhash(src):
         return lambda: minhash_lsh_pairs(src, "text", "doc_id", 16, 4, 0.5, shingle_n=3).collect()
 
-    def jacc(src):
-        return lambda: jaccard_pairs(src, "text", "doc_id", ["source", "lang"], 0.2, shingle_n=3).collect()
-
-    def jacc_guarded(src):
+    def jacc_exact(src):
+        # explicit exact-everywhere (the Σblock² quadratic class)
         return lambda: jaccard_pairs(
             src, "text", "doc_id", ["source", "lang"], 0.2, shingle_n=3,
-            max_block_size=500,
+            max_block_size=None,
         ).collect()
 
-    def neardup(src):
+    def jacc_default(src):
+        # DEFAULT arguments — guard at 1000 engages on the 10x blocks
+        return lambda: jaccard_pairs(
+            src, "text", "doc_id", ["source", "lang"], 0.2, shingle_n=3
+        ).collect()
+
+    def neardup_exact(src):
+        from vector_search_spark.operators.dedup import embedding_neardup_pairs
+
+        return lambda: embedding_neardup_pairs(
+            src, "embedding", "vec_id", "label", 0.8, max_block_size=None
+        ).collect()
+
+    def neardup_default(src):
         from vector_search_spark.operators.dedup import embedding_neardup_pairs
 
         return lambda: embedding_neardup_pairs(
             src, "embedding", "vec_id", "label", 0.8
-        ).collect()
-
-    def neardup_guarded(src):
-        from vector_search_spark.operators.dedup import embedding_neardup_pairs
-
-        return lambda: embedding_neardup_pairs(
-            src, "embedding", "vec_id", "label", 0.8, max_block_size=500
         ).collect()
 
     def asof(src):
@@ -125,10 +129,10 @@ def main() -> None:
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
         ("minhash_lsh", minhash(docs), minhash(docs_big)),
-        ("jaccard_blocked", jacc(docs), jacc(docs_big)),
-        ("jaccard_guarded", jacc_guarded(docs), jacc_guarded(docs_big)),
-        ("embedding_neardup", neardup(emb), neardup(emb_big)),
-        ("embedding_neardup_guarded", neardup_guarded(emb), neardup_guarded(emb_big)),
+        ("jaccard_exact", jacc_exact(docs), jacc_exact(docs_big)),
+        ("jaccard_default", jacc_default(docs), jacc_default(docs_big)),
+        ("embedding_neardup_exact", neardup_exact(emb), neardup_exact(emb_big)),
+        ("embedding_neardup_default", neardup_default(emb), neardup_default(emb_big)),
         ("asof_join", asof(ev), asof(ev_big)),
     ]
     for name, base, scaled in probes:

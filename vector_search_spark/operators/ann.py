@@ -61,11 +61,14 @@ def hyperplane_lsh_knn(
 ) -> DataFrame:
     """Approximate KNN: candidates share the probe's LSH bucket, then exact
     cosine re-rank. Recall trades off with n_planes (more planes → smaller
-    buckets → faster, lower recall). Pass ``dim`` explicitly — the fallback
-    sniffs one corpus row, which is a driver-side action at plan-build time
-    (fine interactively, avoid in pipelines)."""
+    buckets → faster, lower recall). ``dim`` is REQUIRED: sniffing it from
+    the data would be a driver-side action at plan-build time, and silently
+    mis-sized planes degenerate the signature."""
     if dim is None:
-        dim = len(corpus.select(corpus_vec).first()[0])
+        raise ValueError(
+            "hyperplane_lsh_knn requires dim= (the embedding dimensionality); "
+            "refusing to sniff it from the data at plan-build time"
+        )
     planes = make_planes(n_planes, dim, seed)
     c = corpus.withColumn("_sig", lsh_signature(F.col(corpus_vec), planes))
     p = probes.withColumn("_sig", lsh_signature(F.col(probe_vec), planes))

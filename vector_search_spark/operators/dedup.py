@@ -344,6 +344,20 @@ def _jaccard_pairs_lsh_blocked(
     )
 
 
+def _own_caches(result: DataFrame, persisted: list[DataFrame]) -> DataFrame:
+    """Materialize a (small) pair result and release the operator's internal
+    caches before returning — the operator, not the caller, owns its persist
+    lifecycle. ``localCheckpoint(eager=True)`` runs the terminal job once;
+    the intermediates are then unpersisted deterministically, so repeated
+    invocations in a long-lived session leave no storage residue (the
+    returned result's own blocks are the caller's object and fall to
+    ContextCleaner when the caller drops it, or ``result.unpersist()``)."""
+    result = result.localCheckpoint(eager=True)
+    for df in persisted:
+        df.unpersist()
+    return result
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -352,9 +366,10 @@ def jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int | None = None,
     hashed: bool = False,
-    max_block_size: int | None = None,
+    max_block_size: int | None = 1_000,
     n_hashes: int = 16,
     bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram/token-set Jaccard over pairs within blocking keys.
 
@@ -369,7 +384,15 @@ def jaccard_pairs(
     blocks: blocks larger than the bound degrade to MinHash-banded candidate
     generation (scoped within the block) + exact re-rank instead of the
     all-pairs join. Small blocks keep exact semantics; oversized blocks get
-    LSH recall with exact precision — bounded work either way.
+    LSH recall with exact precision — bounded work either way. The guard is
+    ON by default (1000 → ≤ ~500k comparisons per exact block): a 100 TB
+    caller using defaults gets bounded work; pass ``max_block_size=None``
+    to explicitly request exact-everywhere semantics (the oracle-checked
+    gate rows do).
+
+    The guarded path materializes its result and releases its internal
+    caches before returning (``materialize=False`` keeps the lazy plan; the
+    caller then owns cache cleanup via ``spark.catalog.clearCache``).
     """
     t = _unit_sets(
         df, text_col, id_col, shingle_n, hashed=hashed, extra_cols=block_cols
@@ -391,7 +414,8 @@ def jaccard_pairs(
     approx = _jaccard_pairs_lsh_blocked(
         big, block_cols, threshold, n_hashes, bands, hashed
     )
-    return exact.unionByName(approx)
+    out = exact.unionByName(approx)
+    return _own_caches(out, [t]) if materialize else out
 
 
 def minhash_lsh_pairs(
@@ -403,6 +427,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     hash_fn: str = "poly",
     shingle_n: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup detection (shingle → minhash → band →
     bucket-join → exact re-rank).
@@ -413,23 +438,25 @@ def minhash_lsh_pairs(
     carries just (id, band, key): the shingle arrays are joined back by id
     only for the (small) candidate set, so the wide rows never shuffle with
     the banding fan-out.
+
+    The operator owns its two internal persists: by default the (small)
+    pair result is materialized and the caches are released before
+    returning, so repeated invocations leave storage memory flat. Pass
+    ``materialize=False`` for a fully lazy plan (caller owns cleanup).
     """
     rows_per_band = n_hashes // bands
     # The (id, shingle-set) relation feeds three consumers (signature path +
     # both sides of the re-rank join); persist it so shingling runs once.
     # MEMORY_AND_DISK: at cluster scale this spills instead of OOMing.
-    # NB: the two persists below live until LRU eviction / session end —
-    # a long-lived service calling this repeatedly should clear them
-    # (spark.catalog.clearCache or unpersist) after consuming the result.
     from pyspark import StorageLevel
 
-    t = _unit_sets(df, text_col, id_col, shingle_n).persist(
+    t_cached = _unit_sets(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # Empty unit sets (short/NULL docs) can't match anything, but their
     # all-NULL signatures would concat_ws to the SAME key "" and pile into
     # one O(k²) hot bucket of doomed candidates — drop them up front.
-    t = t.filter(F.size("tk") > 0)
+    t = t_cached.filter(F.size("tk") > 0)
     if hash_fn == "poly":
         # One Arrow stage computes base hashes + all signature slots.
         sig_src = _minhash_signatures_from_tokens(t.select("id", "tk"), n_hashes)
@@ -462,11 +489,12 @@ def minhash_lsh_pairs(
     ).join(t.select(F.col("id").alias("id_b"), F.col("tk").alias("tk_b")), "id_b")
     inter = F.size(F.array_intersect("tk_a", "tk_b"))
     union = F.size(F.array_union("tk_a", "tk_b"))
-    return (
+    out = (
         rerank.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _own_caches(out, [t_cached, banded]) if materialize else out
 
 
 def dup_clusters(
@@ -543,6 +571,16 @@ def dup_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        # Unconverged labels are WRONG cluster ids, not merely slow — fail
+        # loudly. With pointer halving, 25 rounds covers graphs of diameter
+        # ~2^25, so hitting this means a bug or an absurd max_iterations.
+        edges.unpersist()
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations"
+        )
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
@@ -623,10 +661,11 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     block_col: str = "label",
     threshold: float = 0.3,
-    max_block_size: int | None = None,
+    max_block_size: int | None = 1_000,
     n_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking keys.
 
@@ -637,8 +676,15 @@ def embedding_neardup_pairs(
     pairs must also agree on the sign bucket — Σbucket² work instead of
     Σblock². Precision stays exact (same cosine + threshold); recall for
     oversized blocks is the standard hyperplane-LSH collision probability
-    (1 - θ/π)^n_planes. ``dim`` sizes the hyperplanes (no data sniff at
-    plan-build time)."""
+    (1 - θ/π)^n_planes. The guard is ON by default (1000); pass
+    ``max_block_size=None`` to explicitly request exact-everywhere
+    semantics (the oracle-checked gate rows do).
+
+    ``dim`` sizes the hyperplanes (no data sniff at plan-build time) and is
+    VALIDATED row-wise on the guarded path: a vector whose length differs
+    from ``dim`` fails the job loudly instead of silently hashing against
+    truncated planes (which would degenerate the signature and either
+    re-create the quadratic block or drop recall)."""
     t = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
     ).withColumn("nrm", l2_norm("v"))
@@ -656,11 +702,25 @@ def embedding_neardup_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     small = t.filter(F.col("_bn") <= max_block_size).drop("_bn")
     planes = make_planes(n_planes, dim, seed)
+    sig_checked = F.when(
+        F.size("v") == dim, lsh_signature(F.col("v"), planes)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"embedding_neardup_pairs: vector dim mismatch (expected {dim}, got "
+                ),
+                F.size("v").cast("string"),
+                F.lit(") — pass the correct dim= for the LSH planes"),
+            )
+        ).cast("long")
+    )
     big = (
         t.filter(F.col("_bn") > max_block_size)
         .drop("_bn")
-        .withColumn("_sig", lsh_signature(F.col("v"), planes))
+        .withColumn("_sig", sig_checked)
     )
     exact = _embedding_pairs_exact(small, ["blk"])
     approx = _embedding_pairs_exact(big, ["blk", "_sig"])
-    return exact.unionByName(approx).filter(F.col("cos") >= threshold)
+    out = exact.unionByName(approx).filter(F.col("cos") >= threshold)
+    return _own_caches(out, [t]) if materialize else out

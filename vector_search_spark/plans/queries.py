@@ -761,12 +761,15 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram-shingle hash-set Jaccard near-dup pairs within (source, lang)
     blocks: shingles carried as portable int64 hashes (identical values in
     the oracle, so the comparison stays exact) — set ops over longs shuffle
-    and intersect far cheaper than over strings."""
+    and intersect far cheaper than over strings. ``max_block_size=None``
+    explicitly requests exact-everywhere semantics so the oracle is exact;
+    the operator's DEFAULT bounds oversized blocks with in-block LSH."""
     from ..operators.dedup import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     res = jaccard_pairs(
-        docs, "text", "doc_id", ["source", "lang"], 0.2, shingle_n=3, hashed=True
+        docs, "text", "doc_id", ["source", "lang"], 0.2, shingle_n=3, hashed=True,
+        max_block_size=None,
     )
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -928,10 +931,15 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.3
 """,
 )
 def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within cluster blocks."""
+    """Embedding-cosine near-dup pairs within cluster blocks
+    (``max_block_size=None`` = exact-everywhere, matching the exact oracle;
+    the operator's DEFAULT sub-buckets oversized blocks via hyperplane
+    LSH)."""
     from ..operators.dedup import embedding_neardup_pairs
 
-    res = embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    res = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, max_block_size=None
+    )
     return res.select("id_a", "id_b", "block", F.round("cos", 6).alias("cos"))
 
 
@@ -1818,17 +1826,57 @@ def v_lsh_hyperplane_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("probe_id", "vec_id", F.round("score", 6).alias("score"))
 
 
-@register("v_brp_lsh_neighbors", oracle=None)
+@register(
+    "v_brp_lsh_neighbors",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS probe_vec
+           FROM embeddings WHERE vec_id < 3),
+pairs AS (
+  SELECT p.probe_id, e.vec_id,
+         {_duck_cos('e.embedding', 'p.probe_vec')} AS cos
+  FROM embeddings e CROSS JOIN p)
+SELECT probe_id AS probe_id,
+       CAST(COUNT(*) AS BIGINT) AS exact_n,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM pairs WHERE cos > 0.155 GROUP BY probe_id
+""",
+)
 def v_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH neighbors on L2-normalized vectors
-    (cosine==euclidean on unit sphere); seeded but hash family is
-    JVM-internal -> rows-only."""
+    (cosine ≡ euclidean on unit sphere). The hash family is JVM-internal and
+    not reproducible in SQL, so the gate row checks the CONTRACT instead of
+    the hash values (the a_approx_count_distinct move): per probe, the exact
+    neighbor count at the equivalent cosine bound (eucl < 1.3 on unit
+    vectors ⟺ cos > 1 - 1.3²/2 = 0.155) plus a recall flag — the LSH result
+    is a subset of the exact set (approxSimilarityJoin re-checks true
+    distances), and recall must be ≥ 0.8 (measured 0.90-0.95, seeded ⇒
+    deterministic; nearest pair sits ≥1e-4 from the 0.155 bound, so the
+    exact count is float-stable across engines)."""
+    from ..functions.vector import cosine_sim
     from ..operators.ann_mllib import brp_lsh_neighbors
 
     emb = _t(spark, sf_dir, "embeddings")
-    res = brp_lsh_neighbors(emb, _probes(emb, 3), threshold=1.3)
-    return res.select(
-        "probe_id", "vec_id", F.round("cosine_equiv", 6).alias("cosine_equiv")
+    probes = _probes(emb, 3)
+    approx = brp_lsh_neighbors(emb, probes, threshold=1.3)
+    exact = (
+        emb.crossJoin(F.broadcast(probes))
+        .withColumn("cos", cosine_sim("embedding", "probe_vec"))
+        .filter(F.col("cos") > 0.155)
+        .select("probe_id", "vec_id")
+    )
+    hit_n = (
+        approx.select("probe_id", "vec_id")
+        .join(exact, ["probe_id", "vec_id"], "left_semi")
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("hit_n"))
+    )
+    exact_n = exact.groupBy("probe_id").agg(F.count("*").alias("exact_n"))
+    return exact_n.join(hit_n, "probe_id", "left").select(
+        "probe_id",
+        "exact_n",
+        ((F.coalesce("hit_n", F.lit(0)) / F.col("exact_n")) >= 0.8)
+        .cast("long")
+        .alias("recall_ok"),
     )
 
 
