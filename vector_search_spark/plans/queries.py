@@ -1657,9 +1657,6 @@ def pipe_recommend_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["audience_count"]
 
 
-_SINK_RUN_COUNTER = [0]
-
-
 @register(
     "pipe_vector_sink_roundtrip",
     oracle=f"""
@@ -1679,32 +1676,36 @@ def pipe_vector_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet sink, read back, parsed with vec_from_text. The oracle
     recomputes the expected embeddings from the SOURCE tables, so a green
     row proves the write → read → text-parse path loses nothing (float32
-    JSON round-trip verified exact)."""
-    import os
+    JSON round-trip verified exact). The sink dir is removed before
+    returning: the tiny (one-row-per-campaign) verification projection is
+    materialized here — the roundtrip is a write/read boundary, so this
+    is the documented scalar-boundary exception to the no-collect rule."""
+    import shutil
     import tempfile
 
     from ..functions.vector import vec_from_text, vec_to_text
     from ..pipelines.ingest import build_campaign_vectors
 
-    _SINK_RUN_COUNTER[0] += 1
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_sink_{os.getpid()}_{_SINK_RUN_COUNTER[0]}",
-    )
-    vecs = build_campaign_vectors(spark, sf_dir)
-    vecs.select(
-        "camp_id", "sentence", vec_to_text("embedding").alias("vec_text")
-    ).write.mode("overwrite").parquet(out)
-    back = spark.read.parquet(out).select(
-        "camp_id", vec_from_text("vec_text").alias("embedding")
-    )
-    return back.select(
-        "camp_id",
-        F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
-        F.round(F.element_at("embedding", 32).cast("double"), 6).alias("e31"),
-        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("e63"),
-    )
+    out = tempfile.mkdtemp(prefix="spark_graft_sink_")
+    try:
+        vecs = build_campaign_vectors(spark, sf_dir)
+        vecs.select(
+            "camp_id", "sentence", vec_to_text("embedding").alias("vec_text")
+        ).write.mode("overwrite").parquet(out)
+        back = spark.read.parquet(out).select(
+            "camp_id", vec_from_text("vec_text").alias("embedding")
+        )
+        result = back.select(
+            "camp_id",
+            F.size("embedding").cast("long").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+            F.round(F.element_at("embedding", 32).cast("double"), 6).alias("e31"),
+            F.round(F.element_at("embedding", 64).cast("double"), 6).alias("e63"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def _audience_slices():
@@ -2864,34 +2865,37 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
 )
 def w_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (view → click → purchase, strictly
-    time-ordered per user) — the event-analytics staple. Each stage is a
-    per-user MIN over the previous stage's anchor; three shuffles on
-    user_id, each stage's output shrinks monotonically. Broadcast the
-    shrinking anchor sets at scale."""
-    ev = _t(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    time-ordered per user) — the event-analytics staple. Single scan of
+    events, ONE shuffle on user_id: three chained whole-partition window
+    MINs derive each stage anchor from the previous one in place, then a
+    per-user distinct (reuses the window's hash partitioning — no second
+    exchange) feeds the global funnel counts. No broadcast of unbounded
+    per-user aggregates; scales as one pass over the event log."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    df = ev.withColumn("t_view", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+    df = df.withColumn(
+        "t_click",
+        F.min(
+            F.when(is_("click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+        ).over(w),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    df = df.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(is_("purchase") & (F.col("ts") > F.col("t_click")), F.col("ts"))
+        ).over(w),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    per_user = df.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
     )
-    return (
-        v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
     )
 
 
