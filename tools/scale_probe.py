@@ -9,9 +9,13 @@ zero and the dedup queries keep their real output shape instead of
 degenerating into all-pairs duplicates; ids are shifted per copy so keys
 stay unique.
 
-Usage: python tools/scale_probe.py [n_copies]
+Usage: python tools/scale_probe.py [n_copies] [probe_name ...]
 Writes one JSON line per probe: {"op": ..., "base_s": ..., "scaled_s": ...,
-"ratio": ...}.
+"ratio": ...}. With probe names, runs only those (e.g.
+``python tools/scale_probe.py 100 cc_chain`` for the 100x connected-
+components probe; ``python tools/scale_probe.py 1 skew_band_join`` for the
+AQE skew-split evidence — that probe scales internally and ignores
+n_copies).
 """
 
 from __future__ import annotations
@@ -57,17 +61,196 @@ def timed(fn) -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+def make_chain_edges(spark, n_chains: int, chain_len: int) -> DataFrame:
+    """Adversarial CC input: ``n_chains`` disjoint paths of ``chain_len``
+    nodes (edges i→i+1). Diameter = chain_len, so naive label propagation
+    needs chain_len rounds; pointer halving should need ~log2(chain_len)."""
+    n = n_chains * chain_len
+    return (
+        spark.range(n)
+        .filter((F.col("id") % chain_len) != (chain_len - 1))
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+
+
+def cc_chain_probe(spark, n: int) -> dict:
+    """dup_clusters on long-chain graphs, base vs n× chains. The claim under
+    test: round count is set by graph DIAMETER (identical at both scales —
+    pointer halving ~log2(chain_len)), while wall per round grows with edge
+    count. Super-linear round growth would mean the halving is broken."""
+    from vector_search_spark.operators.dedup import dup_clusters
+
+    chain_len = 4096  # log2 = 12 → expect ~12-14 rounds
+    out = {"op": "cc_chain", "chain_len": chain_len, "copies": n}
+    for tag, chains in (("base", 16), ("scaled", 16 * n)):
+        edges = make_chain_edges(spark, chains, chain_len)
+        stats: dict = {}
+        t0 = time.perf_counter()
+        got = (
+            dup_clusters(edges, max_iterations=30, stats=stats)
+            .select(F.countDistinct("cluster_id").alias("c"))
+            .collect()[0]["c"]
+        )
+        out[f"{tag}_s"] = round(time.perf_counter() - t0, 2)
+        out[f"{tag}_rounds"] = stats["rounds"]
+        out[f"{tag}_round_wall_s"] = stats["round_wall_s"]
+        assert got == chains, f"expected {chains} clusters, got {got}"
+    out["ratio"] = round(out["scaled_s"] / max(out["base_s"], 1e-9), 1)
+    out["wall_per_round_ratio"] = round(
+        (out["scaled_s"] / out["scaled_rounds"])
+        / max(out["base_s"] / out["base_rounds"], 1e-9),
+        1,
+    )
+    return out
+
+
+def _heaviest_stage_task_quantiles(ui_port: int, min_stage_id: int):
+    """(stage_id, [min, p50, max] task duration in s) for the completed
+    stage with the most executor run time at/after ``min_stage_id`` —
+    pulled from the Spark REST API (UI must be enabled)."""
+    import urllib.request
+
+    def get(path):
+        with urllib.request.urlopen(f"http://localhost:{ui_port}/api/v1{path}") as r:
+            return json.load(r)
+
+    app = get("/applications")[0]["id"]
+    stages = [
+        s
+        for s in get(f"/applications/{app}/stages?status=complete")
+        if s["stageId"] >= min_stage_id
+    ]
+    best = max(stages, key=lambda s: s.get("executorRunTime", 0))
+    q = get(
+        f"/applications/{app}/stages/{best['stageId']}/{best['attemptId']}"
+        "/taskSummary?quantiles=0.0,0.5,1.0"
+    )
+    return best["stageId"], [round(x / 1000.0, 2) for x in q["duration"]]
+
+
+def _completed_stage_count(ui_port: int) -> int:
+    import urllib.request
+
+    with urllib.request.urlopen(
+        f"http://localhost:{ui_port}/api/v1/applications"
+    ) as r:
+        app = json.load(r)[0]["id"]
+    with urllib.request.urlopen(
+        f"http://localhost:{ui_port}/api/v1/applications/{app}/stages"
+    ) as r:
+        stages = json.load(r)
+    return 1 + max((s["stageId"] for s in stages), default=-1)
+
+
+def skew_band_join_probe(spark, ui_port: int) -> dict:
+    """AQE skew-split evidence on the LSH bucket-probe join shape: a banded
+    corpus with one pathologically hot band key (the hot-bucket case a real
+    100 TB dedup hits) joined to the per-bucket representative table —
+    assign-to-representative, the non-quadratic half of candidate
+    generation (the quadratic half is what ``max_block_size`` LSH-degrades).
+
+    Forces sort-merge (no broadcast) so the hot key lands in one shuffle
+    partition, runs the join with AQE skew-join OFF then ON, and reports
+    wall clock, whether the executed plan shows ``skew=true``, and the
+    [min, p50, max] task durations of the heaviest stage from the REST API.
+    Expected: ON splits the hot partition, max task duration and the
+    max/median spread collapse."""
+    n_rows, n_buckets, hot_rows = 3_000_000, 50_000, 1_000_000
+    corpus = (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < hot_rows, F.lit(-1))
+            .otherwise(F.col("id") % n_buckets)
+            .alias("band_key"),
+            # ~120B payload so the hot partition crosses the skew threshold
+            F.repeat(F.md5(F.col("id").cast("string")), 4).alias("sig"),
+        )
+    )
+    reps = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("band_key"), F.col("id").alias("rep_doc"))
+        .union(spark.sql("SELECT -1L AS band_key, -1L AS rep_doc"))
+    )
+
+    def run():
+        joined = corpus.join(reps, "band_key").select(
+            F.sum(F.length("sig") + F.col("rep_doc")).alias("chk")
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        return "skew=true" in plan
+
+    out = {"op": "skew_band_join", "rows": n_rows, "hot_rows": hot_rows}
+    conf = spark.conf
+    old_bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for tag, enabled in (("off", "false"), ("on", "true")):
+            conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+            marker = _completed_stage_count(ui_port)
+            t0 = time.perf_counter()
+            skewed_plan = run()
+            out[f"{tag}_s"] = round(time.perf_counter() - t0, 2)
+            out[f"{tag}_skew_in_plan"] = skewed_plan
+            stage, quant = _heaviest_stage_task_quantiles(ui_port, marker)
+            out[f"{tag}_stage"] = stage
+            out[f"{tag}_task_s_min_p50_max"] = quant
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return out
+
+
+UI_PORT = 4050
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
     from vector_search_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
     from vector_search_spark.operators.knn import knn
     from vector_search_spark.operators.asof import asof_join
-    from vector_search_spark.session import get_spark
+    from vector_search_spark.session import cpu_count, get_spark
     from vector_search_spark.sources.catalog import load_table
 
+    want_skew = not only or "skew_band_join" in only
+    if want_skew:
+        # skew probe reads per-task durations from the REST API → needs the
+        # UI; thresholds lowered so a ~60 MB hot partition counts as skewed
+        # (prod default 256 MB — same mechanism, probe-sized data).
+        from pyspark.sql import SparkSession
+
+        (
+            SparkSession.builder.appName("scale_probe")
+            .master(f"local[{cpu_count()}]")
+            .config("spark.sql.shuffle.partitions", str(cpu_count()))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "8m",
+            )
+            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.driver.memory", "8g")
+            .config("spark.ui.enabled", "true")
+            .config("spark.ui.port", str(UI_PORT))
+            .getOrCreate()
+        )
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    if only and only <= {"cc_chain", "skew_band_join"}:
+        # pure-synthetic probes: skip fixture loading entirely
+        if "cc_chain" in only:
+            print(json.dumps(cc_chain_probe(spark, n)))
+        if "skew_band_join" in only:
+            print(json.dumps(skew_band_join_probe(spark, UI_PORT)))
+        spark.stop()
+        return
 
     li = load_table(spark, SF_DIR, "lineitem")
     docs = load_table(spark, SF_DIR, "documents")
@@ -136,10 +319,16 @@ def main() -> None:
         ("asof_join", asof(ev), asof(ev_big)),
     ]
     for name, base, scaled in probes:
+        if only and name not in only:
+            continue
         b = timed(base)
         s = timed(scaled)
         print(json.dumps({"op": name, "base_s": b, "scaled_s": s,
                           "copies": n, "ratio": round(s / max(b, 1e-9), 1)}))
+    if not only or "cc_chain" in only:
+        print(json.dumps(cc_chain_probe(spark, n)))
+    if want_skew:
+        print(json.dumps(skew_band_join_probe(spark, UI_PORT)))
     spark.stop()
 
 

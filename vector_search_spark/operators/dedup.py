@@ -20,6 +20,8 @@ are handled by AQE skew-join splitting.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -502,6 +504,7 @@ def dup_clusters(
     left: str = "id_a",
     right: str = "id_b",
     max_iterations: int = 25,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list → (id, cluster_id)
     with cluster_id = the minimum member id — the step that turns pairwise
@@ -521,7 +524,13 @@ def dup_clusters(
 
     Only ids that appear in ``pairs`` are emitted (singletons are their own
     trivial cluster and never shuffle at all).
+
+    Pass ``stats={}`` to receive convergence telemetry: ``rounds`` (jobs
+    run) and ``round_wall_s`` (wall-clock per round) — the scale probe uses
+    this to verify pointer halving holds its ~log2(diameter) round bound.
     """
+    import time as _time
+
     from pyspark import StorageLevel
 
     fwd = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
@@ -533,7 +542,11 @@ def dup_clusters(
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
         .localCheckpoint(eager=True)
     )
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["round_wall_s"] = []
     for _ in range(max_iterations):
+        _t0 = _time.perf_counter()
         nb = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -569,6 +582,9 @@ def dup_clusters(
             .count()
         )
         labels = new
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["round_wall_s"].append(round(_time.perf_counter() - _t0, 2))
         if changed == 0:
             break
     else:
