@@ -3166,3 +3166,429 @@ def p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(
         "lang", "doc_id", F.row_number().over(w).cast("long").alias("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: TPC-H widening (Q4/Q6/Q8/Q12/Q13/Q15/Q17/Q19/Q21/Q22 shapes).
+# The fixtures lack partsupp / l_commitdate / l_shipmode / p_container /
+# c_phone, so the affected queries keep the REFERENCE PLAN SHAPE (the join
+# graph, subquery class, and aggregate structure) with documented predicate
+# substitutions over the columns that exist.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r_q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""",
+)
+def r_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated semi-join from orders into
+    lineitem with a cross-relation predicate, count per priority.
+    (Adaptation: 'late line' = shipped >60 days after order date, standing
+    in for commitdate<receiptdate which the fixture lacks.) The semi-join
+    keeps the orders side deduplicated without a distinct — at scale the
+    lineitem side shuffles once on orderkey and never materializes the
+    match multiplicity."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "r_q6_forecast_revenue",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""",
+)
+def r_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pushdown showcase — a single fact scan where every
+    predicate (date range, discount band, quantity cap) reaches the
+    parquet reader as PushedFilters and the aggregate is one map-side
+    partial + a 1-row combine. No joins, no wide shuffle; at 100 TB this
+    is limited purely by scan bandwidth × selectivity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "r_q8_market_share",
+    oracle="""
+SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS yr,
+       ROUND(SUM(CASE WHEN ns.n_name = 'NATION_2'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = nc.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+WHERE p.p_type = 'ECONOMY'
+  AND r.r_name = 'AMERICA'
+  AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY 1
+""",
+)
+def r_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — the 8-relation join. Every
+    dimension (part, customer, supplier, nation ×2 roles, region) is
+    broadcast; only lineitem⋈orders shuffles. The share is a conditional
+    aggregate over the supplier-nation role — the two nation copies join
+    independently (aliased), which Catalyst handles as two broadcast
+    stages off one scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") <= "1996-12-31")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    nc = nat.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = nat.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), cust.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), supp.s_nationkey == F.col("ns_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "r_q12_priority_class",
+    oracle="""
+SELECT l.l_returnflag AS l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+""",
+)
+def r_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact join with a date slice and a dual
+    conditional count split by order priority. (Adaptation: grouped by
+    l_returnflag — the fixture has no l_shipmode.) The join shuffles both
+    sides on orderkey; the CASE counts fold map-side."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "r_q13_customer_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+)
+def r_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count histogram — LEFT OUTER join with an
+    extra non-key predicate (zero-order customers must survive), count per
+    customer, then a second aggregate over the counts. Two shuffles, the
+    second over a tiny key space."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "r_q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+       r.total_revenue AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def r_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue — an aggregate reused
+    twice (per-supplier revenue AND its max) without recomputation risk:
+    the max joins back as a broadcast scalar. Ranking on the ROUNDED
+    revenue keeps the float argmax deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), revenue.total_revenue == mx.mx)
+        .join(supp, revenue.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "r_q17_small_quantity",
+    oracle="""
+WITH target AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+         AVG(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#4' AND p.p_size <= 10)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM target WHERE l_quantity < 0.2 * avg_qty
+""",
+)
+def r_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity revenue — the correlated per-part average
+    expressed as a window over the part-filtered join instead of a
+    re-scanning scalar subquery (one lineitem scan, one shuffle on
+    partkey). (Adaptation: Brand#4 + p_size<=10 stands in for the missing
+    p_container.)"""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    t = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return t.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "r_q19_disjunctive_revenue",
+    oracle="""
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def r_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive predicate over an equi-join — the classic
+    OR-of-ANDs that must NOT become three scans. One broadcast join on
+    partkey, the disjunction evaluated post-join inside codegen; Catalyst
+    still pushes the per-side implied filters (brand IN-list, size/qty
+    envelopes) to the scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(1, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "r_q21_waiting_supplier",
+    oracle="""
+SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+""",
+)
+def r_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who kept multi-supplier orders waiting — the
+    EXISTS + NOT-EXISTS double correlation. Re-expressed Spark-first as a
+    SINGLE per-order aggregation (distinct suppliers, distinct late
+    suppliers, late-line count) instead of two lineitem self-joins: one
+    shuffle on orderkey replaces the oracle's l2/l3 re-scans, and the
+    cross-engine match proves the rewrite. (Adaptation: 'late' =
+    shipped >60 days after order date.)"""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    per_order = (
+        j.withColumn("late_supp", F.when(late, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_supp").alias("n_late_supp"),
+            F.min("late_supp").alias("the_supp"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("the_supp")
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("the_supp") == supp.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+@register(
+    "r_q22_dormant_customers",
+    oracle="""
+WITH avg_bal AS (SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c.c_mktsegment
+""",
+)
+def r_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: well-funded customers gone dormant — scalar AVG subquery
+    as a broadcast 1-row cross join (computed once, not per row) +
+    anti-join against recent orders. (Adaptation: grouped by mktsegment —
+    the fixture has no phone country codes; 'dormant' = no order since
+    1999 so the anti-join is non-degenerate on the fixture.)"""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -122,6 +122,28 @@ def stream_static_agg(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def run_stream_dedup_availablenow(
+    spark, events_stream: DataFrame, table_name: str
+) -> DataFrame:
+    """Drain a bounded stream through ``dropDuplicates`` on the event key
+    and return the deduplicated rows. Exactly-once ingestion dedup — the
+    guard every at-least-once source (Kafka, file landing zones, replayed
+    batches) needs in front of a training corpus. State holds one key per
+    distinct event; a production continuous stream would use
+    ``dropDuplicatesWithinWatermark`` to bound it — availableNow drains a
+    finite backlog, so the unbounded-state variant is exact here."""
+    q = (
+        events_stream.dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
 def run_stream_static_agg_availablenow(
     spark, events_stream: DataFrame, dim: DataFrame, table_name: str
 ) -> DataFrame:
