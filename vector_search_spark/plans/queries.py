@@ -3592,3 +3592,217 @@ def r_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: training-data pipeline widening — batch sessionization, document
+# chunking, corpus term stats, embedding-space outlier detection, streaming
+# ingestion dedup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_sessionize_events",
+    oracle="""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+s AS (
+  SELECT user_id, tus, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id AS user_id, CAST(sid AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(MAX(tus) // 1000000 - MIN(tus) // 1000000 AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, sid
+""",
+)
+def w_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): the lag-flag-cumsum
+    idiom — ONE shuffle on user_id feeds both window passes and the
+    per-session aggregate (same partitioning throughout, no second
+    exchange). The batch twin of the streaming session_window query; at
+    100 TB this is the standard event-log → session-table job."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus"), "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    brk = F.when(
+        F.lag("tus").over(w).isNull()
+        | (F.col("tus") - F.lag("tus").over(w) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("brk", brk).withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return s.groupBy("user_id", F.col("sid").alias("session_seq")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        (
+            F.floor(F.max("tus") / 1_000_000) - F.floor(F.min("tus") / 1_000_000)
+        ).alias("duration_s"),
+    )
+
+
+@register(
+    "t_chunk_documents",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT t.doc_id, g.i AS chunk_id,
+         t.toks[g.i * 40 + 1 : g.i * 40 + 50] AS ck
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(CEIL(len(t.toks) / 40.0) AS BIGINT) - 1)) AS i) g)
+SELECT doc_id AS doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ck) AS BIGINT) AS n_tok,
+       array_to_string(ck, ' ') AS chunk_text
+FROM c
+""",
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token chunks, 10-token
+    overlap / stride 40) — the RAG/embedding-ingest staple. Pure Catalyst:
+    split → sequence → explode → slice, no Python in the path, so the
+    chunker runs at scan speed and chunk count adapts per document. Each
+    output row is one embedding-ready chunk with its provenance
+    (doc_id, chunk_id)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n_chunks = (F.ceil(F.size("toks") / F.lit(40.0))).cast("int")
+    return (
+        docs.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("ck", F.slice("toks", F.col("chunk_id") * 40 + 1, 50))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("ck").cast("long").alias("n_tok"),
+            F.array_join("ck", " ").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "t_top_terms_per_lang",
+    oracle="""
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE term <> '' GROUP BY lang, term),
+r AS (
+  SELECT lang, term, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rk
+  FROM c)
+SELECT lang AS lang, term AS term, n AS n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 5
+""",
+)
+def t_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head per language: explode terms, count, top-5 by
+    window rank with a lexical tie-break. The term count is a map-side
+    partial agg (explode never leaves the scan stage); only (lang, term)
+    partial counts shuffle — the canonical two-phase wordcount that holds
+    at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "v_centroid_outliers",
+    oracle="""
+WITH dim AS (
+  SELECT label, g.i AS i, AVG(embedding[g.i]::DOUBLE) AS m
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY label, g.i),
+cent AS (SELECT label, list(m ORDER BY i) AS c FROM dim GROUP BY label),
+sc AS (
+  SELECT e.vec_id, e.label,
+         (list_sum(list_transform(generate_series(1, 64),
+             _k -> e.embedding[_k]::DOUBLE * c.c[_k]))
+          / (sqrt(list_sum(list_transform(e.embedding,
+               _x -> _x::DOUBLE * _x::DOUBLE)))
+             * sqrt(list_sum(list_transform(c.c, _y -> _y * _y))))) AS cos
+  FROM embeddings e JOIN cent c USING (label))
+SELECT vec_id AS vec_id, CAST(label AS BIGINT) AS label,
+       ROUND(cos, 6) AS centroid_cos
+FROM sc ORDER BY ROUND(cos, 6) ASC, vec_id ASC LIMIT 10
+""",
+)
+def v_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: per-label centroid (elementwise
+    mean via posexplode → one narrow shuffle on (label, dim)), then each
+    vector's cosine to its own centroid, lowest-10 = the mislabeled/noise
+    candidates every training-data audit wants. Centroids are a tiny
+    per-label table — broadcast back; the cosine is the JVM zip_with fold
+    (no Python). At 100 TB the (label, dim) agg is map-side combinable and
+    the final top-k is a two-phase takeOrdered."""
+    from ..functions.vector import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        d.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("centroid")
+        )
+    )
+    sc = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.round(cosine_sim("embedding", "centroid"), 6).alias("centroid_cos"),
+    )
+    return sc.orderBy(F.asc("centroid_cos"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "s_stream_dedup",
+    oracle="""
+SELECT event_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup: TWO file-source streams over the same
+    event log unioned (guaranteed duplicate delivery — the at-least-once
+    world) drained through ``dropDuplicates(event_id)`` into a memory
+    sink. The post-sink aggregate must equal the batch aggregate over the
+    SINGLE log — which is exactly what the oracle checks: if dedup leaked
+    or dropped anything, counts and sums diverge. Real streaming
+    execution with keyed state, not a batch re-expression."""
+    from ..streaming.windows import run_stream_dedup_availablenow, stream_events
+
+    _STATEFUL_RUN_COUNTER[0] += 1
+    name = f"stream_dedup_{_STATEFUL_RUN_COUNTER[0]}"
+    a = stream_events(spark, f"{sf_dir}/events*.parquet")
+    b = stream_events(spark, f"{sf_dir}/events*.parquet")
+    deduped = run_stream_dedup_availablenow(spark, a.union(b), name)
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
