@@ -3806,3 +3806,268 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 (cont.): the last five TPC-H shapes — Q2/Q9/Q11/Q16/Q20. All five
+# need partsupp, which the fixtures lack; the lineitem (partkey, suppkey)
+# pairs stand in as the part<->supplier bridge so the distinguishing plan
+# shape of each query (correlated min, profit rollup, global-scalar HAVING,
+# NOT-IN + COUNT DISTINCT, nested correlated semi-join) is preserved.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r_q2_min_cost_supplier",
+    oracle="""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2),
+eu AS (
+  SELECT o.l_partkey, o.cost, s.s_name, s.s_acctbal, n.n_name
+  FROM offers o
+  JOIN part p ON p.p_partkey = o.l_partkey
+             AND p.p_type = 'STANDARD' AND p.p_size <= 8
+  JOIN supplier s ON s.s_suppkey = o.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'),
+m AS (SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost FROM eu)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name AS s_name, n_name AS n_name,
+       l_partkey AS p_partkey, ROUND(cost, 4) AS cost
+FROM m WHERE cost = min_cost
+ORDER BY ROUND(s_acctbal, 2) DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+""",
+)
+def r_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part in a region — the
+    correlated-MIN subquery class, expressed as a window MIN over the
+    region-filtered offer set instead of a re-scanning scalar subquery
+    (one aggregation, one window pass, zero recomputation). The
+    part/supplier/nation/region dims all broadcast; only the offer
+    aggregation shuffles, on (partkey, suppkey). (Adaptation: offer cost
+    = MIN(l_extendedprice/l_quantity) over lineitem — the fixture has no
+    partsupp.) Cost equality against the window MIN is exact: both sides
+    take MIN over the identical set of IEEE doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 8))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        offers.join(F.broadcast(part), offers.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), offers.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(region), nat.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    m = eu.withColumn("min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    out = m.select(
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        "s_name",
+        "n_name",
+        F.col("l_partkey").alias("p_partkey"),
+        F.round("cost", 4).alias("cost"),
+    )
+    return out.orderBy(
+        F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+    ).limit(100)
+
+
+@register(
+    "r_q9_product_profit",
+    oracle="""
+SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS BIGINT) AS yr,
+       ROUND(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity) * 10000, 0) AS BIGINT))
+             / 10000.0, 2) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+)
+def r_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: product-type profit by nation and year — the widest
+    profit rollup. part (name-filtered), supplier, and nation broadcast;
+    lineitem⋈orders is the only shuffle. (Adaptation: cost term =
+    0.6 × p_retailprice × quantity standing in for the missing
+    ps_supplycost.) The profit expression folds into the scan projection
+    before the aggregate — map-side partials carry one double."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # Sum in scaled-integer space so the aggregate is exact and immune to
+    # partial-sum ordering (the raw double sum drifts across engines at the
+    # cent-rounding boundary).
+    profit = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000,
+        0,
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(F.round(F.sum(profit) / 10000.0, 2).alias("profit"))
+
+
+@register(
+    "r_q11_important_stock",
+    oracle="""
+WITH stock AS (
+  SELECT l.l_partkey, SUM(l.l_quantity) AS qty
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+  GROUP BY 1),
+total AS (SELECT SUM(qty) AS tq FROM stock)
+SELECT l_partkey AS p_partkey, ROUND(qty, 1) AS stock_qty
+FROM stock, total WHERE qty > 0.002 * tq
+""",
+)
+def r_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock — per-part aggregate filtered
+    against a FRACTION OF THE GLOBAL TOTAL (the scalar-subquery HAVING
+    class). The total re-aggregates the per-part relation (tiny) and
+    joins back as a broadcast scalar, so the fact scan runs once.
+    (Adaptation: value = Σ quantity shipped by NATION_3 suppliers — no
+    partsupp.) Quantities are integral doubles, so both the per-part sums
+    and the 0.002 × total threshold are bit-exact across engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    stock = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    total = stock.agg(F.sum("qty").alias("tq"))
+    return (
+        stock.join(F.broadcast(total))
+        .filter(F.col("qty") > 0.002 * F.col("tq"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("qty", 1).alias("stock_qty"),
+        )
+    )
+
+
+@register(
+    "r_q16_supplier_relationship",
+    oracle="""
+SELECT p.p_brand AS p_brand, p.p_type AS p_type,
+       CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT b.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+JOIN part p ON p.p_partkey = b.l_partkey
+WHERE p.p_brand <> 'Brand#4' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+  AND b.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def r_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: parts/supplier relationship — negated dim predicates, a
+    NOT-IN exclusion subquery (anti-join against the broadcast complaint
+    list), and COUNT(DISTINCT) per 3-attribute group. The bridge dedups
+    (partkey, suppkey) BEFORE joining dims so the distinct count shuffles
+    pre-shrunk pairs. (Adaptations: bridge = lineitem pairs for the
+    missing partsupp; 'complaint' suppliers = negative account balance.)"""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30))
+    )
+    complaints = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(complaints), li.l_suppkey == complaints.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "r_q20_promotion_suppliers",
+    oracle="""
+WITH per AS (
+  SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS total_qty,
+         SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+                  THEN l.l_quantity ELSE 0 END) AS qty96
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
+  GROUP BY 1, 2),
+q AS (SELECT DISTINCT l_suppkey FROM per WHERE qty96 > 0.5 * total_qty)
+SELECT s.s_name AS s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+FROM supplier s
+JOIN q ON q.l_suppkey = s.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_9'
+""",
+)
+def r_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: potential part promotion — the doubly-nested semi-join:
+    suppliers qualify through a per-(part, supplier) CORRELATED aggregate
+    comparison (1996 shipments > half of all-time shipments for that
+    part), computed as one conditional aggregate pass instead of a
+    correlated re-scan. The qualifying supplier set dedups small and
+    semi-joins the nation-filtered supplier dim. (Adaptations: availqty
+    threshold re-expressed over lineitem; p_name LIKE 'red%',
+    NATION_9.) Integral quantities keep the 0.5× compare exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    in96 = (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    per = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(F.when(in96, F.col("l_quantity")).otherwise(0.0)).alias("qty96"),
+        )
+    )
+    qualifying = (
+        per.filter(F.col("qty96") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
