@@ -4071,3 +4071,202 @@ def r_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 (cont.): scalar-quantized ANN, exact-substring span dedup, TF-IDF.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v_quantized_knn",
+    oracle="""
+WITH mx AS (SELECT MAX(list_max(list_transform(embedding::DOUBLE[], x -> ABS(x)))) AS m
+            FROM embeddings),
+q AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(ROUND(x * 127.0 / mx.m, 0) AS BIGINT)) AS qv
+      FROM embeddings, mx),
+p AS (SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id < 3),
+d AS (SELECT p.probe_id, q.vec_id,
+             (SELECT SUM(q.qv[i] * p.pv[i]) FROM UNNEST(range(1, 65)) t(i)) AS qdot
+      FROM q CROSS JOIN p),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY qdot DESC, vec_id ASC) AS rn
+      FROM d)
+SELECT probe_id AS probe_id, vec_id AS vec_id, CAST(qdot AS BIGINT) AS qdot
+FROM r WHERE rn <= 10
+""",
+)
+def v_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization + quantized KNN: one pass computes the
+    global max-|x| scale (broadcast scalar), vectors quantize to int8 in a
+    JVM ``transform``, and the probe×corpus score is an INTEGER dot
+    product (``zip_with`` + ``aggregate`` fold) — bit-exact across
+    engines, no float-ordering hazard at all. This is the memory-bound
+    scale path: int8 cuts vector bytes 4× vs float32, and at 100 TB the
+    quantized corpus re-partitions where the float one spills. Top-10 per
+    probe via the two-phase window rank."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    mx = emb.agg(
+        F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("m")
+    )
+    q = emb.join(F.broadcast(mx)).select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: F.round(x * 127.0 / F.col("m"), 0).cast("long")
+        ).alias("qv"),
+    )
+    p = q.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pv")
+    )
+    qdot = F.aggregate(
+        F.zip_with("qv", "pv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = q.join(F.broadcast(p)).select("probe_id", "vec_id", qdot.alias("qdot"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "vec_id", "qdot")
+    )
+
+
+@register(
+    "d_span_dedup",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+      FROM w, UNNEST(range(1, len(toks) - 6)) AS t(i))
+SELECT gram AS gram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup proxy: every 8-word span (stride 1) is a
+    candidate duplicated passage; spans seen in >= 2 distinct documents
+    come back with occurrence + document counts. This is the
+    shuffle-only span-level twin of the shingle pipeline — one explode,
+    one groupBy on the span. At 100 TB the span string would shuffle as
+    its xxhash64 with the text resolved only for the tiny duplicated
+    survivor set; at gate scale the string itself is the key so the
+    oracle can read it."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    g = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 6)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id", F.array_join(F.slice("toks", F.col("i"), 8), " ").alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "t_tfidf_terms",
+    oracle="""
+WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+d AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+ns AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+s AS (SELECT d.source, d.term, d.tf,
+             d.tf * (LN((1.0 + ns.n) / (1.0 + d.df)) + 1.0) AS score
+      FROM d, ns),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY score DESC, term ASC) AS rn
+      FROM s)
+SELECT source AS source, term AS term, tf AS tf,
+       ROUND(score, 6) AS tfidf
+FROM r WHERE rn <= 5
+""",
+)
+def t_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF (smoothed, sklearn-style idf): term frequency per
+    source, document frequency via a window over the ALREADY-GROUPED
+    (source, term) relation — the raw token explode shuffles exactly
+    once; df and the per-source top-5 are windows over the small grouped
+    set. The corpus-size scalar broadcasts. Ranking uses the raw double
+    score (identical IEEE arithmetic on both engines) with the term as
+    tie-break; only the output rounds."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    d = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    ns = docs.agg(F.countDistinct("source").alias("n"))
+    s = d.join(F.broadcast(ns)).withColumn(
+        "score",
+        F.col("tf") * (F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "tf", F.round("score", 6).alias("tfidf"))
+    )
+
+
+@register(
+    "t_lm_bigram_score",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       FROM w, UNNEST(range(1, len(toks))) AS t(i)),
+model AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+uni AS (SELECT w1, SUM(c2) AS c1 FROM model GROUP BY 1),
+sc AS (SELECT bg.doc_id,
+              CAST(ROUND(-LN(model.c2 / uni.c1) * 1000000000, 0) AS BIGINT) AS nll
+       FROM bg JOIN model USING (w1, w2) JOIN uni USING (w1))
+SELECT doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(nll) / COUNT(*) / 1000000000, 6) AS avg_nll
+FROM sc GROUP BY doc_id
+""",
+)
+def t_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: a word-bigram LM is trained on
+    the corpus itself (one groupBy; unigram totals derived from the
+    bigram counts, no second corpus pass), broadcast to score every
+    document's average negative log-likelihood. The per-bigram NLL
+    rounds into scaled-integer space before summing, so the per-doc
+    aggregate is exact under any partial-sum order. This is the KenLM
+    perplexity-filter shape: at 100 TB the model is counts-only,
+    map-side joinable, and the corpus streams through once."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    )
+    model = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = model.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    m = model.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.round(-F.log(F.col("c2") / F.col("c1")) * 1_000_000_000, 0)
+        .cast("long")
+        .alias("nll"),
+    )
+    sc = bg.join(F.broadcast(m), ["w1", "w2"])
+    return sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("nll") / F.count("*") / 1_000_000_000, 6).alias("avg_nll"),
+    )
