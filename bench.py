@@ -42,6 +42,14 @@ HEADLINE = [
     "d_decontaminate",
     "d_dup_clusters",
     "a_shard_packing",
+    # round-3 flagship additions
+    "r_q8_market_share",
+    "r_q9_product_profit",
+    "w_sessionize_events",
+    "d_span_dedup",
+    "t_lm_bigram_score",
+    "t_tfidf_terms",
+    "v_quantized_knn",
 ]
 
 
