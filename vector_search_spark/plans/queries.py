@@ -3946,19 +3946,22 @@ WITH stock AS (
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
   GROUP BY 1),
-total AS (SELECT SUM(qty) AS tq FROM stock)
+total AS (SELECT SUM(qty) AS tq, COUNT(*) AS np FROM stock)
 SELECT l_partkey AS p_partkey, ROUND(qty, 1) AS stock_qty
-FROM stock, total WHERE qty > 0.002 * tq
+FROM stock, total WHERE qty > 1.5 * tq / np
 """,
 )
 def r_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: important stock — per-part aggregate filtered
-    against a FRACTION OF THE GLOBAL TOTAL (the scalar-subquery HAVING
-    class). The total re-aggregates the per-part relation (tiny) and
-    joins back as a broadcast scalar, so the fact scan runs once.
+    against a GLOBAL-AGGREGATE-derived threshold (the scalar-subquery
+    HAVING class). The total re-aggregates the per-part relation (tiny)
+    and joins back as a broadcast scalar, so the fact scan runs once.
     (Adaptation: value = Σ quantity shipped by NATION_3 suppliers — no
-    partsupp.) Quantities are integral doubles, so both the per-part sums
-    and the 0.002 × total threshold are bit-exact across engines."""
+    partsupp; threshold = 1.5 × the mean per-part quantity, which is
+    SCALE-INVARIANT — a fixed fraction-of-total threshold empties the
+    output as the part count grows, making the gate vacuous at bench
+    SF.) Quantities are integral doubles, so the sums and counts are
+    exact and ``1.5 * tq / np`` evaluates identically on both engines."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -3968,10 +3971,10 @@ def r_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    total = stock.agg(F.sum("qty").alias("tq"))
+    total = stock.agg(F.sum("qty").alias("tq"), F.count("*").alias("np"))
     return (
         stock.join(F.broadcast(total))
-        .filter(F.col("qty") > 0.002 * F.col("tq"))
+        .filter(F.col("qty") > 1.5 * F.col("tq") / F.col("np"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round("qty", 1).alias("stock_qty"),
@@ -4106,22 +4109,35 @@ def v_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, no float-ordering hazard at all. This is the memory-bound
     scale path: int8 cuts vector bytes 4× vs float32, and at 100 TB the
     quantized corpus re-partitions where the float one spills. Top-10 per
-    probe via the two-phase window rank."""
+    probe via the two-phase window rank.
+
+    The corpus is scanned exactly twice: one auxiliary pass collects BOTH
+    the global scale scalar and the 3 raw probe vectors (a documented
+    scalar/probe driver boundary — O(1) rows), and the scoring pass
+    quantizes + scores in a single scan. Probes quantize through the SAME
+    Spark expression as the corpus (applied to a local relation), so the
+    two sides round identically."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    mx = emb.agg(
-        F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("m")
-    )
-    q = emb.join(F.broadcast(mx)).select(
-        "vec_id",
-        F.transform(
-            "e", lambda x: F.round(x * 127.0 / F.col("m"), 0).cast("long")
-        ).alias("qv"),
-    )
-    p = q.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pv")
-    )
+    aux = emb.agg(
+        F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("m"),
+        F.collect_list(
+            F.when(F.col("vec_id") < 3, F.struct("vec_id", "e"))
+        ).alias("probes"),
+    ).collect()[0]
+    m = aux["m"]
+
+    def _quant(col):
+        return F.transform(
+            col, lambda x: F.round(x * 127.0 / F.lit(m), 0).cast("long")
+        )
+
+    p = spark.createDataFrame(
+        [(r["vec_id"], r["e"]) for r in aux["probes"]],
+        "probe_id long, pe array<double>",
+    ).select("probe_id", _quant("pe").alias("pv"))
+    q = emb.select("vec_id", _quant("e").alias("qv"))
     qdot = F.aggregate(
         F.zip_with("qv", "pv", lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -4154,14 +4170,19 @@ def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-only span-level twin of the shingle pipeline — one explode,
     one groupBy on the span. At 100 TB the span string would shuffle as
     its xxhash64 with the text resolved only for the tiny duplicated
-    survivor set; at gate scale the string itself is the key so the
-    oracle can read it."""
+    survivor set (``d_span_dedup_hash`` is that variant); at gate scale
+    the string itself is the key so the oracle can read it.
+
+    Span positions run 1..len-7 (a doc of n tokens has n-7 full 8-grams),
+    matching the oracle's end-EXCLUSIVE ``range(1, len-6)``; docs shorter
+    than 8 tokens yield no spans and are filtered before the explode
+    (``sequence`` would otherwise descend and ``slice`` would throw)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    g = docs.select(
+    g = docs.filter(F.size("toks") >= 8).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - 6)).alias("i"),
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 7)).alias("i"),
         "toks",
     ).select(
         "doc_id", F.array_join(F.slice("toks", F.col("i"), 8), " ").alias("gram")
@@ -4242,12 +4263,18 @@ def t_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's average negative log-likelihood. The per-bigram NLL
     rounds into scaled-integer space before summing, so the per-doc
     aggregate is exact under any partial-sum order. This is the KenLM
-    perplexity-filter shape: at 100 TB the model is counts-only,
-    map-side joinable, and the corpus streams through once."""
+    perplexity-filter shape: at 100 TB the model is counts-only and the
+    corpus streams through once. The model join carries NO broadcast
+    hint — the model's row count grows with corpus vocabulary, so the
+    planner (AQE) must stay free to pick sort-merge when the model
+    outgrows executor memory; at gate scale it auto-broadcasts anyway
+    (see SCALING.md for the forced-SMJ probe). Single-token documents
+    have no bigrams and are filtered before the explode (``sequence(1,
+    0)`` would descend and ``element_at(toks, 0)`` throws)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    bg = docs.select(
+    bg = docs.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
         "toks",
@@ -4265,7 +4292,7 @@ def t_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nll"),
     )
-    sc = bg.join(F.broadcast(m), ["w1", "w2"])
+    sc = bg.join(m, ["w1", "w2"])
     return sc.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.sum("nll") / F.count("*") / 1_000_000_000, 6).alias("avg_nll"),
