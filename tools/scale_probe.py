@@ -128,6 +128,51 @@ def _heaviest_stage_task_quantiles(ui_port: int, min_stage_id: int):
     return best["stageId"], [round(x / 1000.0, 2) for x in q["duration"]]
 
 
+def _shuffle_write_bytes_since(ui_port: int, min_stage_id: int) -> int:
+    """Total shuffle-write bytes across completed stages at/after
+    ``min_stage_id`` (REST API; UI must be enabled)."""
+    import urllib.request
+
+    def get(path):
+        with urllib.request.urlopen(f"http://localhost:{ui_port}/api/v1{path}") as r:
+            return json.load(r)
+
+    app = get("/applications")[0]["id"]
+    return sum(
+        s.get("shuffleWriteBytes", 0)
+        for s in get(f"/applications/{app}/stages?status=complete")
+        if s["stageId"] >= min_stage_id
+    )
+
+
+def span_hash_shuffle_probe(spark, docs_big, ui_port: int, n: int) -> dict:
+    """Shuffle-byte evidence for the hash-keyed span dedup: run the
+    string-keyed and xxhash64-keyed variants on the same replicated corpus
+    and report wall clock + total shuffle-write bytes of each (REST API,
+    stage-window per run). Expected: the hashed variant's shuffle payload
+    collapses to the fixed-width (hash, id, position) triple — the string
+    variant shuffles every 8-word gram."""
+    from vector_search_spark.operators.dedup import (
+        span_gram_stats,
+        span_gram_stats_hashed,
+    )
+
+    out = {"op": "span_hash_shuffle", "copies": n}
+    for tag, fn in (("string", span_gram_stats), ("hash", span_gram_stats_hashed)):
+        marker = _completed_stage_count(ui_port)
+        t0 = time.perf_counter()
+        n_rows = fn(docs_big, "text", "doc_id", 8).count()
+        out[f"{tag}_s"] = round(time.perf_counter() - t0, 2)
+        out[f"{tag}_shuffle_mb"] = round(
+            _shuffle_write_bytes_since(ui_port, marker) / 1e6, 1
+        )
+        out[f"{tag}_rows"] = n_rows
+    out["shuffle_ratio"] = round(
+        out["string_shuffle_mb"] / max(out["hash_shuffle_mb"], 1e-9), 1
+    )
+    return out
+
+
 def _completed_stage_count(ui_port: int) -> int:
     import urllib.request
 
@@ -215,7 +260,8 @@ def main() -> None:
     from vector_search_spark.sources.catalog import load_table
 
     want_skew = not only or "skew_band_join" in only
-    if want_skew:
+    want_span = not only or "span_hash_shuffle" in only
+    if want_skew or want_span:
         # skew probe reads per-task durations from the REST API → needs the
         # UI; thresholds lowered so a ~60 MB hot partition counts as skewed
         # (prod default 256 MB — same mechanism, probe-sized data).
@@ -325,6 +371,8 @@ def main() -> None:
         s = timed(scaled)
         print(json.dumps({"op": name, "base_s": b, "scaled_s": s,
                           "copies": n, "ratio": round(s / max(b, 1e-9), 1)}))
+    if want_span:
+        print(json.dumps(span_hash_shuffle_probe(spark, docs_big, UI_PORT, n)))
     if not only or "cc_chain" in only:
         print(json.dumps(cc_chain_probe(spark, n)))
     if want_skew:

@@ -740,3 +740,98 @@ def embedding_neardup_pairs(
     approx = _embedding_pairs_exact(big, ["blk", "_sig"])
     out = exact.unionByName(approx).filter(F.col("cos") >= threshold)
     return _own_caches(out, [t]) if materialize else out
+
+
+def _span_grams(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, i, toks) → one row per full n-token span at stride 1.
+
+    Positions run 1..len-n+1 (1-based, end-inclusive — a doc of L tokens
+    has L-n+1 full n-grams); docs shorter than ``n`` tokens yield no
+    spans and are filtered BEFORE the explode so ``sequence`` never
+    descends and ``slice`` never sees an invalid start."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"), F.split(text_col, " ").alias("toks")
+        )
+        .filter(F.size("toks") >= n)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i"),
+            "toks",
+        )
+    )
+
+
+def span_gram_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup proxy, string-keyed: every n-token span
+    (stride 1) seen in >= ``min_docs`` distinct documents comes back as
+    (gram, n_occ, n_docs). One explode + one groupBy ON THE SPAN STRING —
+    the oracle-readable gate variant. At 100 TB prefer
+    ``span_gram_stats_hashed``: this variant shuffles the full n-word
+    string as the aggregation key (~n words per span position in the
+    corpus). Reference counterpart: substring-level dedup the reference
+    approximates with whole-row DISTINCT (camp_vec_save.py:6-40)."""
+    g = _span_grams(docs, text_col, id_col, n).select(
+        "id", F.array_join(F.slice("toks", F.col("i"), n), " ").alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def span_gram_stats_hashed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """``span_gram_stats`` with the 100 TB shuffle shape: the aggregation
+    key is ``xxhash64(gram)`` so the shuffle payload per span is ~20 bytes
+    (hash + id + position) instead of the n-word string; gram TEXT is
+    resolved only for the tiny duplicated survivor set, by carrying one
+    representative (id, position) per hash through the aggregate and
+    re-slicing it out of the source document. The resolution join is
+    hint-free — survivors are usually broadcast-sized but grow with the
+    duplicated mass, so AQE must stay free to pick sort-merge.
+
+    Output is identical to the string-keyed variant absent a 64-bit hash
+    collision among distinct duplicated grams (probability ~m²/2⁶⁵ for m
+    distinct grams — negligible below ~10¹² spans; a collision would merge
+    two grams' counts)."""
+    g = _span_grams(docs, text_col, id_col, n).select(
+        "id",
+        "i",
+        F.xxhash64(F.array_join(F.slice("toks", F.col("i"), n), " ")).alias("gh"),
+    )
+    survivors = (
+        g.groupBy("gh")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min(F.struct("id", "i")).alias("rep"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh", "n_occ", "n_docs", "rep.id", "rep.i")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.split(text_col, " ").alias("toks")
+    )
+    return survivors.join(toks, "id").select(
+        F.array_join(F.slice("toks", F.col("i"), n), " ").alias("gram"),
+        "n_occ",
+        "n_docs",
+    )

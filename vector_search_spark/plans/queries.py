@@ -4168,32 +4168,43 @@ def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate duplicated passage; spans seen in >= 2 distinct documents
     come back with occurrence + document counts. This is the
     shuffle-only span-level twin of the shingle pipeline — one explode,
-    one groupBy on the span. At 100 TB the span string would shuffle as
-    its xxhash64 with the text resolved only for the tiny duplicated
-    survivor set (``d_span_dedup_hash`` is that variant); at gate scale
-    the string itself is the key so the oracle can read it.
+    one groupBy on the span string (the oracle-readable gate variant;
+    ``d_span_dedup_hash`` is the 100 TB shuffle shape). Span positions
+    run 1..len-7, matching the oracle's end-EXCLUSIVE ``range(1,
+    len-6)``; docs shorter than 8 tokens yield no spans
+    (operators.dedup._span_grams filters them before the explode)."""
+    from ..operators.dedup import span_gram_stats
 
-    Span positions run 1..len-7 (a doc of n tokens has n-7 full 8-grams),
-    matching the oracle's end-EXCLUSIVE ``range(1, len-6)``; docs shorter
-    than 8 tokens yield no spans and are filtered before the explode
-    (``sequence`` would otherwise descend and ``slice`` would throw)."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    g = docs.filter(F.size("toks") >= 8).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - 7)).alias("i"),
-        "toks",
-    ).select(
-        "doc_id", F.array_join(F.slice("toks", F.col("i"), 8), " ").alias("gram")
-    )
-    return (
-        g.groupBy("gram")
-        .agg(
-            F.count("*").alias("n_occ"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        )
-        .filter(F.col("n_docs") >= 2)
+    return span_gram_stats(_t(spark, sf_dir, "documents"), "text", "doc_id", 8)
+
+
+@register(
+    "d_span_dedup_hash",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+      FROM w, UNNEST(range(1, len(toks) - 6)) AS t(i))
+SELECT gram AS gram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def d_span_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``d_span_dedup`` with the 100 TB shuffle shape: the aggregation key
+    is ``xxhash64(gram)`` — the shuffle carries ~20 bytes per span (hash +
+    doc_id + position) instead of the 8-word string — and gram text is
+    resolved ONLY for the duplicated survivor set by re-slicing one
+    representative (doc_id, position) out of the source document, via a
+    hint-free join AQE is free to broadcast. Same oracle as the
+    string-keyed variant: the outputs are identical absent a 64-bit hash
+    collision among distinct duplicated grams (~m²/2⁶⁵ — negligible at any
+    feasible corpus). See operators.dedup.span_gram_stats_hashed and the
+    ``span_hash_shuffle`` probe in SCALING.md for measured shuffle-byte
+    reduction."""
+    from ..operators.dedup import span_gram_stats_hashed
+
+    return span_gram_stats_hashed(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", 8
     )
 
 
