@@ -173,6 +173,41 @@ def span_hash_shuffle_probe(spark, docs_big, ui_port: int, n: int) -> dict:
     return out
 
 
+def bigram_smj_probe(spark, docs_big, n: int) -> dict:
+    """Proof the bigram-LM score join survives a model too large to
+    broadcast: run ``bigram_lm_scores`` on the replicated corpus with
+    ``autoBroadcastJoinThreshold=-1`` (models every path as if the
+    corpus-derived model outgrew executor memory — the 100 TB reality)
+    and assert the executed plan scored via SortMergeJoin, not a
+    broadcast. Runs the default-threshold variant too for the wall-clock
+    delta, plus the ``min_count``-pruned model path (the bounded
+    broadcastable deployment)."""
+    from vector_search_spark.operators.lm import bigram_lm_scores
+
+    out = {"op": "bigram_smj", "copies": n}
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for tag, thresh in (("auto", old), ("no_broadcast", "-1")):
+            conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+            scored = bigram_lm_scores(docs_big, "text", "doc_id")
+            t0 = time.perf_counter()
+            n_rows = scored.count()
+            out[f"{tag}_s"] = round(time.perf_counter() - t0, 2)
+            out[f"{tag}_rows"] = n_rows
+            plan = scored._jdf.queryExecution().executedPlan().toString()
+            out[f"{tag}_smj"] = "SortMergeJoin" in plan
+            out[f"{tag}_bhj"] = "BroadcastHashJoin" in plan
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        pruned = bigram_lm_scores(docs_big, "text", "doc_id", min_count=2)
+        t0 = time.perf_counter()
+        out["pruned_rows"] = pruned.count()
+        out["pruned_s"] = round(time.perf_counter() - t0, 2)
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return out
+
+
 def _completed_stage_count(ui_port: int) -> int:
     import urllib.request
 
@@ -373,6 +408,8 @@ def main() -> None:
                           "copies": n, "ratio": round(s / max(b, 1e-9), 1)}))
     if want_span:
         print(json.dumps(span_hash_shuffle_probe(spark, docs_big, UI_PORT, n)))
+    if not only or "bigram_smj" in only:
+        print(json.dumps(bigram_smj_probe(spark, docs_big, n)))
     if not only or "cc_chain" in only:
         print(json.dumps(cc_chain_probe(spark, n)))
     if want_skew:

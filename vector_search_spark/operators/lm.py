@@ -1,0 +1,90 @@
+"""Corpus-trained language-model scoring (training-data quality family).
+
+The KenLM-style perplexity filter a 100 TB pretraining pipeline runs over
+every document: train a counts-only word-bigram model on the corpus (one
+groupBy), score each document's average negative log-likelihood, filter on
+the score. Reference counterpart: the reference delegates all text-quality
+judgment to an external LLM (nl_targeting_save.py); this is the
+engine-side statistical twin.
+
+Scale contract: the model's row count grows with corpus VOCABULARY (not
+corpus size, but still unbounded — billions of distinct bigrams on web
+text), so the score join carries NO broadcast hint. At gate scale AQE
+auto-broadcasts the tiny model; past the broadcast threshold the planner
+falls back to sort-merge and the job still completes (probed — see
+``bigram_smj`` in SCALING.md). Callers who want a bounded map-side model
+pass ``min_count`` to prune rare bigrams first (what a real perplexity
+filter does anyway: rare-bigram NLL is noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NLL_SCALE = 1_000_000_000
+
+
+def bigrams(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2) — one row per adjacent word pair, stride 1.
+
+    Single-token documents have no bigrams and are filtered BEFORE the
+    position explode: ``sequence(1, 0)`` would descend and
+    ``element_at(toks, 0)`` throws (1-based arrays)."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+            "toks",
+        )
+        .select(
+            "id",
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+    )
+
+
+def bigram_model(bg: DataFrame, min_count: int = 1) -> DataFrame:
+    """(w1, w2, nll): conditional-probability negative log-likelihood per
+    observed bigram, in scaled-integer space (×1e9, rounded) so downstream
+    per-document sums are exact under any partial-sum order. Unigram
+    totals derive from the bigram counts — no second corpus pass.
+    ``min_count`` > 1 prunes rare bigrams, bounding the model for
+    broadcast-sized deployments (scored docs then skip unseen bigrams,
+    standard for count-pruned LMs)."""
+    model = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    if min_count > 1:
+        model = model.filter(F.col("c2") >= min_count)
+    uni = model.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return model.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.round(-F.log(F.col("c2") / F.col("c1")) * NLL_SCALE, 0)
+        .cast("long")
+        .alias("nll"),
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """(id, n_bigrams, avg_nll): corpus-trained bigram-LM quality score per
+    document. The score join is hint-free (see module docstring); the
+    corpus streams through the bigram explode once for training and once
+    for scoring."""
+    bg = bigrams(docs, text_col, id_col)
+    m = bigram_model(bg, min_count)
+    return (
+        bg.join(m, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("nll") / F.count("*") / NLL_SCALE, 6).alias("avg_nll"),
+        )
+    )

@@ -4281,30 +4281,10 @@ def t_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     outgrows executor memory; at gate scale it auto-broadcasts anyway
     (see SCALING.md for the forced-SMJ probe). Single-token documents
     have no bigrams and are filtered before the explode (``sequence(1,
-    0)`` would descend and ``element_at(toks, 0)`` throws)."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    bg = docs.filter(F.size("toks") >= 2).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
-        "toks",
-    ).select(
-        "doc_id",
-        F.element_at("toks", F.col("i")).alias("w1"),
-        F.element_at("toks", F.col("i") + 1).alias("w2"),
-    )
-    model = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    uni = model.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    m = model.join(uni, "w1").select(
-        "w1",
-        "w2",
-        F.round(-F.log(F.col("c2") / F.col("c1")) * 1_000_000_000, 0)
-        .cast("long")
-        .alias("nll"),
-    )
-    sc = bg.join(m, ["w1", "w2"])
-    return sc.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.sum("nll") / F.count("*") / 1_000_000_000, 6).alias("avg_nll"),
-    )
+    0)`` would descend and ``element_at(toks, 0)`` throws). Logic lives
+    in operators.lm.bigram_lm_scores (shared with the scale probe)."""
+    from ..operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).withColumnRenamed("id", "doc_id")
