@@ -82,17 +82,21 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}
+    loadavg: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
-        # min of two runs: ambient machine load on a shared box swings
+        # min of three runs: ambient machine load on a shared box swings
         # single-run timings 2-3x; the min is a stable estimate of the
-        # operator's actual cost (standard benchmarking practice).
+        # operator's actual cost (standard benchmarking practice). The
+        # 1-minute load average at measurement time is emitted per query so
+        # a later reader can adjudicate noise without re-running.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        loadavg[name] = round(os.getloadavg()[0], 1)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -102,6 +106,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "loadavg": loadavg,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

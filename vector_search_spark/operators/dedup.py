@@ -520,7 +520,9 @@ def dup_clusters(
     does NOT grow with iterations — without the lineage cut, round N
     analyzes a 2^N-deep plan and the driver dies long before the data does
     (observed on the 40-node chain test). The per-round convergence test is
-    a scalar count — the only driver action.
+    a scalar sum(label) compare — labels decrease monotonically, so an
+    unchanged sum means a fixed point — and it is the only driver action
+    per round (it doubles as the lazy checkpoint's materializer).
 
     Only ids that appear in ``pairs`` are emitted (singletons are their own
     trivial cluster and never shuffle at all).
@@ -533,18 +535,49 @@ def dup_clusters(
 
     from pyspark import StorageLevel
 
-    fwd = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
-    rev = pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
-    edges = fwd.union(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (
-        edges.select("src")
+    # Both edge directions come from ONE explode over the pair list — a
+    # fwd.union(rev) would execute the (possibly expensive) upstream pair
+    # pipeline twice when the persist below first materializes.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(left).alias("src"), F.col(right).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(right).alias("src"), F.col(left).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
-        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Seed each node with min(id, min(neighbor)) — this IS round one's
+    # neighbor-min step fused into initialization (one groupBy instead of a
+    # join + groupBy), so the loop starts a full round ahead.
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nb"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_nb")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
+    # Convergence statistic: min-label propagation is monotone — a node's
+    # label only ever decreases — so sum(label) is strictly decreasing
+    # until the fixed point and sum-unchanged ⟺ no label changed. Tracking
+    # the sum replaces the old (join new↔old labels + filter + count)
+    # convergence probe with a single aggregate over `new`, which also
+    # materializes the lazy checkpoint: one shuffle-free action per round.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     if stats is not None:
         stats["rounds"] = 0
         stats["round_wall_s"] = []
+    converged = False
     for _ in range(max_iterations):
         _t0 = _time.perf_counter()
         nb = (
@@ -563,9 +596,9 @@ def dup_clusters(
         parent = prop.select(
             F.col("id").alias("_pid"), F.col("label").alias("_plabel")
         )
-        # lazy checkpoint: the convergence count below materializes it, so
-        # each round costs ONE job instead of an eager-checkpoint job + a
-        # count job (halves fixed scheduling overhead on small graphs).
+        # lazy checkpoint: the convergence aggregate below materializes it,
+        # so each round costs ONE job instead of an eager-checkpoint job +
+        # a count job (halves fixed scheduling overhead on small graphs).
         new = (
             prop.join(parent, prop.label == parent._pid, "left")
             .select(
@@ -576,26 +609,23 @@ def dup_clusters(
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "_old"), "id")
-            .filter(F.col("label") != F.col("_old"))
-            .count()
-        )
+        cur_sum = new.agg(F.sum("label")).first()[0]
         labels = new
         if stats is not None:
             stats["rounds"] += 1
             stats["round_wall_s"].append(round(_time.perf_counter() - _t0, 2))
-        if changed == 0:
+        if cur_sum == prev_sum:
+            converged = True
             break
-    else:
+        prev_sum = cur_sum
+    if not converged:
         # Unconverged labels are WRONG cluster ids, not merely slow — fail
         # loudly. With pointer halving, 25 rounds covers graphs of diameter
         # ~2^25, so hitting this means a bug or an absurd max_iterations.
         edges.unpersist()
         raise RuntimeError(
             f"dup_clusters did not converge within {max_iterations} "
-            f"iterations ({changed} labels still changing); raise "
-            "max_iterations"
+            "iterations (label sum still decreasing); raise max_iterations"
         )
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
