@@ -202,8 +202,20 @@ def test_dup_clusters_connected_components(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
         ["id_a", "id_b"],
     )
-    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # default path: small edge list -> driver union-find
+    stats: dict = {}
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs, stats=stats).collect()}
+    assert got == expected
+    assert stats["mode"] == "driver-union-find"
+    # forced iterative path must agree exactly
+    stats = {}
+    got_iter = {
+        r.id: r.cluster_id
+        for r in dup_clusters(pairs, stats=stats, driver_max_edges=0).collect()
+    }
+    assert got_iter == expected
+    assert stats["mode"] == "iterative"
 
 
 def test_operators_own_persist_lifecycle(spark, sf_dir):
@@ -283,7 +295,7 @@ def test_dup_clusters_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(100, 140)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dup_clusters(pairs, max_iterations=2).collect()
+        dup_clusters(pairs, max_iterations=2, driver_max_edges=0).collect()
 
 
 def test_dup_clusters_long_chain_converges(spark):
@@ -294,6 +306,9 @@ def test_dup_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 140)], ["id_a", "id_b"]
     )
-    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    got = {
+        r.id: r.cluster_id
+        for r in dup_clusters(pairs, driver_max_edges=0).collect()
+    }
     assert set(got.values()) == {100}
     assert len(got) == 41

@@ -87,7 +87,10 @@ def cc_chain_probe(spark, n: int) -> dict:
         stats: dict = {}
         t0 = time.perf_counter()
         got = (
-            dup_clusters(edges, max_iterations=30, stats=stats)
+            # driver_max_edges=0: the probe measures the ITERATIVE path —
+            # the small-graph union-find fast path would otherwise absorb
+            # the base case and break the rounds comparison.
+            dup_clusters(edges, max_iterations=30, stats=stats, driver_max_edges=0)
             .select(F.countDistinct("cluster_id").alias("c"))
             .collect()[0]["c"]
         )

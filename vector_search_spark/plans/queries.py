@@ -4288,3 +4288,59 @@ def t_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(
         _t(spark, sf_dir, "documents"), "text", "doc_id"
     ).withColumnRenamed("id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 4: watermark/late-data certification — the one streaming semantic
+# the earlier rows never exercised (VERDICT r3 missing #3). The reference
+# is batch-only (camp_vec_rcmn.py re-reads whole tables), so late-arrival
+# policy is pure extension surface per SURVEY §2.12.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s_late_data_watermark",
+    oracle="""
+WITH mx AS (SELECT date_trunc('hour', MAX(ts)) AS fh FROM events)
+SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events, mx
+WHERE ts >= fh - INTERVAL 3 HOUR
+GROUP BY 1, 2
+""",
+)
+def s_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order delivery vs a 1-hour watermark, REAL streaming run:
+    the event log is re-landed as three files — batch 0 carries the three
+    hours before the final hour (advancing the watermark), batch 1 the
+    final hour (on time, must count), batch 2 the entire older backlog
+    (late: behind the watermark batch 0 set, must be dropped — it rides
+    two batches behind because Spark's late filter uses the previous
+    trigger's watermark, see make_late_data_batches). The oracle
+    recomputes the keep-set arithmetically: exactly the rows within 3h of
+    the log's final floor-hour survive. If the engine dropped on-time rows
+    or kept late ones, counts and sums diverge. ≥1h margin on both sides
+    of the watermark at every fixture scale, so the gate never rides the
+    boundary-inclusivity edge."""
+    import shutil
+    import tempfile
+
+    from ..streaming.windows import (
+        make_late_data_batches,
+        run_late_data_tumbling_availablenow,
+    )
+
+    _STATEFUL_RUN_COUNTER[0] += 1
+    name = f"late_data_{_STATEFUL_RUN_COUNTER[0]}"
+    out = tempfile.mkdtemp(prefix="spark_graft_late_")
+    try:
+        make_late_data_batches(spark, f"{sf_dir}/events*.parquet", out)
+        # memory sink holds emitted rows in the driver, so the temp files
+        # are free to go before the caller collects
+        result = run_late_data_tumbling_availablenow(spark, out, name, "1 hour")
+        result = result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -34,18 +34,32 @@ def sf_dir_from_env() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized parquet
-        # reader rejects; read nanos as long and surface a clean timestamp
-        # column (µs precision — all downstream bucketing is ≥1s grain).
-        from pyspark.sql import functions as F
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events read that adapts to the fixture's physical timestamp type.
+    Fixture generations have shipped ``ts`` as both TIMESTAMP(NANOS) —
+    which the vectorized parquet reader only accepts as int64 under
+    ``nanosAsLong`` — and plain TIMESTAMP(MICROS). Setting the legacy conf
+    is harmless for micros files, so set it, read, and convert only when
+    the column actually surfaced as a long (µs precision is enough — all
+    downstream bucketing is ≥1s grain)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    # micros files surface as TIMESTAMP_NTZ; normalize to TIMESTAMP (session
+    # tz is pinned UTC, so the instant is unchanged) — watermarks and every
+    # downstream consumer expect the event-time column to be TIMESTAMP.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

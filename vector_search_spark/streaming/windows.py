@@ -16,34 +16,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# events.parquet physical schema: ts is TIMESTAMP(NANOS), which the file
-# source only reads as long under nanosAsLong (see sources.catalog).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pyspark.sql.types import LongType, StructType
 
 
-def stream_events(spark: SparkSession, path_dir: str) -> DataFrame:
+def _events_raw_schema(spark: SparkSession, path_glob: str) -> StructType:
+    """File-source streams need an explicit schema. Derive it from a batch
+    footer read under ``nanosAsLong`` so BOTH fixture generations work:
+    TIMESTAMP(NANOS) surfaces ``ts`` as int64 nanos, TIMESTAMP(MICROS) as a
+    timestamp (see sources.catalog.read_events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path_glob).schema
+
+
+def stream_events(
+    spark: SparkSession, path_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over events parquet (use Trigger.availableNow in
     tests to drain it as a bounded stream)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path_dir)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    schema = _events_raw_schema(spark, path_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path_dir)
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    # normalize TIMESTAMP_NTZ → TIMESTAMP (no-op otherwise; session tz is
+    # UTC): withWatermark rejects NTZ event-time columns.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_agg(
@@ -161,6 +162,104 @@ def run_stream_static_agg_availablenow(
     q.awaitTermination()
     emitted = spark.table(table_name)
     return emitted.groupBy("segment", "event_type").agg(
+        F.max("n").alias("n"),
+        F.max_by("sum_value", "n").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-data / watermark certification (VERDICT r3 "What's missing" #3)
+# ---------------------------------------------------------------------------
+
+def make_late_data_batches(spark: SparkSession, events_glob: str, out_dir: str) -> None:
+    """Split the event log into three parquet files that the file source
+    picks up in watermark-meaningful order (mtime ascending, one file per
+    micro-batch under ``maxFilesPerTrigger=1``):
+
+    - ``a.parquet`` (batch 0): the three hours of events immediately
+      before the log's final full hour ``fh``. Committing it advances the
+      watermark to ``max(a.ts) - delay``.
+    - ``b.parquet`` (batch 1): the final hour's events (``ts >= fh`` —
+      ahead of every watermark, must be counted).
+    - ``c.parquet`` (batch 2): the entire older backlog (``ts < fh-3h``) —
+      LATE: its hour-windows closed ≥2h behind the watermark batch 0 set,
+      so a correct engine drops every row.
+
+    The backlog rides in the THIRD batch because Spark's stateful
+    operators filter late events with the watermark of the *previous*
+    trigger (watermarkForLateEvents, SPARK-40925): a batch-N row is
+    checked against the watermark that was in force during batch N-1,
+    i.e. the value committed at the end of batch N-2. Batch 2 is the
+    first batch whose late-filter watermark reflects batch 0's event
+    times — measured empirically on this engine (numRowsDroppedByWatermark
+    stays 0 for late rows delivered in batch 1, fires in batch 2).
+
+    The split is cut on the floor-hour of the global max timestamp, so
+    every batch-2 row is unambiguously late (window end ≤ fh-3h vs
+    late-filter watermark ≥ fh-2h at every fixture scale — the band
+    [fh-3h, fh) always contains events within the last 40 minutes of its
+    end). The files carry ``ts`` as a normalized timestamp column, so the
+    stream reader's footer-derived schema applies to them unchanged.
+    """
+    import datetime as _dt
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, events_glob)
+    fh: _dt.datetime = ev.agg(
+        F.date_trunc("hour", F.max("ts")).alias("fh")
+    ).first()["fh"]
+    cutoff = fh - _dt.timedelta(hours=3)
+    ts_type = ev.schema["ts"].dataType
+    lo = F.lit(cutoff).cast(ts_type)
+    hi = F.lit(fh).cast(ts_type)
+    stage = tempfile.mkdtemp(prefix="spark_graft_late_stage_")
+    try:
+        for name, pred, mtime in (
+            ("a", (F.col("ts") >= lo) & (F.col("ts") < hi), 1_000_000_000),
+            ("b", F.col("ts") >= hi, 1_000_000_100),
+            ("c", F.col("ts") < lo, 1_000_000_200),
+        ):
+            part_dir = os.path.join(stage, name)
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+            (part,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(out_dir, f"{name}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (mtime, mtime))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def run_late_data_tumbling_availablenow(
+    spark: SparkSession,
+    path_dir: str,
+    table_name: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drain the two-file late-data layout one file per micro-batch through
+    a watermarked tumbling aggregation (update mode) and return the final
+    per-window state. The watermark is recomputed after every micro-batch
+    from the max event time seen so far, so batch 2's backlog of old events
+    arrives strictly behind it and must be dropped — the semantics this row
+    certifies against a batch oracle that recomputes the keep-set
+    arithmetically. Counts are monotone within a window, so max/max_by
+    collapse per-batch update emissions to the final value."""
+    ev = stream_events(spark, path_dir, max_files_per_trigger=1)
+    q = (
+        tumbling_agg(ev, "1 hour", watermark=watermark)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(table_name)
+    return emitted.groupBy("window_start", "event_type").agg(
         F.max("n").alias("n"),
         F.max_by("sum_value", "n").alias("sum_value"),
     )
