@@ -392,6 +392,106 @@ def main() -> None:
         v = src.filter("event_type = 'view'").select("user_id", "ts", "value")
         return lambda: asof_join(p, v, ["user_id"], right_cols=["value"]).count()
 
+    def sessionize(src):
+        # w_sessionize_events shape: ONE shuffle on user_id feeds both
+        # window passes and the session aggregate. Replication multiplies
+        # users (ids shifted), so per-user work is constant — linear class.
+        from pyspark.sql import Window
+
+        def run():
+            ev2 = src.select(
+                "user_id", F.unix_micros("ts").alias("tus"), "event_id", "value"
+            )
+            w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+            brk = F.when(
+                F.lag("tus").over(w).isNull()
+                | (F.col("tus") - F.lag("tus").over(w) > 1_800_000_000),
+                1,
+            ).otherwise(0)
+            s = ev2.withColumn("brk", brk).withColumn(
+                "sid",
+                F.sum("brk").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            return (
+                s.groupBy("user_id", "sid")
+                .agg(F.count("*").alias("n_events"), F.sum("value"))
+                .count()
+            )
+
+        return run
+
+    def tfidf(src):
+        # t_tfidf_terms shape: token explode shuffles once into (source,
+        # term) groups; df/top-k are windows over the small grouped set.
+        # Salted copies grow the vocabulary 10x — the grouped relation
+        # scales with the data, the plan shape must not change.
+        from pyspark.sql import Window
+
+        def run():
+            tok = src.select("source", F.explode(F.split("text", " ")).alias("term"))
+            tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+            d = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+            ns = src.agg(F.countDistinct("source").alias("n"))
+            s = d.join(F.broadcast(ns)).withColumn(
+                "score",
+                F.col("tf")
+                * (F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0),
+            )
+            w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+            return (
+                s.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 5)
+                .count()
+            )
+
+        return run
+
+    def quantized_knn(src):
+        # v_quantized_knn shape: one auxiliary scan for the scale scalar +
+        # probes, one scoring scan (broadcast probes, integer dot). Cost is
+        # one corpus pass per run — linear class.
+        from pyspark.sql import Window
+
+        def run():
+            e2 = src.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+            aux = e2.agg(
+                F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("m"),
+                F.collect_list(
+                    F.when(F.col("vec_id") < 3, F.struct("vec_id", "e"))
+                ).alias("probes"),
+            ).collect()[0]
+            m = aux["m"]
+
+            def _quant(col):
+                return F.transform(
+                    col, lambda x: F.round(x * 127.0 / F.lit(m), 0).cast("long")
+                )
+
+            spark = src.sparkSession
+            p = spark.createDataFrame(
+                [(r["vec_id"], r["e"]) for r in aux["probes"]],
+                "probe_id long, pe array<double>",
+            ).select("probe_id", _quant("pe").alias("pv"))
+            q = e2.select("vec_id", _quant("e").alias("qv"))
+            qdot = F.aggregate(
+                F.zip_with("qv", "pv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            d = q.join(F.broadcast(p)).select("probe_id", "vec_id", qdot.alias("qdot"))
+            w = Window.partitionBy("probe_id").orderBy(F.desc("qdot"), F.asc("vec_id"))
+            return (
+                d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 10)
+                .count()
+            )
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -401,6 +501,9 @@ def main() -> None:
         ("embedding_neardup_exact", neardup_exact(emb), neardup_exact(emb_big)),
         ("embedding_neardup_default", neardup_default(emb), neardup_default(emb_big)),
         ("asof_join", asof(ev), asof(ev_big)),
+        ("sessionize", sessionize(ev), sessionize(ev_big)),
+        ("tfidf", tfidf(docs), tfidf(docs_big)),
+        ("quantized_knn", quantized_knn(emb), quantized_knn(emb_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:
