@@ -4344,3 +4344,130 @@ def s_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@register(
+    "s_stream_stream_join",
+    oracle="""
+SELECT v.user_id AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+       ROUND(SUM(p.value), 4) AS sum_value
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY 1
+""",
+)
+def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution as a REAL stream-stream inner join: two
+    watermarked file streams over the same event log joined on user with
+    the interval condition ``v_ts <= p_ts <= v_ts + 30 min`` — the join
+    class Structured Streaming bounds state for ONLY because the range
+    constraint lets it expire view-side rows once the purchase watermark
+    passes ``v_ts + 30min``. Drained with availableNow into a memory
+    sink, then aggregated per user; the oracle is the equivalent batch
+    self-join. Matches in an inner join emit immediately, so the drained
+    set equals batch semantics exactly."""
+    from ..streaming.windows import run_stream_stream_join_availablenow
+
+    _STATEFUL_RUN_COUNTER[0] += 1
+    name = f"stream_stream_join_{_STATEFUL_RUN_COUNTER[0]}"
+    pairs = run_stream_stream_join_availablenow(
+        spark, f"{sf_dir}/events*.parquet", name
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "t_bm25_topk",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+qt AS (SELECT term FROM tok GROUP BY term ORDER BY COUNT(*) DESC, term ASC LIMIT 5),
+tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+stats AS (SELECT CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl,
+                 COUNT(*) AS n FROM t),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+              CAST(ROUND(LN(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+                   * 1000000000, 0) AS BIGINT) AS ci
+       FROM tf JOIN df USING (term), stats),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_query_terms,
+               CAST(SUM(ci) AS BIGINT) AS ci
+        FROM sc GROUP BY 1)
+SELECT doc_id AS doc_id, n_query_terms AS n_query_terms,
+       ROUND(ci / 1000000000.0, 6) AS bm25
+FROM agg ORDER BY ci DESC, doc_id ASC LIMIT 20
+""",
+)
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (k1=1.2, b=0.75) against a deterministic
+    query: the corpus's 5 most frequent terms (count desc, term asc). The
+    retrieval-quality twin of t_tfidf_terms — the scoring relation is the
+    token explode semi-joined to the 5 broadcast query terms, so the big
+    shuffle is one (doc, term) aggregation over a 5-term slice of the
+    corpus, never the full vocabulary. Doc length rides through the
+    explode (no second join to a lengths table); N and avgdl broadcast as
+    a 1-row scalar; df is a window over the already-grouped slice. Each
+    per-term contribution rounds into scaled-integer space before the
+    per-doc sum, so the aggregate is exact under any partial-sum order —
+    both engines rank on identical integers (the t_lm_bigram_score
+    move). avgdl is computed as exact-integer token total / doc count so
+    no float accumulation order can skew it."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    tok = docs.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    qt = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("term"))
+        .limit(5)
+        .select("term")
+    )
+    tfq = (
+        tok.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = docs.agg(
+        F.sum(F.size("toks")).alias("s_tok"), F.count("*").alias("n_docs")
+    )
+    d = tfq.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    s = d.join(F.broadcast(stats))
+    avgdl = F.col("s_tok").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+    )
+    sc = s.withColumn("ci", F.round(contrib * 1e9, 0).cast("long"))
+    per_doc = sc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_query_terms"),
+        F.sum("ci").alias("ci"),
+    )
+    return (
+        per_doc.orderBy(F.desc("ci"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "n_query_terms",
+            F.round(F.col("ci") / 1e9, 6).alias("bm25"),
+        )
+    )

@@ -263,3 +263,60 @@ def run_late_data_tumbling_availablenow(
         F.max("n").alias("n"),
         F.max_by("sum_value", "n").alias("sum_value"),
     )
+
+
+def run_stream_stream_join_availablenow(
+    spark: SparkSession,
+    path_glob: str,
+    table_name: str,
+    attribution: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """REAL stream-stream inner join (view→purchase attribution): two
+    file-source streams over the same event log — one filtered to views,
+    one to purchases — joined on user with the classic interval condition
+    ``view.ts <= purchase.ts <= view.ts + attribution``. Both sides carry
+    watermarks and the join carries the time-range constraint, which is
+    exactly what lets Spark bound the join STATE at scale: a view's state
+    row is dropped once the purchase-side watermark passes
+    ``v_ts + attribution`` — without the range condition the state grows
+    with the whole stream. Inner-join output emits matches immediately
+    (append mode), so draining with availableNow yields the complete
+    batch-equivalent match set."""
+    views = (
+        stream_events(spark, path_glob)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        stream_events(spark, path_glob)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {attribution}")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
