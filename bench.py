@@ -50,6 +50,8 @@ HEADLINE = [
     "t_lm_bigram_score",
     "t_tfidf_terms",
     "v_quantized_knn",
+    # round-4 flagship additions
+    "t_bm25_topk",
 ]
 
 

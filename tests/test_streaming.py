@@ -195,3 +195,93 @@ def test_streaming_parquet_sink_with_checkpoint(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out_dir).count() == 1000
     run_once()  # same checkpoint: no new input → no duplicates
     assert spark.read.parquet(out_dir).count() == 1000
+
+
+def test_late_data_dropped_after_watermark_commits(spark, sf_dir):
+    """Three-batch out-of-order delivery: the old backlog (batch 2) must
+    be dropped by the watermark committed in batch 0 — and the final-hour
+    rows (batch 1) must be counted. Asserts the DROP explicitly via the
+    stateful operator's numRowsDroppedByWatermark metric, complementing
+    the s_late_data_watermark value-oracle gate row."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.streaming.windows import (
+        make_late_data_batches,
+        stream_events,
+        tumbling_agg,
+    )
+
+    out = tempfile.mkdtemp(prefix="late_test_")
+    try:
+        make_late_data_batches(spark, f"{sf_dir}/events*.parquet", out)
+        ev = stream_events(spark, out, max_files_per_trigger=1)
+        q = (
+            tumbling_agg(ev, "1 hour", watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("late_unit")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        backlog = (
+            spark.read.parquet(f"{out}/c.parquet").count()
+        )
+        assert backlog > 0
+        # the stateful op meters most (not all) excluded rows — a portion
+        # can be filtered before stateStoreSave; the VALUE equality below
+        # is the authoritative check that every backlog row was excluded
+        assert 0 < dropped <= backlog, (dropped, backlog)
+        # kept set = the 4 final hours; oracle recomputed batch-side
+        ev_b = load_table(spark, sf_dir, "events")
+        fh = ev_b.agg(F.date_trunc("hour", F.max("ts")).alias("fh")).first()["fh"]
+        import datetime as dt
+
+        expected = ev_b.filter(
+            F.col("ts") >= F.lit(fh - dt.timedelta(hours=3))
+        ).count()
+        got = (
+            spark.table("late_unit")
+            .groupBy("window_start", "event_type")
+            .agg(F.max("n").alias("n"))
+            .agg(F.sum("n"))
+            .first()[0]
+        )
+        assert got == expected, (got, expected)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_dir):
+    """The watermarked view→purchase interval join drained as a stream
+    must equal the batch self-join exactly."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.streaming.windows import (
+        run_stream_stream_join_availablenow,
+    )
+
+    got = run_stream_stream_join_availablenow(
+        spark, events_dir, "ssj_unit"
+    ).count()
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    expected = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    assert got == expected and got > 0, (got, expected)

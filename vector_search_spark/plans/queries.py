@@ -4423,22 +4423,29 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum, so the aggregate is exact under any partial-sum order —
     both engines rank on identical integers (the t_lm_bigram_score
     move). avgdl is computed as exact-integer token total / doc count so
-    no float accumulation order can skew it."""
+    no float accumulation order can skew it. The 5 derived terms collect
+    to the driver (a documented O(1) scalar boundary, like the
+    quantized-KNN probes) so the scoring pass filters with a pushed-down
+    isin instead of a join — a real deployment receives its query terms
+    as input and pays ONE corpus scan for scoring."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     tok = docs.select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
     )
-    qt = (
-        tok.groupBy("term")
-        .agg(F.count("*").alias("n_occ"))
-        .orderBy(F.desc("n_occ"), F.asc("term"))
-        .limit(5)
-        .select("term")
-    )
+    qt = [
+        r["term"]
+        for r in (
+            tok.groupBy("term")
+            .agg(F.count("*").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), F.asc("term"))
+            .limit(5)
+            .collect()
+        )
+    ]
     tfq = (
-        tok.join(F.broadcast(qt), "term")
+        tok.filter(F.col("term").isin(qt))
         .groupBy("doc_id", "term", "dl")
         .agg(F.count("*").alias("tf"))
     )
