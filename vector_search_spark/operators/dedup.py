@@ -934,3 +934,68 @@ def span_gram_stats_hashed(
         "n_occ",
         "n_docs",
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup detection: c(a→b) = |A∩B| / |A|.
+
+    Symmetric Jaccard misses subset duplication — a short document quoted
+    whole inside a long one scores |A|/|B| ≈ 0 Jaccard but containment
+    c(a→b) = 1. This is the boilerplate/quotation/wrapper case a training
+    corpus hits constantly (same article re-published inside a longer
+    page). Candidates come from the SAME MinHash-LSH banding as
+    ``minhash_lsh_pairs`` (one band shuffle, never all-pairs); the exact
+    re-rank computes both directions and keeps pairs whose larger
+    containment clears ``threshold``. Like all LSH recall, pairs whose
+    JACCARD is too low to collide in any band can be missed — real
+    containment-first systems (e.g. Shrivastava's asymmetric MinHash)
+    re-sketch for containment; the banding here is the shared-infra
+    variant and the oracle reproduces its exact candidate set.
+
+    Persist lifecycle is operator-owned (``_own_caches``)."""
+    rows_per_band = n_hashes // bands
+    from pyspark import StorageLevel
+
+    t_cached = _unit_sets(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    t = t_cached.filter(F.size("tk") > 0)
+    sig_src = _minhash_signatures_from_tokens(t.select("id", "tk"), n_hashes)
+    banded = sig_src.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key").persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _bucket_pairs(banded)
+    rerank = cands.join(
+        t.select(F.col("id").alias("id_a"), F.col("tk").alias("tk_a")), "id_a"
+    ).join(t.select(F.col("id").alias("id_b"), F.col("tk").alias("tk_b")), "id_b")
+    inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
+    out = (
+        rerank.withColumn("c_ab", inter / F.size("tk_a"))
+        .withColumn("c_ba", inter / F.size("tk_b"))
+        .filter(F.greatest("c_ab", "c_ba") >= threshold)
+        .select("id_a", "id_b", "c_ab", "c_ba")
+    )
+    return _own_caches(out, [t_cached, banded])

@@ -4478,3 +4478,151 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ci") / 1e9, 6).alias("bm25"),
         )
     )
+
+
+@register(
+    "d_containment_pairs",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+t AS (
+  SELECT id, {_DUCK_SHINGLES3} AS tk FROM w),
+hashed AS (
+  SELECT id, list_transform(tk, t -> {_duck_poly("t", v="q")}) AS hs FROM t),
+sigs AS (
+  SELECT id, {_DUCK_MINHASH_SIG} AS sig FROM hashed),
+banded AS (
+  SELECT id, b.band,
+         array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+                                        x -> CAST(x AS VARCHAR)), ',') AS key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id),
+rerank AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ta.tk, tb.tk))::DOUBLE / len(ta.tk) AS c_ab,
+         len(list_intersect(ta.tk, tb.tk))::DOUBLE / len(tb.tk) AS c_ba
+  FROM cands c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b)
+SELECT id_a AS id_a, id_b AS id_b,
+       ROUND(c_ab, 6) AS c_ab, ROUND(c_ba, 6) AS c_ba
+FROM rerank WHERE GREATEST(c_ab, c_ba) >= 0.6
+""",
+)
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: c(a→b) = |A∩B|/|A| catches the
+    subset-duplication case symmetric Jaccard misses (a document quoted
+    whole inside a longer page scores Jaccard ≈ |A|/|B| but containment
+    ≈ 1) — the boilerplate/quotation/wrapper dedup a training corpus
+    needs. Candidates ride the same MinHash-LSH band shuffle as
+    d_minhash_lsh_pairs; exact re-rank emits both directions. See
+    operators.dedup.containment_pairs for the recall caveat (bands are
+    Jaccard-tuned; a containment-first deployment re-sketches)."""
+    from ..operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    res = containment_pairs(docs, "text", "doc_id", 16, 4, 0.6, shingle_n=3)
+    return res.select(
+        "id_a",
+        "id_b",
+        F.round("c_ab", 6).alias("c_ab"),
+        F.round("c_ba", 6).alias("c_ba"),
+    )
+
+
+@register(
+    "v_ivf_recall_sweep",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cid ASC) AS rn
+    FROM e CROSS JOIN cent) t WHERE rn = 1),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 3),
+nps AS (SELECT unnest([1, 2, 4]) AS np),
+pc AS (
+  SELECT p.probe_id, p.pv, cent.cid,
+    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+      ORDER BY list_cosine_similarity(p.pv, cent.cv) DESC, cent.cid ASC) AS rn
+  FROM p CROSS JOIN cent),
+ivf AS (
+  SELECT np, probe_id, vec_id FROM (
+    SELECT n.np, pc.probe_id, a.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY n.np, pc.probe_id
+        ORDER BY list_cosine_similarity(a.v, pc.pv) DESC, a.vec_id ASC) AS rn2
+    FROM nps n JOIN pc ON pc.rn <= n.np JOIN assign a ON a.cid = pc.cid) t
+  WHERE rn2 <= 10),
+exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, e.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        ORDER BY list_cosine_similarity(e.v, p.pv) DESC, e.vec_id ASC) AS rn
+    FROM e CROSS JOIN p) t WHERE rn <= 10)
+SELECT i.probe_id AS probe_id, CAST(i.np AS BIGINT) AS nprobe,
+       CAST(COUNT(x.vec_id) AS BIGINT) AS hits10
+FROM ivf i LEFT JOIN exact x
+  ON x.probe_id = i.probe_id AND x.vec_id = i.vec_id
+GROUP BY 1, 2
+""",
+)
+def v_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@10 sweep over n_probe ∈ {1, 2, 4}: the accuracy/cost
+    dial every ANN deployment tunes. Per (probe, n_probe), how many of
+    the exact cosine top-10 the IVF search returns — deterministic
+    centroids (vec_id < 16) make this a FULL value oracle, not a recall
+    contract: DuckDB reproduces assignment, probing, re-rank and the
+    exact baseline bit-for-bit. The assignment pass is shared across the
+    three sweep points (one corpus scan + one persisted assignment, the
+    index-build cost a real deployment amortizes across every query)."""
+    from ..operators.ann import ivf_assign, ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assigned = ivf_assign(emb, cents).persist()
+    probes = _probes(emb, 3)
+    from ..functions.vector import cosine_sim
+
+    exact = (
+        emb.crossJoin(F.broadcast(probes))
+        .withColumn("score", cosine_sim("embedding", "probe_vec"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.desc("score"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "vec_id")
+    )
+    parts = []
+    for np_ in (1, 2, 4):
+        r = ivf_knn(assigned, cents, probes, k=10, n_probe=np_).select(
+            "probe_id", "vec_id", F.lit(np_).cast("long").alias("nprobe")
+        )
+        parts.append(r)
+    from functools import reduce
+
+    ivf_all = reduce(lambda a, b: a.unionByName(b), parts)
+    hits = (
+        ivf_all.join(exact, ["probe_id", "vec_id"], "left_semi")
+        .groupBy("probe_id", "nprobe")
+        .agg(F.count("*").alias("hits10"))
+    )
+    grid = ivf_all.select("probe_id", "nprobe").distinct()
+    out = grid.join(hits, ["probe_id", "nprobe"], "left").select(
+        "probe_id",
+        "nprobe",
+        F.coalesce("hits10", F.lit(0)).cast("long").alias("hits10"),
+    )
+    result = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return result
