@@ -4626,3 +4626,224 @@ def v_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.localCheckpoint(eager=True)
     assigned.unpersist()
     return result
+
+
+@register(
+    "w_cohort_retention",
+    oracle="""
+WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+           FROM events GROUP BY 1),
+a AS (SELECT e.user_id, f.cohort,
+             date_diff('day', f.cohort, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN f USING (user_id))
+SELECT STRFTIME(cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2
+""",
+)
+def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day, then
+    distinct-user counts per (cohort, day offset) — the product-analytics
+    staple. The cohort assignment is a window MIN over the SAME user_id
+    shuffle the final aggregate groups on (no groupBy-then-join-back
+    second shuffle of the event log); only the small (cohort, offset)
+    aggregation exchanges after that."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    w = Window.partitionBy("user_id")
+    a = ev.withColumn("cohort", F.min("day").over(w)).withColumn(
+        "day_offset", F.datediff(F.col("day"), F.col("cohort")).cast("long")
+    )
+    return a.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"), "day_offset"
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "d_snapshot_diff",
+    oracle="""
+WITH v2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 23 = 0),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text != b.text THEN 'changed'
+              ELSE 'unchanged' END AS class
+  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+SELECT class AS class, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1
+""",
+)
+def d_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (dataset versioning): v1 vs a deterministic
+    synthetic v2 (every 10th doc edited, every 17th dropped, every 23rd
+    re-added under a new id) classified added/removed/changed/unchanged
+    via ONE full-outer join on doc_id — the incremental-ingest primitive
+    that decides what to re-embed/re-index after a crawl refresh. At
+    100 TB both sides bucket/shuffle once on the id; text comparison
+    happens post-join on the co-located pair, and a real deployment
+    compares content hashes (xxhash64) instead of full text to keep the
+    shuffle narrow."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("a_id"), F.col("text").alias("a_text")
+    )
+    b = v2.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    j = a.join(b, a.a_id == b.b_id, "full_outer").select(
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_text") != F.col("b_text"), "changed")
+        .otherwise("unchanged")
+        .alias("class")
+    )
+    return j.groupBy("class").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "p_weighted_sample",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, lang, n_chars,
+         -LN(({_duck_poly("CAST(doc_id AS VARCHAR)")} % 1000000 + 1)
+             / 1000001.0) / n_chars AS es_key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id AS doc_id, lang AS lang,
+       CAST(n_chars AS BIGINT) AS weight,
+       ROUND(es_key * 1000000, 6) AS es_key_ppm
+FROM k ORDER BY es_key ASC, doc_id ASC LIMIT 20
+""",
+)
+def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis exponential
+    keys): u = portable-hash(id) mapped into (0,1], key = -ln(u)/weight,
+    take the smallest keys — a weight-proportional sample that is a pure
+    function of the id, so it is reproducible across reshuffles, re-runs
+    and cluster sizes (the p_hash_split property, extended to WEIGHTED
+    selection — here weight = n_chars, favoring long documents the way a
+    token-budget subsample would). No shuffle until the global top-k;
+    at 100 TB this is takeOrdered over a scan."""
+    from ..functions.text import poly_hash
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (poly_hash(F.col("doc_id").cast("string")) % 1000000 + 1) / 1000001.0
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.round(key * 1000000, 6).alias("es_key_ppm"),
+            key.alias("_k"),
+        )
+        .orderBy(F.asc("_k"), F.asc("doc_id"))
+        .limit(20)
+        .drop("_k")
+    )
+
+
+@register(
+    "pipe_rag_retrieval",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ch AS (
+  SELECT t.doc_id, g.i AS chunk_id,
+         array_to_string(t.toks[g.i * 40 + 1 : g.i * 40 + 50], ' ') AS chunk_text
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(CEIL(len(t.toks) / 40.0) AS BIGINT) - 1)) AS i) g),
+q AS (
+  SELECT doc_id AS query_id, array_to_string(toks[1:30], ' ') AS qtext
+  FROM t WHERE doc_id < 2),
+cr AS (SELECT doc_id, chunk_id, {_duck_embed_raw('chunk_text')} AS rv FROM ch),
+cn AS (SELECT doc_id, chunk_id, rv,
+              sqrt(list_sum(list_transform(rv, _nx -> _nx * _nx))) AS nrm FROM cr),
+cemb AS (SELECT doc_id, chunk_id,
+                list_transform(rv, _vx -> (_vx / nrm)::FLOAT) AS emb FROM cn),
+qr AS (SELECT query_id, {_duck_embed_raw('qtext')} AS rv FROM q),
+qn AS (SELECT query_id, rv,
+              sqrt(list_sum(list_transform(rv, _nx -> _nx * _nx))) AS nrm FROM qr),
+qemb AS (SELECT query_id,
+                list_transform(rv, _vx -> (_vx / nrm)::FLOAT) AS emb FROM qn),
+sc AS (
+  SELECT q.query_id, c.doc_id, c.chunk_id,
+         {_duck_cos('c.emb', 'q.emb')} AS score
+  FROM cemb c, qemb q WHERE c.doc_id != q.query_id)
+SELECT query_id AS query_id, doc_id AS doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id, ROUND(score, 6) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC, chunk_id ASC) AS rn
+  FROM sc) z
+WHERE rn <= 3
+""",
+)
+def pipe_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval: sliding-window chunking (50 tokens,
+    stride 40, pure Catalyst) → batch chunk embedding (Arrow mapInPandas,
+    the md5 fake — bit-exact in DuckDB, so the WHOLE chain carries a
+    value oracle) → per-query cosine top-3 with self-doc exclusion. The
+    queries are the first 30 tokens of docs 0 and 1 (deterministic probe
+    texts); their 2 embeddings broadcast against the chunk corpus, so
+    retrieval is one scan of the chunk-embedding relation — exactly the
+    shape a 100 TB chunk store serves (probes broadcast, corpus never
+    re-shuffles). Chunk provenance (doc_id, chunk_id) rides through for
+    context assembly."""
+    from ..functions.vector import cosine_sim
+    from ..llm.embed import embed_texts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n_chunks = (F.ceil(F.size("toks") / F.lit(40.0))).cast("int")
+    chunks = (
+        docs.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("ck", F.slice("toks", F.col("chunk_id") * 40 + 1, 50))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join("ck", " ").alias("chunk_text"),
+        )
+    )
+    cemb = embed_texts(chunks, "chunk_text").select(
+        "doc_id", "chunk_id", "embedding"
+    )
+    queries = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice("toks", 1, 30), " ").alias("qtext"),
+    )
+    qemb = embed_texts(queries, "qtext").select(
+        "query_id", F.col("embedding").alias("qv")
+    )
+    sc = (
+        cemb.join(F.broadcast(qemb), cemb.doc_id != qemb.query_id)
+        .withColumn("score", cosine_sim("embedding", "qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("chunk_id")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "doc_id", "chunk_id", F.round("score", 6).alias("score"))
+    )
