@@ -285,3 +285,78 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, events_dir):
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).count()
     assert got == expected and got > 0, (got, expected)
+
+
+def test_stream_stream_left_outer_null_extension(spark):
+    """Stream-stream LEFT OUTER join: unmatched left rows must emit
+    null-extended once the join watermark (the MIN across both streams)
+    passes their join window — and rows the watermark has not passed must
+    stay withheld in state. Four micro-batches with ≥20-minute margins on
+    every eviction boundary, so the assertion is exact:
+
+    - view 1 matches purchase 10 inside the 30-min window (emits joined)
+    - views 2, 3, 4: unmatched; the final watermark (18:00 - 10min delay)
+      passes v_ts + 30min for all three → null-extended rows emit
+    - view 5 (18:00): 18:30 > 17:50 → still in state, must NOT emit
+
+    Both sides must keep advancing for anything to evict: the join
+    watermark is min(v_wm, p_wm), so a stream that goes quiet freezes
+    eviction — the scenario also documents that operational gotcha."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="lsj_test_")
+    try:
+        def mk(name, rows, mtime):
+            df = spark.createDataFrame(rows, "id long, u long, ts timestamp, k string")
+            stage = out + "_s_" + name
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = glob.glob(stage + "/part-*.parquet")
+            shutil.move(part, os.path.join(out, name + ".parquet"))
+            os.utime(os.path.join(out, name + ".parquet"), (mtime, mtime))
+
+        T = dt.datetime(2024, 1, 1, 10, 0)
+        mk("a", [(1, 100, T, "v"), (2, 200, T + dt.timedelta(minutes=5), "v")], 1_000_000_000)
+        mk("b", [(10, 100, T + dt.timedelta(minutes=10), "p"),
+                 (11, 999, T + dt.timedelta(hours=6), "p"),
+                 (3, 300, T + dt.timedelta(hours=6), "v")], 1_000_000_100)
+        mk("c", [(12, 999, T + dt.timedelta(hours=7), "p"),
+                 (4, 400, T + dt.timedelta(hours=7), "v")], 1_000_000_200)
+        mk("d", [(13, 999, T + dt.timedelta(hours=8), "p"),
+                 (5, 500, T + dt.timedelta(hours=8), "v")], 1_000_000_300)
+        schema = "id long, u long, ts timestamp, k string"
+        v = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(out)
+            .filter(F.col("k") == "v")
+            .selectExpr("id as view_id", "u as vu", "ts as v_ts")
+            .withWatermark("v_ts", "10 minutes")
+        )
+        p = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(out)
+            .filter(F.col("k") != "v")
+            .selectExpr("id as p_id", "u as pu", "ts as p_ts")
+            .withWatermark("p_ts", "10 minutes")
+        )
+        j = v.join(
+            p,
+            (F.col("vu") == F.col("pu"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        )
+        q = (
+            j.writeStream.format("memory").queryName("lsj_test")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.view_id: r.p_id for r in spark.table("lsj_test").collect()
+        }
+        assert got == {1: 10, 2: None, 3: None, 4: None}, got
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
