@@ -4847,3 +4847,165 @@ def pipe_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "doc_id", "chunk_id", F.round("score", 6).alias("score"))
     )
+
+
+@register(
+    "r_scd2_history",
+    oracle="""
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS bal FROM customer),
+delta AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 13 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg,
+         CASE WHEN c_custkey % 7 = 0 THEN ROUND(c_acctbal, 2) + 100
+              ELSE ROUND(c_acctbal, 2) END AS bal
+  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0),
+j AS (
+  SELECT cur.c_custkey, cur.c_mktsegment AS old_seg, cur.bal AS old_bal,
+         delta.seg AS new_seg, delta.bal AS new_bal,
+         delta.c_custkey IS NOT NULL
+           AND (delta.seg != cur.c_mktsegment OR delta.bal != cur.bal) AS chg
+  FROM cur LEFT JOIN delta USING (c_custkey))
+SELECT c_custkey AS c_custkey, old_seg AS segment, old_bal AS acctbal,
+       '2024-01-01' AS valid_from,
+       CASE WHEN chg THEN '2024-06-01' ELSE '9999-12-31' END AS valid_to,
+       CAST(CASE WHEN chg THEN 0 ELSE 1 END AS BIGINT) AS is_current
+FROM j
+UNION ALL
+SELECT c_custkey, new_seg, new_bal, '2024-06-01', '9999-12-31', CAST(1 AS BIGINT)
+FROM j WHERE chg
+""",
+)
+def r_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 dimension history (the versioned counterpart of
+    r_merge_upsert's overwrite): a synthetic day-2 delta (every 7th
+    customer's balance re-rated by an exact +100.00 — additive so no
+    halfway-rounding divergence between engines — every 13th re-segmented) merges into the
+    customer dim as history rows — changed keys CLOSE their old version
+    (valid_to = effective date) and OPEN a new current one; untouched
+    keys keep their open-ended row. One left join on the natural key +
+    one union; '9999-12-31' is the open-end sentinel (F13 style — no
+    NULL-vs-sentinel hashing hazard). At 100 TB the key is the
+    bucket/partition column so the join co-locates, and with a lake
+    format this is the MERGE INTO ... WHEN MATCHED INSERT history
+    pattern."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    delta = (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 13 == 0))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 13 == 0, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("new_seg"),
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.round("c_acctbal", 2) + 100
+            )
+            .otherwise(F.round("c_acctbal", 2))
+            .alias("new_bal"),
+        )
+    )
+    j = cust.join(delta, "c_custkey", "left").withColumn(
+        "chg",
+        F.col("new_seg").isNotNull()
+        & (
+            (F.col("new_seg") != F.col("c_mktsegment"))
+            | (F.col("new_bal") != F.col("bal"))
+        ),
+    )
+    closed_or_open = j.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("bal").alias("acctbal"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.when(F.col("chg"), "2024-06-01").otherwise("9999-12-31").alias("valid_to"),
+        F.when(F.col("chg"), 0).otherwise(1).cast("long").alias("is_current"),
+    )
+    opened = j.filter("chg").select(
+        "c_custkey",
+        F.col("new_seg").alias("segment"),
+        F.col("new_bal").alias("acctbal"),
+        F.lit("2024-06-01").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+        F.lit(1).cast("long").alias("is_current"),
+    )
+    return closed_or_open.unionByName(opened)
+
+
+@register(
+    "v_matryoshka_knn",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 3),
+pre AS (
+  SELECT p.probe_id, e.vec_id,
+         list_cosine_similarity(e.v[1:16], p.pv[1:16]) AS s16,
+         list_cosine_similarity(e.v, p.pv) AS s64
+  FROM e CROSS JOIN p),
+top16 AS (
+  SELECT probe_id, vec_id, s16,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY s16 DESC, vec_id ASC) AS rn
+  FROM pre),
+top64 AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+             ORDER BY s64 DESC, vec_id ASC) AS rn
+    FROM pre) t WHERE rn <= 10)
+SELECT t.probe_id AS probe_id, t.vec_id AS vec_id,
+       ROUND(t.s16, 6) AS score16,
+       CAST(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_full_top10
+FROM top16 t LEFT JOIN top64 f
+  ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+WHERE t.rn <= 10
+""",
+)
+def v_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / prefix-dimension KNN: rank with only the FIRST 16 of
+    64 dims (the MRL coarse pass — 4× less memory bandwidth, exactly how
+    matryoshka embeddings cut ANN cost) and flag which coarse top-10 hits
+    survive in the full-dimension top-10. One corpus scan computes both
+    scores (the 16-dim slice re-uses the loaded vector); probes
+    broadcast. Full value oracle — both engines slice and fold the same
+    doubles."""
+    from ..functions.vector import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = _probes(emb, 3)
+    pre = (
+        emb.crossJoin(F.broadcast(probes))
+        .withColumn(
+            "s16",
+            cosine_sim(
+                F.slice(F.col("embedding"), 1, 16), F.slice(F.col("probe_vec"), 1, 16)
+            ),
+        )
+        .withColumn("s64", cosine_sim("embedding", "probe_vec"))
+    )
+    w16 = Window.partitionBy("probe_id").orderBy(F.desc("s16"), F.asc("vec_id"))
+    w64 = Window.partitionBy("probe_id").orderBy(F.desc("s64"), F.asc("vec_id"))
+    ranked = pre.withColumn("rn16", F.row_number().over(w16)).withColumn(
+        "rn64", F.row_number().over(w64)
+    )
+    full10 = ranked.filter(F.col("rn64") <= 10).select(
+        F.col("probe_id").alias("f_probe"), F.col("vec_id").alias("f_vec")
+    )
+    top16 = ranked.filter(F.col("rn16") <= 10)
+    out = top16.join(
+        full10,
+        (top16.probe_id == full10.f_probe) & (top16.vec_id == full10.f_vec),
+        "left",
+    ).select(
+        "probe_id",
+        "vec_id",
+        F.round("s16", 6).alias("score16"),
+        F.when(F.col("f_vec").isNull(), 0).otherwise(1).cast("long").alias(
+            "in_full_top10"
+        ),
+    )
+    return out
