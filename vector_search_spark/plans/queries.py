@@ -5009,3 +5009,44 @@ def v_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out
+
+
+@register(
+    "t_normalize_text",
+    oracle="""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents),
+t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n)
+SELECT doc_id AS doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       array_to_string(toks[1:8], ' ') AS norm_prefix
+FROM t
+""",
+)
+def t_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the first stage of every cleaning
+    pipeline): lowercase → strip non-alphanumerics → collapse runs of
+    whitespace → trim, then token stats over the normalized form. Pure
+    Catalyst string expressions (scan-speed, no Python); the same
+    normalized tokens feed dedup fingerprints, so normalization MUST be
+    engine-portable — which is exactly what the oracle certifies (same
+    regex class semantics both sides)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    t = docs.select("doc_id", F.split(norm, " ").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.array_join(F.slice("toks", 1, 8), " ").alias("norm_prefix"),
+    )
