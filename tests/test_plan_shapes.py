@@ -1,0 +1,57 @@
+"""Physical-plan regression guards: the scale-critical plan properties the
+round audits verify by hand (broadcast-only dims on TPC-H shapes, no
+CartesianProduct anywhere, whole-stage codegen present) asserted
+mechanically, so a refactor that silently degrades a broadcast to a
+sort-merge join or sneaks in an un-hinted cross product fails CI before it
+fails at 100 TB."""
+
+import re
+
+import pytest
+
+SF_DIR_DEFAULT = None  # resolved by conftest sf_dir fixture
+
+
+def _executed_plan(df):
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+JOIN_RE = re.compile(
+    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct)"
+)
+
+# dim-heavy TPC-H shapes: every join must be broadcast at fixture scale
+ALL_BROADCAST = ["r_q3_shipping_priority", "r_q5_regional_volume", "r_q9_product_profit"]
+# queries where an explicit small-side broadcast is part of the design
+NO_CARTESIAN = ALL_BROADCAST + [
+    "v_cosine_topk",
+    "t_bm25_topk",
+    "t_tfidf_terms",
+    "w_cohort_retention",
+    "j_asof_purchase_view",
+    "d_minhash_lsh_pairs",
+]
+
+
+@pytest.mark.parametrize("name", ALL_BROADCAST)
+def test_dim_joins_all_broadcast(spark, sf_dir, name):
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _executed_plan(QUERIES[name].fn(spark, sf_dir))
+    joins = JOIN_RE.findall(plan)
+    assert joins, f"{name}: no joins found in executed plan"
+    bad = [j for j in joins if j not in ("BroadcastHashJoin",)]
+    assert not bad, f"{name}: non-broadcast joins {bad}"
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian_product_and_codegen(spark, sf_dir, name):
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _executed_plan(QUERIES[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+    assert re.search(r"WholeStageCodegen|\*\(\d+\)", plan), (
+        f"{name}: no whole-stage codegen span"
+    )
