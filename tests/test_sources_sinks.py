@@ -130,3 +130,26 @@ def test_csv_and_json_source_roundtrip(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema evolution at the lake boundary: files written before a column
+    existed must read back null-filled under mergeSchema, and the scan must
+    still prune to the requested columns — the additive-evolution path an
+    append-only corpus store lives on."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "evolve")
+    spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("text")
+    ).write.mode("overwrite").parquet(d)
+    spark.range(5, 8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("b").alias("text"),
+        F.lit("en").alias("lang"),
+    ).write.mode("append").parquet(d)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    assert df.count() == 8
+    assert df.filter(F.col("lang").isNull()).count() == 5
+    assert df.filter(F.col("lang") == "en").count() == 3

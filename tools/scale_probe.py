@@ -492,6 +492,49 @@ def main() -> None:
 
         return run
 
+    def rag_embed(src):
+        # pipe_rag_retrieval shape: Catalyst chunking -> Arrow mapInPandas
+        # embedding -> broadcast-probe scoring. Cost is one corpus pass
+        # through the Python embed stage — the fan_out + Arrow batch class.
+        from pyspark.sql import Window
+
+        from vector_search_spark.functions.vector import cosine_sim
+        from vector_search_spark.llm.embed import embed_texts
+
+        def run():
+            d2 = src.select("doc_id", F.split("text", " ").alias("toks"))
+            n_chunks = (F.ceil(F.size("toks") / F.lit(40.0))).cast("int")
+            chunks = (
+                d2.withColumn(
+                    "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                )
+                .withColumn("ck", F.slice("toks", F.col("chunk_id") * 40 + 1, 50))
+                .select("doc_id", "chunk_id", F.array_join("ck", " ").alias("chunk_text"))
+            )
+            cemb = embed_texts(chunks, "chunk_text").select(
+                "doc_id", "chunk_id", "embedding"
+            )
+            queries = d2.filter(F.col("doc_id") < 2).select(
+                F.col("doc_id").alias("query_id"),
+                F.array_join(F.slice("toks", 1, 30), " ").alias("qtext"),
+            )
+            qemb = embed_texts(queries, "qtext").select(
+                "query_id", F.col("embedding").alias("qv")
+            )
+            sc = cemb.join(F.broadcast(qemb), cemb.doc_id != qemb.query_id).withColumn(
+                "score", cosine_sim("embedding", "qv")
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id"), F.asc("chunk_id")
+            )
+            return (
+                sc.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3)
+                .count()
+            )
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -504,6 +547,7 @@ def main() -> None:
         ("sessionize", sessionize(ev), sessionize(ev_big)),
         ("tfidf", tfidf(docs), tfidf(docs_big)),
         ("quantized_knn", quantized_knn(emb), quantized_knn(emb_big)),
+        ("rag_embed", rag_embed(docs), rag_embed(docs_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:
