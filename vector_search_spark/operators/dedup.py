@@ -445,6 +445,15 @@ def minhash_lsh_pairs(
     pair result is materialized and the caches are released before
     returning, so repeated invocations leave storage memory flat. Pass
     ``materialize=False`` for a fully lazy plan (caller owns cleanup).
+
+    On the poly+shingle path the unit sets are HASHED once up front
+    (``_unit_sets(hashed=True)``): the signature stage reuses the folds
+    instead of re-hashing every shingle string, and the re-rank
+    intersects int64 sets instead of ~17-char strings — less Python-stage
+    work and a narrower re-rank shuffle (the span-dedup hash-key move).
+    Jaccard over the hash sets equals Jaccard over the strings modulo
+    64-bit collisions, and the oracle folds the same hashes, so parity
+    stays bit-exact regardless.
     """
     rows_per_band = n_hashes // bands
     # The (id, shingle-set) relation feeds three consumers (signature path +
@@ -452,7 +461,8 @@ def minhash_lsh_pairs(
     # MEMORY_AND_DISK: at cluster scale this spills instead of OOMing.
     from pyspark import StorageLevel
 
-    t_cached = _unit_sets(df, text_col, id_col, shingle_n).persist(
+    use_hashed = hash_fn == "poly" and bool(shingle_n)
+    t_cached = _unit_sets(df, text_col, id_col, shingle_n, hashed=use_hashed).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # Empty unit sets (short/NULL docs) can't match anything, but their
@@ -461,7 +471,9 @@ def minhash_lsh_pairs(
     t = t_cached.filter(F.size("tk") > 0)
     if hash_fn == "poly":
         # One Arrow stage computes base hashes + all signature slots.
-        sig_src = _minhash_signatures_from_tokens(t.select("id", "tk"), n_hashes)
+        sig_src = _minhash_signatures_from_tokens(
+            t.select("id", "tk"), n_hashes, prehashed=use_hashed
+        )
     else:
         sig_src = t.withColumn("sig", minhash_signature("tk", n_hashes, hash_fn))
     banded = sig_src.select(
@@ -960,15 +972,21 @@ def containment_pairs(
     re-sketch for containment; the banding here is the shared-infra
     variant and the oracle reproduces its exact candidate set.
 
-    Persist lifecycle is operator-owned (``_own_caches``)."""
+    Persist lifecycle is operator-owned (``_own_caches``). Unit sets are
+    hashed once up front when shingling (same move as minhash_lsh_pairs:
+    the signature stage reuses the folds, the re-rank intersects int64
+    sets)."""
     rows_per_band = n_hashes // bands
     from pyspark import StorageLevel
 
-    t_cached = _unit_sets(df, text_col, id_col, shingle_n).persist(
+    use_hashed = bool(shingle_n)
+    t_cached = _unit_sets(df, text_col, id_col, shingle_n, hashed=use_hashed).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     t = t_cached.filter(F.size("tk") > 0)
-    sig_src = _minhash_signatures_from_tokens(t.select("id", "tk"), n_hashes)
+    sig_src = _minhash_signatures_from_tokens(
+        t.select("id", "tk"), n_hashes, prehashed=use_hashed
+    )
     banded = sig_src.select(
         "id",
         F.explode(

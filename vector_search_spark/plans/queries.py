@@ -796,9 +796,10 @@ cands AS (
   WHERE a.id < b.id),
 rerank AS (
   SELECT c.id_a, c.id_b,
-         len(list_intersect(ta.tk, tb.tk))::DOUBLE
-         / len(list_distinct(list_concat(ta.tk, tb.tk))) AS jaccard
-  FROM cands c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b)
+         len(list_intersect(ta.hs, tb.hs))::DOUBLE
+         / len(list_distinct(list_concat(ta.hs, tb.hs))) AS jaccard
+  FROM cands c JOIN hashed ta ON ta.id = c.id_a
+               JOIN hashed tb ON tb.id = c.id_b)
 SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
 FROM rerank WHERE jaccard >= 0.5
 """,
@@ -836,9 +837,10 @@ cands AS (
   WHERE a.id < b.id),
 pairs AS (
   SELECT c.id_a, c.id_b
-  FROM cands c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b
-  WHERE len(list_intersect(ta.tk, tb.tk))::DOUBLE
-        / len(list_distinct(list_concat(ta.tk, tb.tk))) >= 0.5),
+  FROM cands c JOIN hashed ta ON ta.id = c.id_a
+               JOIN hashed tb ON tb.id = c.id_b
+  WHERE len(list_intersect(ta.hs, tb.hs))::DOUBLE
+        / len(list_distinct(list_concat(ta.hs, tb.hs))) >= 0.5),
 edges AS (
   SELECT id_a AS s, id_b AS t FROM pairs
   UNION SELECT id_b, id_a FROM pairs),
@@ -4502,9 +4504,10 @@ cands AS (
   WHERE a.id < b.id),
 rerank AS (
   SELECT c.id_a, c.id_b,
-         len(list_intersect(ta.tk, tb.tk))::DOUBLE / len(ta.tk) AS c_ab,
-         len(list_intersect(ta.tk, tb.tk))::DOUBLE / len(tb.tk) AS c_ba
-  FROM cands c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b)
+         len(list_intersect(ta.hs, tb.hs))::DOUBLE / len(ta.hs) AS c_ab,
+         len(list_intersect(ta.hs, tb.hs))::DOUBLE / len(tb.hs) AS c_ba
+  FROM cands c JOIN hashed ta ON ta.id = c.id_a
+               JOIN hashed tb ON tb.id = c.id_b)
 SELECT id_a AS id_a, id_b AS id_b,
        ROUND(c_ab, 6) AS c_ab, ROUND(c_ba, 6) AS c_ba
 FROM rerank WHERE GREATEST(c_ab, c_ba) >= 0.6
