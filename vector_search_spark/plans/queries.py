@@ -5053,3 +5053,153 @@ def t_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
         F.array_join(F.slice("toks", 1, 8), " ").alias("norm_prefix"),
     )
+
+
+@register(
+    "v_pq_adc_knn",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT s.sub, c.vec_id AS cid, c.v[s.sub*16+1 : s.sub*16+16] AS cv
+  FROM (SELECT unnest(generate_series(0, 3)) AS sub) s,
+       (SELECT vec_id, v FROM e WHERE vec_id < 16) c),
+dists AS (
+  SELECT e.vec_id, cb.sub, cb.cid,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> (e.v[cb.sub*16 + i] - cb.cv[i])
+              * (e.v[cb.sub*16 + i] - cb.cv[i]))) AS d
+  FROM e CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
+    FROM dists) t WHERE rn = 1),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 3),
+ptab AS (
+  SELECT p.probe_id, cb.sub, cb.cid,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> p.pv[cb.sub*16 + i] * cb.cv[i])) AS pd
+  FROM p CROSS JOIN cb),
+scp AS (
+  SELECT pt.probe_id, c.vec_id,
+         MAX(CASE WHEN c.sub = 0 THEN pt.pd END) AS t0,
+         MAX(CASE WHEN c.sub = 1 THEN pt.pd END) AS t1,
+         MAX(CASE WHEN c.sub = 2 THEN pt.pd END) AS t2,
+         MAX(CASE WHEN c.sub = 3 THEN pt.pd END) AS t3
+  FROM codes c JOIN ptab pt ON pt.sub = c.sub AND pt.cid = c.cid
+  GROUP BY 1, 2),
+sc AS (SELECT probe_id, vec_id, ((t0 + t1) + t2) + t3 AS adc FROM scp)
+SELECT probe_id AS probe_id, vec_id AS vec_id, ROUND(adc, 6) AS adc_score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY probe_id ORDER BY adc DESC, vec_id ASC) AS rn
+  FROM sc) z
+WHERE rn <= 10
+""",
+)
+def v_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance computation (ADC): the
+    standard ANN compression. 64 dims split into 4 subspaces of 16; each
+    subvector encodes to its nearest of 16 deterministic codewords (the
+    first 16 corpus vectors' subvectors — the seeded-KMeans stand-in the
+    IVF row also uses), so each vector compresses 256 B float32 → 4
+    codes. Queries never decode: per probe, a 4×16 dot-product table is
+    precomputed and scoring is 4 table lookups + 3 adds per vector.
+
+    100 TB shape: codebooks AND probe tables are driver-collected O(1)
+    scalars baked into the projection as literals (broadcast by
+    construction), so encode+score is ONE corpus scan with no joins and
+    no shuffle until the per-probe top-10 — the plan a real PQ index
+    serves queries with, minus the inverted-list pruning (see v_ivf_knn
+    for that half). Floats: every fold (encode distances, table dots,
+    the 4-term ADC sum) is an explicitly-ordered left fold mirrored in
+    the oracle, so ranking compares identical doubles; only the output
+    rounds."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    aux = {
+        r["vec_id"]: r["e"]
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    }
+    codebook = {
+        s: {c: aux[c][s * 16 : (s + 1) * 16] for c in sorted(aux)}
+        for s in range(4)
+    }
+
+    def _sqdist(sub: int, cvec: list) -> F.Column:
+        sl = F.slice("e", sub * 16 + 1, 16)
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(
+            F.zip_with(sl, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    enc = emb
+    for s in range(4):
+        cands = F.array(
+            *[
+                F.struct(
+                    _sqdist(s, codebook[s][c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(16)
+            ]
+        )
+        enc = enc.withColumn(f"code{s}", F.array_min(cands).getField("c"))
+
+    # probe ADC tables: python left-to-right double folds — the identical
+    # IEEE op sequence DuckDB's list_sum fold executes
+    probe_ids = [i for i in sorted(aux) if i < 3]
+    ptab = {
+        p: {
+            s: [
+                sum(
+                    aux[p][s * 16 + i] * codebook[s][c][i]
+                    for i in range(16)
+                )
+                for c in range(16)
+            ]
+            for s in range(4)
+        }
+        for p in probe_ids
+    }
+
+    per_probe = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("long").alias("probe_id"),
+                (
+                    (
+                        F.element_at(
+                            F.array(*[F.lit(v) for v in ptab[p][0]]),
+                            F.col("code0") + 1,
+                        )
+                        + F.element_at(
+                            F.array(*[F.lit(v) for v in ptab[p][1]]),
+                            F.col("code1") + 1,
+                        )
+                    )
+                    + F.element_at(
+                        F.array(*[F.lit(v) for v in ptab[p][2]]),
+                        F.col("code2") + 1,
+                    )
+                    + F.element_at(
+                        F.array(*[F.lit(v) for v in ptab[p][3]]),
+                        F.col("code3") + 1,
+                    )
+                ).alias("adc"),
+            )
+            for p in probe_ids
+        ]
+    )
+    scored = enc.select(
+        "vec_id", F.explode(per_probe).alias("ps")
+    ).select("vec_id", F.col("ps.probe_id").alias("probe_id"), F.col("ps.adc").alias("adc"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "vec_id", F.round("adc", 6).alias("adc_score"))
+    )
