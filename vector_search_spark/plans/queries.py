@@ -5000,7 +5000,9 @@ def v_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top16 = ranked.filter(F.col("rn16") <= 10)
     out = top16.join(
-        full10,
+        # ≤30 rows (3 probes × top-10): broadcast, else AQE sees the
+        # pre-filter corpus-sized relation and plans a sort-merge join
+        F.broadcast(full10),
         (top16.probe_id == full10.f_probe) & (top16.vec_id == full10.f_vec),
         "left",
     ).select(
