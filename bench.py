@@ -52,6 +52,10 @@ HEADLINE = [
     "v_quantized_knn",
     # round-4 flagship additions
     "t_bm25_topk",
+    "d_containment_pairs",
+    "w_cohort_retention",
+    "v_pq_adc_knn",
+    "pipe_rag_retrieval",
 ]
 
 
