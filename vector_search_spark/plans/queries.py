@@ -5205,3 +5205,41 @@ def v_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("probe_id", "vec_id", F.round("adc", 6).alias("adc_score"))
     )
+
+
+@register(
+    "a_rolling_wau",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY 1
+""",
+)
+def a_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (the DAU/WAU product metric): distinct
+    (day, user) pairs joined to the day spine over a 6-day lookback,
+    then COUNT(DISTINCT) per day. Spark has no DISTINCT aggregate over a
+    RANGE window frame, so the spine join IS the idiomatic plan — and
+    the scale analysis favors it: the day spine is O(days) and
+    broadcasts, so the big relation shuffles once for the per-day
+    distinct count; the (day, user) dedup before the fan-out keeps the
+    7× row expansion on the deduplicated relation, not the raw event
+    log."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    j = du.join(
+        F.broadcast(days),
+        (F.col("day") >= F.col("d") - F.expr("INTERVAL 6 DAYS"))
+        & (F.col("day") <= F.col("d")),
+    )
+    return j.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
