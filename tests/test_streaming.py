@@ -360,3 +360,55 @@ def test_stream_stream_left_outer_null_extension(spark):
         assert got == {1: 10, 2: None, 3: None, 4: None}, got
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_foreachbatch_merge_sink_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch as a keyed merge sink: each micro-batch upserts into a
+    parquet store keyed by event_id (union + groupwise-latest — the SCD-1
+    merge the batch surface exposes as r_merge_upsert). A duplicated
+    source stream must land exactly the distinct key set, because the
+    merge — not the source — enforces idempotence. This is the streaming
+    half of exactly-once: checkpoint dedups redelivered BATCHES,
+    foreachBatch-merge dedups redelivered KEYS."""
+    from pyspark.sql import Window, functions as F
+
+    events = load_table(spark, sf_dir, "events").limit(400)
+    src_dir = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    # duplicated delivery: same 400 events land twice
+    events.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    events.coalesce(1).write.mode("append").parquet(src_dir)
+
+    def merge(batch_df, batch_id):
+        import os
+
+        b = batch_df.select("event_id", "user_id", "value")
+        if os.path.isdir(store):
+            cur = batch_df.sparkSession.read.parquet(store)
+            all_rows = cur.unionByName(b)
+        else:
+            all_rows = b
+        w = Window.partitionBy("event_id").orderBy(F.desc("value"))
+        merged = (
+            all_rows.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        # collect-then-rewrite: fixture-scale stand-in for MERGE INTO on a
+        # lake table (reading the store while overwriting it would race)
+        rows = merged.collect()
+        batch_df.sparkSession.createDataFrame(
+            rows, merged.schema
+        ).coalesce(1).write.mode("overwrite").parquet(store)
+
+    src = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        src.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(store)
+    assert got.count() == 400
+    assert got.select("event_id").distinct().count() == 400
