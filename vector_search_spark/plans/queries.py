@@ -5243,3 +5243,95 @@ def a_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
         F.countDistinct("user_id").alias("wau")
     )
+
+
+@register(
+    "pipe_dedup_corpus",
+    oracle=f"""
+WITH RECURSIVE surv AS (
+  SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+w AS (SELECT id, string_split(text, ' ') AS ws FROM surv),
+t AS (SELECT id, {_DUCK_SHINGLES3} AS tk FROM w),
+hashed AS (
+  SELECT id, list_transform(tk, t -> {_duck_poly("t", v="q")}) AS hs FROM t),
+sigs AS (
+  SELECT id, {_DUCK_MINHASH_SIG} AS sig FROM hashed),
+banded AS (
+  SELECT id, b.band,
+         array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+                                        x -> CAST(x AS VARCHAR)), ',') AS key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c JOIN hashed ta ON ta.id = c.id_a
+               JOIN hashed tb ON tb.id = c.id_b
+  WHERE len(list_intersect(ta.hs, tb.hs))::DOUBLE
+        / len(list_distinct(list_concat(ta.hs, tb.hs))) >= 0.5),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(id, lab) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, reach.lab FROM edges e JOIN reach ON e.t = reach.id),
+members AS (
+  SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+drops AS (
+  SELECT id FROM (
+    SELECT m.id, ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+      ORDER BY d.n_chars DESC, m.id ASC) AS rn
+    FROM members m JOIN documents d ON d.doc_id = m.id) z WHERE rn > 1)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS docs_in,
+       CAST((SELECT COUNT(*) FROM documents)
+            - (SELECT COUNT(*) FROM surv) AS BIGINT) AS exact_removed,
+       CAST((SELECT COUNT(*) FROM drops) AS BIGINT) AS neardup_removed,
+       CAST((SELECT COUNT(*) FROM surv)
+            - (SELECT COUNT(*) FROM drops) AS BIGINT) AS docs_out
+""",
+)
+def pipe_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-command corpus dedup a training pipeline runs end-to-end:
+    exact dedup (min-id survivor per identical text, one hash shuffle) →
+    MinHash-LSH near-dup pairs over the survivors → connected-component
+    clusters → keeper per cluster (longest text, id tie-break) → corpus
+    retention accounting. Composes the individually-certified stages
+    (d_exact_dedup_stats, d_minhash_lsh_pairs, d_dup_clusters) into the
+    actual workflow, so the oracle certifies the CHAIN — survivor sets
+    feeding the next stage — not just each stage in isolation."""
+    from ..operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    surv = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    pairs = minhash_lsh_pairs(surv, "text", "doc_id", 16, 4, 0.5, shingle_n=3)
+    clusters = dup_clusters(pairs)
+    drops = (
+        clusters.join(
+            docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("n_chars"), F.asc("id")
+                )
+            ),
+        )
+        .filter(F.col("rn") > 1)
+    )
+    n_in = docs.agg(F.count("*").alias("docs_in"))
+    n_surv = surv.agg(F.count("*").alias("n_surv"))
+    n_drop = drops.agg(F.count("*").alias("neardup_removed"))
+    return (
+        n_in.join(F.broadcast(n_surv))
+        .join(F.broadcast(n_drop))
+        .select(
+            "docs_in",
+            (F.col("docs_in") - F.col("n_surv")).alias("exact_removed"),
+            "neardup_removed",
+            (F.col("n_surv") - F.col("neardup_removed")).alias("docs_out"),
+        )
+    )
