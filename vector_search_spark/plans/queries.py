@@ -5335,3 +5335,79 @@ def pipe_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_surv") - F.col("neardup_removed")).alias("docs_out"),
         )
     )
+
+
+@register(
+    "a_grouping_sets",
+    oracle="""
+SELECT l_returnflag AS l_returnflag, l_linestatus AS l_linestatus,
+       CAST(ship_month AS BIGINT) AS ship_month,
+       CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+            + GROUPING(ship_month) AS BIGINT) AS grp_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM (SELECT *, MONTH(l_shipdate) AS ship_month FROM lineitem) z
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_month), ())
+""",
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    (flag, status) cells, per-shipmode cells, and the grand total in ONE
+    pass over the fact table — Spark expands the sets map-side, so the
+    scan count stays 1 where three separate GROUP BYs would scan thrice.
+    grouping_id disambiguates set membership from NULL key values.
+    Expressed through the SQL surface (spark.sql), pinning that entry
+    point too."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(MONTH(l_shipdate) AS BIGINT) AS ship_month,
+               CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                    + GROUPING(MONTH(l_shipdate)) AS BIGINT) AS grp_id,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (MONTH(l_shipdate)), ())
+        """
+    )
+
+
+@register(
+    "j_null_safe_join",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang
+  FROM documents),
+dim AS (
+  SELECT * FROM (VALUES ('en', 'English'), ('de', 'German'), ('fr', 'French'),
+                        (NULL, 'Unknown')) AS t(code, label))
+SELECT COALESCE(dim.label, 'UNMATCHED') AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d LEFT JOIN dim ON d.lang IS NOT DISTINCT FROM dim.code
+GROUP BY 1
+""",
+)
+def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match the dimension's NULL row instead of silently dropping — the
+    unknown-member pattern every dim join with dirty keys needs. Every
+    5th doc's lang is nulled to force the case; the dim broadcasts.
+    Catalyst plans ``<=>`` as a hash join key (EqualNullSafe is a valid
+    equi-join expression), so this stays a BroadcastHashJoin, not a
+    nested loop."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ).alias("lang"),
+    )
+    dim = spark.createDataFrame(
+        [("en", "English"), ("de", "German"), ("fr", "French"), (None, "Unknown")],
+        "code string, label string",
+    )
+    j = docs.join(F.broadcast(dim), docs.lang.eqNullSafe(dim.code), "left")
+    return j.groupBy(
+        F.coalesce("label", F.lit("UNMATCHED")).alias("label")
+    ).agg(F.count("*").alias("n_docs"))
