@@ -312,3 +312,31 @@ def test_dup_clusters_long_chain_converges(spark):
     }
     assert set(got.values()) == {100}
     assert len(got) == 41
+
+
+def test_dup_clusters_driver_vs_iterative_property(spark):
+    """Property: the driver union-find fast path and the iterative
+    pointer-halving path must produce IDENTICAL cluster assignments on
+    arbitrary graphs — random edge lists with chains, cliques, self-loops
+    and duplicate edges (seeded, 5 draws)."""
+    import random
+
+    from vector_search_spark.operators.dedup import dup_clusters
+
+    rng = random.Random(42)
+    for _ in range(5):
+        n_nodes = rng.randint(5, 60)
+        n_edges = rng.randint(1, 120)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        fast = {
+            r.id: r.cluster_id for r in dup_clusters(pairs).collect()
+        }
+        slow = {
+            r.id: r.cluster_id
+            for r in dup_clusters(pairs, driver_max_edges=0).collect()
+        }
+        assert fast == slow, (edges, fast, slow)

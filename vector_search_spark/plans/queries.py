@@ -5411,3 +5411,100 @@ def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         F.coalesce("label", F.lit("UNMATCHED")).alias("label")
     ).agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "d_lsh_recall",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, lang, string_split(text, ' ') AS ws FROM documents),
+t AS (
+  SELECT doc_id, source, lang,
+         list_transform({_DUCK_SHINGLES3}, q -> {_duck_poly("q", v="h")}) AS tk
+  FROM w),
+ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b
+    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+        / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5),
+sigs AS (
+  SELECT id, {_DUCK_MINHASH_SIG} AS sig
+  FROM (SELECT doc_id AS id, tk AS hs FROM t WHERE len(tk) > 0) h),
+banded AS (
+  SELECT id, b.band,
+         array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+                                        x -> CAST(x AS VARCHAR)), ',') AS key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id),
+lsh AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c JOIN t ta ON ta.doc_id = c.id_a JOIN t tb ON tb.doc_id = c.id_b
+  WHERE ta.source = tb.source AND ta.lang = tb.lang
+    AND len(list_intersect(ta.tk, tb.tk))::DOUBLE
+        / len(list_distinct(list_concat(ta.tk, tb.tk))) >= 0.5),
+hits AS (SELECT * FROM lsh INTERSECT SELECT * FROM ex)
+SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+       ROUND((SELECT COUNT(*) FROM hits) * 1.0
+             / (SELECT COUNT(*) FROM ex), 6) AS recall
+""",
+)
+def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall measured against blocked exact Jaccard at the
+    SAME 0.5 threshold (the dedup analog of v_ivf_recall_sweep): both
+    sides are deterministic, so the recall number itself carries a full
+    value oracle instead of a contract bound. n_hits must equal n_lsh —
+    LSH + exact re-rank is precision-1 by construction — so the row also
+    re-certifies soundness; recall quantifies what the 16-hash/4-band
+    parameterization trades away (banding collision probability at
+    j = 0.5 is 1-(1-0.5^4)^4 ≈ 0.23 per band-set — recall on the real
+    near-dup population lands much higher because matched pairs cluster
+    well above the threshold)."""
+    from ..operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = jaccard_pairs(
+        docs, "text", "doc_id", ["source", "lang"], 0.5, shingle_n=3,
+        hashed=True, max_block_size=None,
+    ).select("id_a", "id_b")
+    blocks = docs.select("doc_id", "source", "lang")
+    lsh_raw = minhash_lsh_pairs(
+        docs, "text", "doc_id", 16, 4, 0.5, shingle_n=3
+    ).select("id_a", "id_b")
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("s_a"),
+        F.col("lang").alias("l_a"),
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("s_b"),
+        F.col("lang").alias("l_b"),
+    )
+    # no hints: a/b are corpus-derived (would OOM as explicit broadcasts
+    # at scale); AQE broadcasts the small pair side instead
+    lsh = (
+        lsh_raw.join(a, "id_a")
+        .join(b, "id_b")
+        .filter((F.col("s_a") == F.col("s_b")) & (F.col("l_a") == F.col("l_b")))
+        .select("id_a", "id_b")
+    )
+    hits = lsh.join(exact, ["id_a", "id_b"], "left_semi")
+    n_ex = exact.agg(F.count("*").alias("n_exact"))
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    n_hit = hits.agg(F.count("*").alias("n_hits"))
+    return (
+        n_ex.join(F.broadcast(n_lsh))
+        .join(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hits",
+            F.round(F.col("n_hits") * 1.0 / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
