@@ -2491,6 +2491,8 @@ SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
        RANK() OVER w AS rnk,
        DENSE_RANK() OVER w AS drnk,
        NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
        ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER w, 2) AS delta_prev
 FROM orders
 WHERE o_custkey < 50
@@ -2498,7 +2500,8 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 """,
 )
 def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window-function family breadth: rank / dense_rank / ntile / lag over
+    """Window-function family breadth: rank / dense_rank / ntile /
+    percent_rank / cume_dist / lag over
     one per-customer frame (deterministic: price then orderkey ordering)."""
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
@@ -2510,6 +2513,8 @@ def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(
             F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
         ).alias("delta_prev"),
