@@ -412,3 +412,56 @@ def test_foreachbatch_merge_sink_idempotent(spark, sf_dir, tmp_path):
     got = spark.read.parquet(store)
     assert got.count() == 400
     assert got.select("event_id").distinct().count() == 400
+
+
+def test_stateful_agg_state_survives_restart(spark, sf_dir, tmp_path):
+    """Checkpointed aggregation state must survive a query restart: run 1
+    drains file A; file B lands; run 2 (same checkpoint, same query) must
+    emit per-type totals that INCLUDE A's contribution — i.e. the state
+    store was restored, not rebuilt from the new file alone. Final totals
+    must equal the batch aggregate over A ∪ B."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    a.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    def run_once():
+        src = spark.readStream.schema(events.schema).parquet(src_dir)
+        agg = src.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(out)
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {r.event_type: r.n for r in spark.read.parquet(out).collect()}
+    b.coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+    got = {
+        (r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.sum_value)
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    }
+    assert got == want
+    # and run 1 really was partial (state restoration did the rest)
+    assert any(first[k] < want[k][0] for k in first)
