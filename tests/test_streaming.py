@@ -6,6 +6,13 @@ import tempfile
 
 import pytest
 
+try:  # transformWithState's driver worker imports protobuf at runtime
+    from google.protobuf import descriptor  # noqa: F401
+
+    _HAVE_PROTOBUF = True
+except ImportError:
+    _HAVE_PROTOBUF = False
+
 from vector_search_spark.sources.catalog import load_table
 from vector_search_spark.streaming.windows import (
     session_agg,
@@ -465,3 +472,73 @@ def test_stateful_agg_state_survives_restart(spark, sf_dir, tmp_path):
     assert got == want
     # and run 1 really was partial (state restoration did the rest)
     assert any(first[k] < want[k][0] for k in first)
+
+
+@pytest.mark.skipif(
+    not _HAVE_PROTOBUF,
+    reason="transformWithState driver worker requires google.protobuf, "
+    "absent in this container (no installs); operator surface kept in "
+    "streaming/stateful.py for protobuf-equipped deployments",
+)
+def test_transform_with_state_totals_equal_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (the Spark 4 successor to
+    applyInPandasWithState): per-user running totals across two
+    micro-batches must equal the batch aggregate — same contract the
+    applyInPandasWithState test pins, through the new typed-state-handle
+    API. Requires the RocksDB state store provider (also the provider a
+    cluster deployment runs), so the test sets and restores it."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.streaming.stateful import stateful_user_totals_tws
+
+    events = load_table(spark, sf_dir, "events").limit(600)
+    d = str(tmp_path / "ev")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = (
+            spark.readStream.option("maxFilesPerTrigger", "1")
+            .schema(events.schema)
+            .parquet(d)
+        )
+        q = (
+            stateful_user_totals_tws(src)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        emitted = spark.table("tws_totals")
+        final = emitted.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
+        )
+        got = {r.user_id: (r.n_events, r.sum_value) for r in final.collect()}
+        want = {
+            r.user_id: (r.n_events, r.sum_value)
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)

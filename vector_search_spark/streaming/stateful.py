@@ -94,3 +94,50 @@ def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") 
     watermark horizon (state evicts beyond it — bounded memory at any
     volume, the streaming analog of the batch hash-groupBy dedup)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+class _UserTotalsProcessor:
+    """transformWithState processor: per-user running (count, sum). The
+    Spark 4 successor API to applyInPandasWithState — state handles are
+    typed and injected (getValueState), timers replace timeout confs, and
+    the operator REQUIRES the RocksDB state store provider (which is also
+    the provider a 100 TB deployment runs for state larger than heap)."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        if self._totals.exists():
+            n, s = self._totals.get()
+        else:
+            n, s = 0, 0.0
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        self._totals.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — same
+    semantics as ``stateful_user_totals``, new-generation API. Caller must
+    have the RocksDB state store provider configured AND ``google.protobuf``
+    installed (the TWS driver worker imports it; this container lacks it,
+    so the paired test auto-skips — run it on any protobuf-equipped
+    deployment)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class P(_UserTotalsProcessor, StatefulProcessor):
+        pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=P(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
