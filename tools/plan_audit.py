@@ -20,6 +20,10 @@ if REPO not in sys.path:
 
 
 def audit(plan: str) -> dict:
+    # AdaptiveSparkPlan.toString() prints BOTH "== Final Plan ==" and
+    # "== Initial Plan ==" sections; counting both doubles every scan and
+    # join. Audit only the final (actually executed) plan.
+    plan = plan.split("== Initial Plan ==")[0]
     return {
         "joins": re.findall(
             r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

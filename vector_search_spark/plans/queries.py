@@ -4954,23 +4954,17 @@ pre AS (
          list_cosine_similarity(e.v[1:16], p.pv[1:16]) AS s16,
          list_cosine_similarity(e.v, p.pv) AS s64
   FROM e CROSS JOIN p),
-top16 AS (
+ranked AS (
   SELECT probe_id, vec_id, s16,
          ROW_NUMBER() OVER (PARTITION BY probe_id
-           ORDER BY s16 DESC, vec_id ASC) AS rn
-  FROM pre),
-top64 AS (
-  SELECT probe_id, vec_id FROM (
-    SELECT probe_id, vec_id,
-           ROW_NUMBER() OVER (PARTITION BY probe_id
-             ORDER BY s64 DESC, vec_id ASC) AS rn
-    FROM pre) t WHERE rn <= 10)
-SELECT t.probe_id AS probe_id, t.vec_id AS vec_id,
-       ROUND(t.s16, 6) AS score16,
-       CAST(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_full_top10
-FROM top16 t LEFT JOIN top64 f
-  ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
-WHERE t.rn <= 10
+           ORDER BY s16 DESC, vec_id ASC) AS rn16,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY s64 DESC, vec_id ASC) AS rn64
+  FROM pre)
+SELECT probe_id AS probe_id, vec_id AS vec_id,
+       ROUND(s16, 6) AS score16,
+       CAST(CASE WHEN rn64 <= 10 THEN 1 ELSE 0 END AS BIGINT) AS in_full_top10
+FROM ranked WHERE rn16 <= 10
 """,
 )
 def v_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4979,8 +4973,10 @@ def v_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     matryoshka embeddings cut ANN cost) and flag which coarse top-10 hits
     survive in the full-dimension top-10. One corpus scan computes both
     scores (the 16-dim slice re-uses the loaded vector); probes
-    broadcast. Full value oracle — both engines slice and fold the same
-    doubles."""
+    broadcast. Both ranks are computed as windows over the SAME scored
+    relation, so full-top-10 membership is just `rn64 <= 10` on the row
+    itself — no self-join, no branch re-execution. Full value oracle —
+    both engines slice and fold the same doubles."""
     from ..functions.vector import cosine_sim
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5000,25 +4996,12 @@ def v_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = pre.withColumn("rn16", F.row_number().over(w16)).withColumn(
         "rn64", F.row_number().over(w64)
     )
-    full10 = ranked.filter(F.col("rn64") <= 10).select(
-        F.col("probe_id").alias("f_probe"), F.col("vec_id").alias("f_vec")
-    )
-    top16 = ranked.filter(F.col("rn16") <= 10)
-    out = top16.join(
-        # ≤30 rows (3 probes × top-10): broadcast, else AQE sees the
-        # pre-filter corpus-sized relation and plans a sort-merge join
-        F.broadcast(full10),
-        (top16.probe_id == full10.f_probe) & (top16.vec_id == full10.f_vec),
-        "left",
-    ).select(
+    return ranked.filter(F.col("rn16") <= 10).select(
         "probe_id",
         "vec_id",
         F.round("s16", 6).alias("score16"),
-        F.when(F.col("f_vec").isNull(), 0).otherwise(1).cast("long").alias(
-            "in_full_top10"
-        ),
+        (F.col("rn64") <= 10).cast("long").alias("in_full_top10"),
     )
-    return out
 
 
 @register(
