@@ -122,3 +122,30 @@ def test_kmeans_trained_ivf_index(spark, sf_dir):
     hits = sum(len(set(got.get(p, [])) & set(exact[p])) for p in exact)
     recall = hits / sum(len(v) for v in exact.values())
     assert recall >= 0.4  # 4/16 buckets probed on structureless data
+
+
+def test_pq_encode_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow/numpy pq_encode fast path must pick bit-identical codes
+    to the dependency-free JVM fold path: same IEEE op sequence (see
+    pq_encode docstring), same first-minimum tie-break."""
+    from vector_search_spark.operators.ann import pq_encode
+    from vector_search_spark.utils import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    aux = {r["vec_id"]: r["e"] for r in emb.filter(F.col("vec_id") < 16).collect()}
+    codebook = {
+        s: {c: aux[c][s * 16:(s + 1) * 16] for c in sorted(aux)} for s in range(4)
+    }
+
+    def as_map(df):
+        return {
+            r["vec_id"]: (r["code0"], r["code1"], r["code2"], r["code3"])
+            for r in df.collect()
+        }
+
+    arrow = as_map(pq_encode(fan_out(emb), codebook, corpus_vec="e"))
+    jvm = as_map(pq_encode(emb, codebook, corpus_vec="e", use_arrow=False))
+    assert len(arrow) > 0
+    assert arrow == jvm

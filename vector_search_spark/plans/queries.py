@@ -5096,15 +5096,21 @@ def v_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes. Queries never decode: per probe, a 4×16 dot-product table is
     precomputed and scoring is 4 table lookups + 3 adds per vector.
 
-    100 TB shape: codebooks AND probe tables are driver-collected O(1)
-    scalars baked into the projection as literals (broadcast by
-    construction), so encode+score is ONE corpus scan with no joins and
-    no shuffle until the per-probe top-10 — the plan a real PQ index
-    serves queries with, minus the inverted-list pruning (see v_ivf_knn
-    for that half). Floats: every fold (encode distances, table dots,
-    the 4-term ADC sum) is an explicitly-ordered left fold mirrored in
-    the oracle, so ranking compares identical doubles; only the output
+    100 TB shape — a real PQ index's build/serve split: the BUILD pass
+    encodes the corpus once (Arrow-vectorized ``pq_encode``, one scan)
+    and checkpoints the codes relation — the index is vec_id + 4 small
+    ints, 64x smaller than the float vectors. The SERVE pass touches only
+    codes: codebooks and probe ADC tables are driver-collected O(1)
+    scalars baked in as literals (broadcast by construction), so scoring
+    is 4 array lookups + 3 adds per row with no joins and no shuffle
+    until the per-probe top-10. Floats: encode distances are the same
+    IEEE op sequence on both engines (sequential float64 sum over
+    sub_dim < numpy's pairwise block — see pq_encode), and the table
+    dots + 4-term ADC sum are explicitly-ordered folds mirrored in the
+    oracle, so ranking compares identical doubles; only the output
     rounds."""
+    from ..utils import fan_out
+
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -5117,27 +5123,20 @@ def v_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(4)
     }
 
-    def _sqdist(sub: int, cvec: list) -> F.Column:
-        sl = F.slice("e", sub * 16 + 1, 16)
-        lit = F.array(*[F.lit(float(x)) for x in cvec])
-        return F.aggregate(
-            F.zip_with(sl, lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # Build/serve split: encode ONCE (Arrow/numpy pq_encode — the
+    # interpreted HOF fold costs ~ms/row; see operators/ann.py) and
+    # checkpoint the codes relation. Without the barrier, CollapseProject
+    # inlines code0..3 into the per-probe explode input, re-running the
+    # 64-fold encode once PER PROBE. A real PQ index stores codes, not
+    # re-encodes — the checkpointed codes (vec_id + 4 small ints) ARE
+    # that index, and lineage truncation keeps the scoring plan free of
+    # the encode entirely. fan_out: a one-file test-scale scan would run
+    # the whole Python encode stage on a single core otherwise.
+    from ..operators.ann import pq_encode
 
-    enc = emb
-    for s in range(4):
-        cands = F.array(
-            *[
-                F.struct(
-                    _sqdist(s, codebook[s][c]).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(16)
-            ]
-        )
-        enc = enc.withColumn(f"code{s}", F.array_min(cands).getField("c"))
+    enc = pq_encode(
+        fan_out(emb), codebook, corpus_vec="e"
+    ).localCheckpoint(eager=True)
 
     # probe ADC tables: python left-to-right double folds — the identical
     # IEEE op sequence DuckDB's list_sum fold executes
