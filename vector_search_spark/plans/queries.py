@@ -679,6 +679,15 @@ def _duck_poly(expr: str, v: str = "x") -> str:
 
 
 _DUCK_TOKENS = "list_distinct(string_split(text, ' '))"
+# Composed 3-word shingle hashes over ws = string_split(text, ' ') —
+# mirrors functions.text.word_shingle_hashes(col, 3): per-word poly hash,
+# then ((wh1 * MIX + wh2) % MOD * MIX + wh3) % MOD, distinct, empty under
+# 3 words. `wk` must be bound as list_transform(ws, w -> poly(w)).
+_DUCK_WORD_SHINGLE_HASHES3 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(wk) - 2, 0)), "
+    "i -> ((((wk[i] * 2654435761 + wk[i+1]) % 1000000007) * 2654435761) "
+    "+ wk[i+2]) % 1000000007))"
+)
 # 3-word shingles over ws = string_split(text, ' ') — mirrors
 # functions.text.word_shingles(col, 3) exactly (empty set under 3 words).
 _DUCK_SHINGLES3 = (
@@ -1115,10 +1124,11 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-t AS (
-  SELECT doc_id,
-         list_transform({_DUCK_SHINGLES3}, q -> {_duck_poly("q", v="h")}) AS tk
+ph AS (
+  SELECT doc_id, list_transform(ws, w -> {_duck_poly("w", v="h")}) AS wk
   FROM w),
+t AS (
+  SELECT doc_id, {_DUCK_WORD_SHINGLE_HASHES3} AS tk FROM ph),
 ex AS (SELECT doc_id, unnest(tk) AS h FROM t),
 bench AS (SELECT DISTINCT h FROM ex WHERE doc_id < 20)
 SELECT e.doc_id AS doc_id, CAST(COUNT(DISTINCT e.h) AS BIGINT) AS n_shared
@@ -1132,22 +1142,35 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs sharing ANY 3-word shingle with the benchmark set (doc_id < 20
     stands in for the eval set). Shingles travel as portable int64 hashes;
     the only shuffle is the semi-join on the shingle hash — never
-    doc×benchmark pairs — so at 100 TB this is a broadcast/bloom of the
-    benchmark shingle set against a map-side scan."""
-    from ..functions.text import poly_hash, word_shingles
+    doc×benchmark pairs — so at 100 TB this is a broadcast of the
+    benchmark shingle set against a map-side corpus scan. The two sides
+    scan separately ON PURPOSE: the bench side reads only the eval docs
+    (pushed-down ``doc_id < 20``, no fan-out shuffle — it is O(eval set)
+    by construction), so the corpus text is shuffled exactly once, by the
+    fan-out that parallelizes the shingle fold. An eval set too large to
+    broadcast exactly should become a bloom filter on the corpus side
+    (false positives only over-flag, which decontamination tolerates) —
+    at typical eval-set sizes (10^5-10^7 shingles, a few MB) the exact
+    broadcast set is the better trade and is what we ship. Shingle
+    fingerprints come from ``word_shingle_hashes`` (per-word hash folded
+    once, composed per shingle) — 3x fewer interpreted hash steps than
+    hashing each overlapping shingle string."""
+    from ..functions.text import word_shingle_hashes
     from ..utils import fan_out
 
+    def shingles(df):
+        return df.select(
+            "doc_id",
+            F.explode(word_shingle_hashes("text", 3)).alias("h"),
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = shingles(docs.filter(F.col("doc_id") < 20)).select("h").distinct()
     # fan_out: the shingle+hash fold is the expensive part — parallelize it
     # instead of folding a one-file scan on a single core.
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.transform(word_shingles("text", 3), poly_hash)).alias("h"),
-    )
-    bench = sh.filter(F.col("doc_id") < 20).select("h").distinct()
+    corpus = shingles(fan_out(docs.filter(F.col("doc_id") >= 20)))
     return (
-        sh.filter(F.col("doc_id") >= 20)
-        .join(F.broadcast(bench), "h")
+        corpus.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
         .agg(F.countDistinct("h").alias("n_shared"))
     )
