@@ -5434,6 +5434,109 @@ def pipe_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_dedup_twolevel",
+    oracle=f"""
+WITH RECURSIVE surv AS (
+  SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+w AS (SELECT id, string_split(text, ' ') AS ws FROM surv),
+t AS (SELECT id, {_DUCK_SHINGLES3} AS tk FROM w),
+hashed AS (
+  SELECT id, list_transform(tk, t -> {_duck_poly("t", v="q")}) AS hs FROM t),
+sigs AS (
+  SELECT id, {_DUCK_MINHASH_SIG} AS sig FROM hashed),
+banded AS (
+  SELECT id, b.band,
+         array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+                                        x -> CAST(x AS VARCHAR)), ',') AS key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c JOIN hashed ta ON ta.id = c.id_a
+               JOIN hashed tb ON tb.id = c.id_b
+  WHERE len(list_intersect(ta.hs, tb.hs))::DOUBLE
+        / len(list_distinct(list_concat(ta.hs, tb.hs))) >= 0.5),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(id, lab) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, reach.lab FROM edges e JOIN reach ON e.t = reach.id),
+members AS (
+  SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+drops AS (
+  SELECT id FROM (
+    SELECT m.id, ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+      ORDER BY d.n_chars DESC, m.id ASC) AS rn
+    FROM members m JOIN documents d ON d.doc_id = m.id) z WHERE rn > 1),
+keep AS (
+  SELECT id, text FROM surv WHERE id NOT IN (SELECT id FROM drops)),
+kw AS (SELECT id, string_split(text, ' ') AS toks FROM keep),
+g AS (SELECT id, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+      FROM kw, UNNEST(range(1, len(toks) - 6)) AS t(i)),
+sp AS (SELECT gram, COUNT(*) AS n_occ FROM g
+       GROUP BY gram HAVING COUNT(DISTINCT id) >= 2)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS docs_in,
+       CAST((SELECT COUNT(*) FROM keep) AS BIGINT) AS docs_kept,
+       CAST((SELECT COUNT(*) FROM sp) AS BIGINT) AS dup_grams,
+       CAST(COALESCE((SELECT SUM(n_occ) FROM sp), 0) AS BIGINT)
+         AS dup_positions
+""",
+)
+def pipe_dedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level dedup — the shape real pretraining pipelines run: level 1
+    picks DOCUMENT keepers (exact dedup → MinHash-LSH near-dup → connected
+    components → longest-text keeper, exactly ``pipe_dedup_corpus``);
+    level 2 then hunts DUPLICATED PASSAGES *within the survivors* — 8-token
+    spans seen in >= 2 distinct keeper docs — via the hash-keyed
+    ``span_gram_stats_hashed`` (xxhash64 shuffle key, ~20 bytes/span at
+    100 TB; see d_span_dedup_hash). Doc-level keeps the corpus small;
+    span-level catches the boilerplate that survives doc-level because its
+    host pages differ. The oracle replays the WHOLE chain (recursive-CTE
+    components, keeper set, span stats over keepers only), so the
+    certified object is the composition: a wrong keeper set would shift
+    the span counts."""
+    from ..operators.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs,
+        span_gram_stats_hashed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    surv = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    pairs = minhash_lsh_pairs(surv, "text", "doc_id", 16, 4, 0.5, shingle_n=3)
+    drops = (
+        dup_clusters(pairs)
+        .join(docs.select(F.col("doc_id").alias("id"), "n_chars"), "id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("n_chars"), F.asc("id")
+                )
+            ),
+        )
+        .filter(F.col("rn") > 1)
+        .select("id")
+    )
+    keepers = surv.join(drops, surv.doc_id == drops.id, "left_anti")
+    spans = span_gram_stats_hashed(keepers, "text", "doc_id", 8, min_docs=2)
+    n_in = docs.agg(F.count("*").alias("docs_in"))
+    n_keep = keepers.agg(F.count("*").alias("docs_kept"))
+    sp_stats = spans.agg(
+        F.count("*").alias("dup_grams"),
+        F.coalesce(F.sum("n_occ"), F.lit(0)).cast("long").alias("dup_positions"),
+    )
+    return n_in.join(F.broadcast(n_keep)).join(F.broadcast(sp_stats)).select(
+        "docs_in", "docs_kept", "dup_grams", "dup_positions"
+    )
+
+
+@register(
     "a_grouping_sets",
     oracle="""
 SELECT l_returnflag AS l_returnflag, l_linestatus AS l_linestatus,
