@@ -535,6 +535,158 @@ def main() -> None:
 
         return run
 
+    def bm25(src):
+        # t_bm25_topk shape: token explode -> 5 query terms collected
+        # (O(1) driver boundary) -> scoring pass filters with pushed-down
+        # isin -> one (doc, term) aggregation over the 5-term slice.
+        # Salted copies multiply docs AND shift the vocabulary; the slice
+        # stays O(5 terms x docs-containing-them) — linear class.
+        from pyspark.sql import Window
+
+        def run():
+            d2 = src.select("doc_id", F.split("text", " ").alias("toks"))
+            tok = d2.select(
+                "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+            )
+            qt = [
+                r["term"]
+                for r in tok.groupBy("term")
+                .agg(F.count("*").alias("n_occ"))
+                .orderBy(F.desc("n_occ"), F.asc("term"))
+                .limit(5)
+                .collect()
+            ]
+            tfq = (
+                tok.filter(F.col("term").isin(qt))
+                .groupBy("doc_id", "term", "dl")
+                .agg(F.count("*").alias("tf"))
+            )
+            stats = d2.agg(
+                F.sum(F.size("toks")).alias("s_tok"), F.count("*").alias("n_docs")
+            )
+            d = tfq.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+            s = d.join(F.broadcast(stats))
+            avgdl = F.col("s_tok").cast("double") / F.col("n_docs")
+            idf = F.log(
+                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            contrib = (
+                idf * F.col("tf") * 2.2
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+            )
+            sc = s.withColumn("ci", F.round(contrib * 1e9, 0).cast("long"))
+            return (
+                sc.groupBy("doc_id")
+                .agg(F.count("*").alias("nq"), F.sum("ci").alias("ci"))
+                .orderBy(F.desc("ci"), F.asc("doc_id"))
+                .limit(20)
+                .count()
+            )
+
+        return run
+
+    def containment(src):
+        # d_containment_pairs shape: same band shuffle as minhash_lsh, plus
+        # the two-direction containment re-rank on banded candidates.
+        # Salting keeps cross-copy candidates at zero, so candidate count
+        # scales with the data, not its square.
+        from vector_search_spark.operators.dedup import containment_pairs
+
+        return lambda: containment_pairs(
+            src, "text", "doc_id", 16, 4, 0.6, shingle_n=3
+        ).collect()
+
+    def pq_adc(src):
+        # v_pq_adc_knn shape: one aux scan (codebook seed vectors), one
+        # Arrow pq_encode pass checkpointed as the codes relation, then a
+        # codes-only ADC scoring scan. Encode is the dominant cost and is
+        # one corpus pass — linear class.
+        from pyspark.sql import Window
+
+        from vector_search_spark.operators.ann import pq_encode
+        from vector_search_spark.utils import fan_out
+
+        def run():
+            e2 = src.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+            aux = {
+                r["vec_id"]: r["e"]
+                for r in e2.filter(F.col("vec_id") < 16).collect()
+            }
+            codebook = {
+                s: {c: aux[c][s * 16:(s + 1) * 16] for c in sorted(aux)}
+                for s in range(4)
+            }
+            enc = pq_encode(fan_out(e2), codebook, corpus_vec="e").localCheckpoint(
+                eager=True
+            )
+            probe_ids = [i for i in sorted(aux) if i < 3]
+            ptab = {
+                p: {
+                    s: [
+                        sum(aux[p][s * 16 + i] * codebook[s][c][i] for i in range(16))
+                        for c in range(16)
+                    ]
+                    for s in range(4)
+                }
+                for p in probe_ids
+            }
+            per_probe = F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("probe_id"),
+                        sum(
+                            F.element_at(
+                                F.array(*[F.lit(v) for v in ptab[p][s]]),
+                                F.col(f"code{s}") + 1,
+                            )
+                            for s in range(4)
+                        ).alias("adc"),
+                    )
+                    for p in probe_ids
+                ]
+            )
+            scored = enc.select("vec_id", F.explode(per_probe).alias("ps")).select(
+                "vec_id", F.col("ps.probe_id").alias("probe_id"),
+                F.col("ps.adc").alias("adc"),
+            )
+            w = Window.partitionBy("probe_id").orderBy(
+                F.desc("adc"), F.asc("vec_id")
+            )
+            n = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 10)
+                .count()
+            )
+            enc.unpersist()
+            return n
+
+        return run
+
+    def cohort(src):
+        # w_cohort_retention shape: ONE user_id shuffle feeds the cohort
+        # window AND the aggregate; replication multiplies users, so
+        # per-user work is constant — linear class.
+        from pyspark.sql import Window
+
+        def run():
+            ev2 = src.select("user_id", F.date_trunc("day", "ts").alias("day"))
+            w = Window.partitionBy("user_id")
+            a = ev2.withColumn("cohort", F.min("day").over(w)).withColumn(
+                "day_offset", F.datediff(F.col("day"), F.col("cohort")).cast("long")
+            )
+            return (
+                a.groupBy(
+                    F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+                    "day_offset",
+                )
+                .agg(F.countDistinct("user_id").alias("n_users"))
+                .count()
+            )
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -548,6 +700,10 @@ def main() -> None:
         ("tfidf", tfidf(docs), tfidf(docs_big)),
         ("quantized_knn", quantized_knn(emb), quantized_knn(emb_big)),
         ("rag_embed", rag_embed(docs), rag_embed(docs_big)),
+        ("bm25_topk", bm25(docs), bm25(docs_big)),
+        ("containment_pairs", containment(docs), containment(docs_big)),
+        ("pq_adc_knn", pq_adc(emb), pq_adc(emb_big)),
+        ("cohort_retention", cohort(ev), cohort(ev_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:
