@@ -452,8 +452,10 @@ def minhash_lsh_pairs(
     intersects int64 sets instead of ~17-char strings — less Python-stage
     work and a narrower re-rank shuffle (the span-dedup hash-key move).
     Jaccard over the hash sets equals Jaccard over the strings modulo
-    64-bit collisions, and the oracle folds the same hashes, so parity
-    stays bit-exact regardless.
+    collisions in the ~1e9 hash space (HASH_MOD=1_000_000_007 — the
+    portable poly hash is ~30-bit, not 64-bit, so expect collisions from
+    ~30k distinct shingles per set by birthday bound), and the oracle
+    folds the same hashes, so parity stays bit-exact regardless.
     """
     rows_per_band = n_hashes // bands
     # The (id, shingle-set) relation feeds three consumers (signature path +
@@ -552,8 +554,11 @@ def dup_clusters(
     scale this erases ~10 rounds of per-job scheduling overhead; graphs
     above the bound (the 100× probe's 6.55M-edge adversarial chain) take
     the iterative distributed path unchanged. ``stats['mode']`` reports
-    which path ran. The bound is on EDGES, not corpus size: 1M edges ≈
-    32 MB collected, safely inside any driver.
+    which path ran. The bound is on EDGES, not corpus size: the edge list
+    ships to the driver as TWO Arrow-collected int64 columns (~16 MB of
+    array data at the 1M default, plus the transient Arrow batches) — NOT
+    a row-at-a-time ``collect()``, whose per-row Python ``Row`` objects
+    would cost 10-20× that.
     """
     import time as _time
 
@@ -597,10 +602,11 @@ def dup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        # one collect, one job — bounded by driver_max_edges (≈32 MB max);
+        # one Arrow collect, one job — toPandas ships the two id columns
+        # as Arrow batches (~16 B/edge, no per-row Row objects);
         # toLocalIterator would pay a scheduling round per partition
-        for row in edges.collect():
-            a, b = row[0], row[1]
+        pdf = edges.toPandas()
+        for a, b in zip(pdf[pdf.columns[0]].tolist(), pdf[pdf.columns[1]].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = _find(a), _find(b)

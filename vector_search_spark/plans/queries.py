@@ -5551,7 +5551,7 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_month), ())
 )
 def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS (the general form ROLLUP/CUBE specialize):
-    (flag, status) cells, per-shipmode cells, and the grand total in ONE
+    (flag, status) cells, per-ship-month cells, and the grand total in ONE
     pass over the fact table — Spark expands the sets map-side, so the
     scan count stays 1 where three separate GROUP BYs would scan thrice.
     grouping_id disambiguates set membership from NULL key values.

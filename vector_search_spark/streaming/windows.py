@@ -240,13 +240,15 @@ def run_late_data_tumbling_availablenow(
     table_name: str,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Drain the two-file late-data layout one file per micro-batch through
-    a watermarked tumbling aggregation (update mode) and return the final
-    per-window state. The watermark is recomputed after every micro-batch
-    from the max event time seen so far, so batch 2's backlog of old events
-    arrives strictly behind it and must be dropped — the semantics this row
-    certifies against a batch oracle that recomputes the keep-set
-    arithmetically. Counts are monotone within a window, so max/max_by
+    """Drain the three-file late-data layout (``make_late_data_batches``
+    writes files a/b/c) one file per micro-batch through a watermarked
+    tumbling aggregation (update mode) and return the final per-window
+    state. The three-batch ordering is load-bearing: Spark filters late
+    rows against the PREVIOUS trigger's watermark (SPARK-40925), so file b
+    is the spacer that lets file a's max event time become the operative
+    watermark before file c's backlog of old events arrives — strictly
+    behind it, and therefore dropped — the semantics this row certifies
+    against a batch oracle that recomputes the keep-set arithmetically. Counts are monotone within a window, so max/max_by
     collapse per-batch update emissions to the final value."""
     ev = stream_events(spark, path_dir, max_files_per_trigger=1)
     q = (
