@@ -56,6 +56,9 @@ HEADLINE = [
     "w_cohort_retention",
     "v_pq_adc_knn",
     "pipe_rag_retrieval",
+    # round-5 flagship additions
+    "v_ivf_persist",
+    "pipe_dedup_twolevel",
 ]
 
 

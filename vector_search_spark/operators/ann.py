@@ -105,14 +105,21 @@ def ivf_build_index(
     corpus: DataFrame,
     centroids: DataFrame,
     path: str,
+    assigned: DataFrame | None = None,
     **assign_kwargs,
 ) -> None:
     """Persist the IVF assignment table partitioned by centroid id. At
     100 TB this is the batch index build: a probe that touches ``n_probe``
     centroids then reads only those directories — partition pruning turns
-    bucket probes into O(bucket) scans instead of a full corpus pass."""
+    bucket probes into O(bucket) scans instead of a full corpus pass.
+
+    Pass ``assigned`` to write an assignment table the caller already
+    computed (e.g. checkpointed for reuse by an in-memory comparison) —
+    the assignment pass is the expensive half of the build and should
+    never run twice for one index."""
     centroid_id = assign_kwargs.get("centroid_id", "centroid_id")
-    assigned = ivf_assign(corpus, centroids, **assign_kwargs)
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, **assign_kwargs)
     assigned.write.mode("overwrite").partitionBy(centroid_id).parquet(path)
 
 
