@@ -59,6 +59,7 @@ HEADLINE = [
     # round-5 flagship additions
     "v_ivf_persist",
     "pipe_dedup_twolevel",
+    "v_ivf_pq_knn",
 ]
 
 

@@ -149,3 +149,42 @@ def test_pq_encode_arrow_matches_jvm(spark, sf_dir):
     jvm = as_map(pq_encode(emb, codebook, corpus_vec="e", use_arrow=False))
     assert len(arrow) > 0
     assert arrow == jvm
+
+
+def test_ivf_pq_encode_matches_jvm_composition(spark, sf_dir):
+    """The fused Arrow IVF-PQ build must equal the composition of the two
+    JVM reference paths: ivf_assign (cosine argmax, cid tie-break) for
+    the centroid column, pq_encode(use_arrow=False) for the codes."""
+    from vector_search_spark.operators.ann import (
+        ivf_assign,
+        ivf_pq_encode,
+        pq_encode,
+    )
+    from vector_search_spark.utils import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    aux = {r["vec_id"]: r["e"] for r in emb.filter(F.col("vec_id") < 16).collect()}
+    codebook = {
+        s: {c: aux[c][s * 16:(s + 1) * 16] for c in sorted(aux)} for s in range(4)
+    }
+    fused = {
+        r["vec_id"]: (r["centroid_id"], r["code0"], r["code1"], r["code2"], r["code3"])
+        for r in ivf_pq_encode(fan_out(emb), codebook, aux, corpus_vec="e").collect()
+    }
+    cents = spark.createDataFrame(
+        [(c, aux[c]) for c in sorted(aux)], "centroid_id long, centroid_vec array<double>"
+    )
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, cents, corpus_vec="e").collect()
+    }
+    codes = {
+        r["vec_id"]: (r["code0"], r["code1"], r["code2"], r["code3"])
+        for r in pq_encode(emb, codebook, corpus_vec="e", use_arrow=False).collect()
+    }
+    assert len(fused) > 0
+    assert fused == {
+        vid: (assign[vid], *codes[vid]) for vid in assign
+    }

@@ -255,3 +255,76 @@ def pq_encode(
         )
         enc = enc.withColumn(code_cols[s], F.array_min(cands).getField("c").cast("int"))
     return enc.select(corpus_id, *code_cols)
+
+
+def ivf_pq_encode(
+    corpus: DataFrame,
+    codebook: dict,
+    centroids: dict,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "e",
+    n_sub: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """IVF-PQ index build — ONE Arrow pass emitting
+    ``(id, centroid_id, code0..code{n_sub-1})``: nearest-centroid
+    assignment (cosine, ties to the lowest centroid id) fused with the PQ
+    encode of :func:`pq_encode`. This is the faiss-standard composite
+    index build: at 100 TB the corpus is scanned once and the result —
+    a handful of small ints per vector — IS the index; serve-time
+    touches only rows in the probed centroid buckets and never decodes.
+
+    ``centroids[cid]`` is the full-dim centroid vector (cids sorted).
+    Float contract: cosine = dot / (sqrt(dot_aa) * sqrt(dot_bb)) with
+    sequential float64 folds — numpy reduces an axis shorter than its
+    pairwise block (128) left-to-right, so the values are bit-identical
+    to functions.vector.cosine_sim's JVM fold and to DuckDB's
+    list_cosine_similarity on the same doubles, and ``np.argmax`` takes
+    the first (lowest-cid) maximum, matching ``ORDER BY cos DESC, cid``.
+    PQ code semantics are exactly :func:`pq_encode`'s (cross-checked
+    against the JVM fold in tests).
+    """
+    import numpy as _np
+
+    cids = sorted(centroids)
+    ct = _np.array([list(map(float, centroids[c])) for c in cids])
+    ct_norm = _np.sqrt((ct * ct).sum(axis=1))
+    cb = _np.array(
+        [[list(map(float, codebook[s][c])) for c in sorted(codebook[s])]
+         for s in range(n_sub)]
+    )
+    code_cols = [f"code{s}" for s in range(n_sub)]
+
+    def _build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {corpus_id: pd.Series([], dtype="int64"),
+                     "centroid_id": pd.Series([], dtype="int64"),
+                     **{c: pd.Series([], dtype="int32") for c in code_cols}}
+                )
+                continue
+            X = _np.array(pdf[corpus_vec].tolist(), dtype=_np.float64)
+            xn = _np.sqrt((X * X).sum(axis=1))
+            cos = _np.empty((len(X), len(cids)))
+            for j in range(len(cids)):
+                cos[:, j] = (X * ct[j]).sum(axis=1) / (xn * ct_norm[j])
+            out = {
+                corpus_id: pdf[corpus_id],
+                "centroid_id": _np.array(cids, dtype=_np.int64)[
+                    _np.argmax(cos, axis=1)
+                ],
+            }
+            for s in range(n_sub):
+                sub = X[:, s * sub_dim:(s + 1) * sub_dim]
+                d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                out[code_cols[s]] = _np.argmin(d, axis=1).astype(_np.int32)
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{corpus_id} long, centroid_id long, "
+        + ", ".join(f"{c} int" for c in code_cols)
+    )
+    return corpus.select(corpus_id, corpus_vec).mapInPandas(_build, schema)
