@@ -60,6 +60,7 @@ HEADLINE = [
     "v_ivf_persist",
     "pipe_dedup_twolevel",
     "v_ivf_pq_knn",
+    "pipe_incremental_index",
 ]
 
 

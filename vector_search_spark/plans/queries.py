@@ -5720,6 +5720,105 @@ def pipe_dedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_incremental_index",
+    oracle=f"""
+WITH v2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 23 = 0),
+diff AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text != b.text THEN 'changed'
+              ELSE 'unchanged' END AS class,
+         a.text AS t1, b.text AS t2
+  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+et AS (
+  SELECT doc_id, class,
+         CASE WHEN class = 'unchanged' THEN t1 || '@v1'
+              ELSE t2 || '@v2' END AS etext
+  FROM diff WHERE class != 'removed'),
+cr AS (SELECT doc_id, class, {_duck_embed_raw('etext')} AS rv FROM et),
+cn AS (SELECT doc_id, class, rv,
+              sqrt(list_sum(list_transform(rv, _nx -> _nx * _nx))) AS nrm
+       FROM cr),
+idx AS (SELECT doc_id, class,
+               list_transform(rv, _vx -> (_vx / nrm)::FLOAT) AS emb
+        FROM cn)
+SELECT class AS class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(ROUND(emb[1]::DOUBLE * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS chk
+FROM idx GROUP BY class
+""",
+)
+def pipe_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vector-index maintenance — the crawl-refresh pipeline:
+    diff the corpus snapshot (d_snapshot_diff's deterministic v2) and
+    (re)embed ONLY the delta, carrying unchanged docs' stored vectors
+    forward and dropping removed ones. Carried vectors are embedder
+    version '@v1', fresh ones '@v2' — so the value oracle PROVES the
+    carry-forward: a pipeline that lazily re-embedded unchanged docs with
+    the current embedder would produce different vectors and fail parity,
+    not just waste compute. The certified object is the merged index
+    content (per-class row counts + an exact scaled-integer checksum of
+    each vector's first component).
+
+    100 TB shape: ONE full-outer id-shuffle join classifies the snapshot
+    (content hashes, not full text, in a real deployment — see
+    d_snapshot_diff), then ONE Arrow embed pass over the kept rows with
+    the version-tagged text; re-embedding cost scales with the delta, not
+    the corpus, which is the entire point of maintaining an index
+    incrementally."""
+    from ..llm.embed import embed_texts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
+    b = v2.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
+    diff = a.join(b, a.id1 == b.id2, "full_outer").select(
+        F.coalesce("id1", "id2").alias("doc_id"),
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("t1") != F.col("t2"), "changed")
+        .otherwise("unchanged")
+        .alias("class"),
+        "t1",
+        "t2",
+    )
+    et = diff.filter(F.col("class") != "removed").select(
+        "doc_id",
+        "class",
+        F.when(
+            F.col("class") == "unchanged", F.concat("t1", F.lit("@v1"))
+        ).otherwise(F.concat("t2", F.lit("@v2"))).alias("etext"),
+    )
+    idx = embed_texts(et, "etext")
+    return idx.groupBy("class").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.round(F.element_at("embedding", 1).cast("double") * 1e6, 0).cast(
+                "long"
+            )
+        ).cast("long").alias("chk"),
+    )
+
+
+@register(
     "a_grouping_sets",
     oracle="""
 SELECT l_returnflag AS l_returnflag, l_linestatus AS l_linestatus,
