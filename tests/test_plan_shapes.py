@@ -55,3 +55,43 @@ def test_no_cartesian_product_and_codegen(spark, sf_dir, name):
     assert re.search(r"WholeStageCodegen|\*\(\d+\)", plan), (
         f"{name}: no whole-stage codegen span"
     )
+
+
+# round-5 plan pins: the redundant-execution bugs this round fixed must not
+# come back — each query's executed plan is held to its designed scan/join
+# budget (counting only AQE's Final Plan section).
+def _final_plan(df):
+    return _executed_plan(df).split("== Initial Plan ==")[0]
+
+
+def test_matryoshka_single_pass(spark, sf_dir):
+    """v_matryoshka_knn must stay one scored pass: 1 broadcast cross join,
+    <= 2 embeddings scans (corpus + probe filter) — it regressed to 7
+    scans in round 4 when the coarse/full branches re-executed."""
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _final_plan(QUERIES["v_matryoshka_knn"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2, plan
+    joins = JOIN_RE.findall(plan)
+    assert joins == ["BroadcastNestedLoopJoin"], joins
+
+
+def test_pq_adc_serves_from_codes(spark, sf_dir):
+    """v_pq_adc_knn's returned plan must score from the checkpointed codes
+    relation: zero joins, zero parquet scans (the encode ran at build
+    time), one exchange for the per-probe top-10."""
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _final_plan(QUERIES["v_pq_adc_knn"].fn(spark, sf_dir))
+    assert JOIN_RE.findall(plan) == [], plan
+    assert plan.count("Scan parquet") == 0, plan
+
+
+def test_ivf_pq_serves_from_codes(spark, sf_dir):
+    """v_ivf_pq_knn: same serve contract as PQ-ADC — codes-only scan, no
+    joins; bucket membership is a literal predicate."""
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _final_plan(QUERIES["v_ivf_pq_knn"].fn(spark, sf_dir))
+    assert JOIN_RE.findall(plan) == [], plan
+    assert plan.count("Scan parquet") == 0, plan
