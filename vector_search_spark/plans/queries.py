@@ -5590,6 +5590,52 @@ def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_percentiles_by_group",
+    oracle="""
+SELECT lang AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99,
+       CAST(1 AS BIGINT) AS approx_p50_ok
+FROM documents GROUP BY lang
+""",
+)
+def a_percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact discrete percentiles (p50/p90/p99 of document
+    length by language) — the distribution profiling t_profile_documents'
+    min/max/avg can't answer, and the quantity every length-filter
+    threshold is tuned from. ``percentile_disc`` (smallest value with
+    cume_dist >= p) returns an actual data element, so the outputs are
+    integers and exact across engines — no interpolation-formula ulp
+    hazard (percentile_cont's a + f*(b-a) is NOT guaranteed bit-equal
+    between engines). Also runs ``approx_percentile`` (the 100 TB path —
+    exact disc percentiles need a per-group sort, the sketch needs one
+    pass) and certifies |approx - exact| <= 25 chars as a 0/1 gate
+    column against the oracle's literal 1: sketch noise is tolerated,
+    a sketch REGRESSION fails parity. Expressed through the SQL surface
+    (WITHIN GROUP syntax), pinning that entry point too."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_pct_docs")
+    return spark.sql(
+        """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS p50,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS p90,
+               CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS p99,
+               CAST(ABS(approx_percentile(n_chars, 0.5, 10000)
+                        - percentile_disc(0.5) WITHIN GROUP
+                          (ORDER BY n_chars)) <= 25 AS BIGINT)
+                 AS approx_p50_ok
+        FROM _pct_docs GROUP BY lang
+        """
+    )
+
+
+@register(
     "d_snapshot_diff",
     oracle="""
 WITH v2 AS (
