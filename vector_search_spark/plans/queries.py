@@ -5590,6 +5590,87 @@ def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_data_mixture",
+    oracle=f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+st AS (SELECT list_sum(list_sort(list(sqrt(CAST(n AS DOUBLE))))) AS denom,
+              SUM(n) AS t
+       FROM c),
+m AS (SELECT c.lang, c.n,
+             sqrt(CAST(c.n AS DOUBLE)) / st.denom AS w,
+             CAST(ROUND(sqrt(CAST(c.n AS DOUBLE)) / st.denom * st.t, 0)
+                  AS BIGINT) AS target
+      FROM c, st),
+r AS (SELECT *, LEAST(1.0, CAST(target AS DOUBLE) / n) AS rate FROM m),
+s AS (SELECT d.lang, COUNT(*) AS n_sampled
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE ({_duck_poly("CAST(d.doc_id AS VARCHAR)")}) % 1000000
+            < r.rate * 1000000.0
+      GROUP BY 1)
+SELECT m.lang AS lang, CAST(m.n AS BIGINT) AS n_docs,
+       ROUND(m.w, 6) AS weight, m.target AS target,
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM m LEFT JOIN s ON s.lang = m.lang
+""",
+)
+def pipe_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data mixing (the multilingual-pretraining
+    staple): per-language targets proportional to n^alpha with alpha=0.5
+    — upweights tail languages the way every multilingual training mix
+    does — then a DETERMINISTIC hash sample realizes each language's
+    target (same portable poly hash as p_hash_split, so membership is
+    reproducible across engines and runs, not an RNG draw). One lang
+    groupBy + broadcast of the tiny mixture table back over the corpus
+    scan; the sample predicate is map-side.
+
+    Float discipline: the normalizing denominator Σ sqrt(n_l) is an
+    ORDERED fold over the SORTED per-language terms
+    (aggregate(array_sort(collect_list(...)))  ==  DuckDB
+    list_sum(list_sort(list(...)))) — a plain SUM's partial-aggregation
+    order is engine-dependent, a sorted left fold is not. Weights,
+    targets, and rates then derive from identical doubles, and sample
+    membership compares identical integers."""
+    from ..functions.text import poly_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("n").cast("double")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("denom"),
+        F.sum("n").alias("t"),
+    )
+    w = F.sqrt(F.col("n").cast("double")) / F.col("denom")
+    m = counts.crossJoin(F.broadcast(stats)).select(
+        "lang",
+        "n",
+        w.alias("w"),
+        F.round(w * F.col("t"), 0).cast("long").alias("target"),
+    )
+    r = m.withColumn(
+        "rate", F.least(F.lit(1.0), F.col("target").cast("double") / F.col("n"))
+    )
+    keep = (poly_hash(F.col("doc_id").cast("string")) % 1000000) < (
+        F.col("rate") * 1000000.0
+    )
+    sampled = (
+        docs.join(F.broadcast(r.select("lang", "rate")), "lang")
+        .filter(keep)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return m.join(sampled, "lang", "left").select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("w", 6).alias("weight"),
+        "target",
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
+@register(
     "a_percentiles_by_group",
     oracle="""
 SELECT lang AS lang,
