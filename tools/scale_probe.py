@@ -687,6 +687,122 @@ def main() -> None:
 
         return run
 
+    def twolevel(src):
+        # pipe_dedup_twolevel shape: exact-dedup groupBy -> LSH pair
+        # pipeline -> CC -> keeper anti-join -> hashed span stats over
+        # keepers. Salted copies share no text, shingles, or spans, so
+        # every stage scales with the data.
+        from pyspark.sql import Window
+
+        from vector_search_spark.operators.dedup import (
+            dup_clusters,
+            minhash_lsh_pairs,
+            span_gram_stats_hashed,
+        )
+
+        def run():
+            surv = src.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+            pairs = minhash_lsh_pairs(surv, "text", "doc_id", 16, 4, 0.5, shingle_n=3)
+            drops = (
+                dup_clusters(pairs)
+                .join(src.select(F.col("doc_id").alias("id"), "n_chars"), "id")
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("cluster_id").orderBy(
+                            F.desc("n_chars"), F.asc("id")
+                        )
+                    ),
+                )
+                .filter(F.col("rn") > 1)
+                .select("id")
+            )
+            keepers = surv.join(drops, surv.doc_id == drops.id, "left_anti")
+            spans = span_gram_stats_hashed(keepers, "text", "doc_id", 8, min_docs=2)
+            return spans.agg(F.count("*"), F.sum("n_occ")).collect()
+
+        return run
+
+    def ivf_pq(src):
+        # v_ivf_pq_knn shape: one aux scan + one fused Arrow assign+encode
+        # pass (checkpointed codes = the index) + a codes-only filtered ADC
+        # serve scan. Linear class like pq_adc.
+        from pyspark.sql import Window
+
+        from vector_search_spark.operators.ann import ivf_pq_encode
+        from vector_search_spark.utils import fan_out
+
+        def run():
+            e2 = src.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+            aux = {
+                r["vec_id"]: r["e"]
+                for r in e2.filter(F.col("vec_id") < 16).collect()
+            }
+            codebook = {
+                s: {c: aux[c][s * 16:(s + 1) * 16] for c in sorted(aux)}
+                for s in range(4)
+            }
+            index = ivf_pq_encode(
+                fan_out(e2), codebook, aux, corpus_vec="e"
+            ).localCheckpoint(eager=True)
+            n = (
+                index.filter(F.col("centroid_id").isin([0, 1, 2, 3]))
+                .groupBy("centroid_id")
+                .agg(F.count("*"))
+                .count()
+            )
+            index.unpersist()
+            return n
+
+        return run
+
+    def incr_index(src):
+        # pipe_incremental_index shape: one full-outer id join classifies
+        # the snapshot, one Arrow embed pass over kept rows. Embed cost
+        # scales with rows kept — linear class.
+        from vector_search_spark.llm.embed import embed_texts
+
+        def run():
+            docs = src.select("doc_id", "text")
+            v2 = (
+                docs.filter(F.col("doc_id") % 17 != 0)
+                .select(
+                    "doc_id",
+                    F.when(
+                        F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" v2"))
+                    ).otherwise(F.col("text")).alias("text"),
+                )
+                .unionByName(
+                    docs.filter(F.col("doc_id") % 23 == 0).select(
+                        (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+                    )
+                )
+            )
+            a = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
+            b = v2.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
+            diff = a.join(b, a.id1 == b.id2, "full_outer").select(
+                F.coalesce("id1", "id2").alias("doc_id"),
+                F.when(F.col("id1").isNull(), "added")
+                .when(F.col("id2").isNull(), "removed")
+                .when(F.col("t1") != F.col("t2"), "changed")
+                .otherwise("unchanged")
+                .alias("class"),
+                "t1",
+                "t2",
+            )
+            et = diff.filter(F.col("class") != "removed").select(
+                "doc_id",
+                "class",
+                F.when(
+                    F.col("class") == "unchanged", F.concat("t1", F.lit("@v1"))
+                ).otherwise(F.concat("t2", F.lit("@v2"))).alias("etext"),
+            )
+            return embed_texts(et, "etext").groupBy("class").count().collect()
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -704,6 +820,9 @@ def main() -> None:
         ("containment_pairs", containment(docs), containment(docs_big)),
         ("pq_adc_knn", pq_adc(emb), pq_adc(emb_big)),
         ("cohort_retention", cohort(ev), cohort(ev_big)),
+        ("twolevel_dedup", twolevel(docs), twolevel(docs_big)),
+        ("ivf_pq", ivf_pq(emb), ivf_pq(emb_big)),
+        ("incremental_index", incr_index(docs), incr_index(docs_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:
