@@ -61,6 +61,12 @@ HEADLINE = [
     "pipe_dedup_twolevel",
     "v_ivf_pq_knn",
     "pipe_incremental_index",
+    "v_filtered_knn",
+    "v_mmr_rerank",
+    "v_hybrid_rrf",
+    "v_retrieval_ndcg",
+    "a_percentiles_by_group",
+    "pipe_data_mixture",
 ]
 
 
