@@ -537,44 +537,24 @@ def main() -> None:
 
     def bm25(src):
         # t_bm25_topk shape: token explode -> 5 query terms collected
-        # (O(1) driver boundary) -> scoring pass filters with pushed-down
-        # isin -> one (doc, term) aggregation over the 5-term slice.
-        # Salted copies multiply docs AND shift the vocabulary; the slice
-        # stays O(5 terms x docs-containing-them) — linear class.
-        from pyspark.sql import Window
+        # (O(1) driver boundary) -> shared bm25_scaled_contrib (pushed-down
+        # isin slice) -> per-doc aggregation. Salted copies multiply docs
+        # AND shift the vocabulary; the slice stays O(5 terms x
+        # docs-containing-them) — linear class.
+        from vector_search_spark.operators.lm import bm25_scaled_contrib
 
         def run():
             d2 = src.select("doc_id", F.split("text", " ").alias("toks"))
-            tok = d2.select(
-                "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-            )
             qt = [
                 r["term"]
-                for r in tok.groupBy("term")
+                for r in d2.select(F.explode("toks").alias("term"))
+                .groupBy("term")
                 .agg(F.count("*").alias("n_occ"))
                 .orderBy(F.desc("n_occ"), F.asc("term"))
                 .limit(5)
                 .collect()
             ]
-            tfq = (
-                tok.filter(F.col("term").isin(qt))
-                .groupBy("doc_id", "term", "dl")
-                .agg(F.count("*").alias("tf"))
-            )
-            stats = d2.agg(
-                F.sum(F.size("toks")).alias("s_tok"), F.count("*").alias("n_docs")
-            )
-            d = tfq.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-            s = d.join(F.broadcast(stats))
-            avgdl = F.col("s_tok").cast("double") / F.col("n_docs")
-            idf = F.log(
-                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            )
-            contrib = (
-                idf * F.col("tf") * 2.2
-                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
-            )
-            sc = s.withColumn("ci", F.round(contrib * 1e9, 0).cast("long"))
+            sc = bm25_scaled_contrib(d2, qt)
             return (
                 sc.groupBy("doc_id")
                 .agg(F.count("*").alias("nq"), F.sum("ci").alias("ci"))
@@ -654,13 +634,14 @@ def main() -> None:
             w = Window.partitionBy("probe_id").orderBy(
                 F.desc("adc"), F.asc("vec_id")
             )
-            n = (
+            # NB: no unpersist — DataFrame.unpersist is a cache-manager
+            # no-op on a localCheckpoint'ed relation; blocks are freed by
+            # the ContextCleaner when the RDD goes out of scope
+            return (
                 scored.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= 10)
                 .count()
             )
-            enc.unpersist()
-            return n
 
         return run
 
@@ -747,14 +728,13 @@ def main() -> None:
             index = ivf_pq_encode(
                 fan_out(e2), codebook, aux, corpus_vec="e"
             ).localCheckpoint(eager=True)
-            n = (
+            # no unpersist: see pq_adc note (no-op on localCheckpoint)
+            return (
                 index.filter(F.col("centroid_id").isin([0, 1, 2, 3]))
                 .groupBy("centroid_id")
                 .agg(F.count("*"))
                 .count()
             )
-            index.unpersist()
-            return n
 
         return run
 

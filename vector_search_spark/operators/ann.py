@@ -86,11 +86,15 @@ def ivf_assign(
     corpus_vec: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign every corpus row to its nearest centroid (index build).
 
     One broadcast pass + a per-row argmax (window over C candidates).
-    Deterministic tie-break on centroid id.
+    Deterministic tie-break on centroid id. ``payload_cols`` carries
+    metadata columns (labels, timestamps) through the assignment so a
+    filtered-search consumer doesn't need a corpus-sized self-join to
+    re-attach them afterwards.
     """
     scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
         "_cscore", cosine_sim(corpus_vec, centroid_vec)
@@ -98,7 +102,7 @@ def ivf_assign(
     best = topk_per_key(
         scored, [corpus_id], "_cscore", 1, tiebreak=[centroid_id], two_phase=False
     )
-    return best.select(corpus_id, corpus_vec, centroid_id)
+    return best.select(corpus_id, corpus_vec, centroid_id, *(payload_cols or []))
 
 
 def ivf_build_index(
@@ -214,6 +218,12 @@ def pq_encode(
             [[list(map(float, codebook[s][c])) for c in sorted(codebook[s])]
              for s in range(n_sub)]
         )  # (n_sub, n_codes, sub_dim)
+        # emit actual codebook KEYS, not positional argmin indices — the
+        # JVM path emits keys, and a non-contiguous codebook (codewords
+        # seeded from arbitrary ids) would otherwise silently diverge
+        keys = [
+            _np.array(sorted(codebook[s]), dtype=_np.int32) for s in range(n_sub)
+        ]
 
         def _encode(batches):
             import pandas as pd
@@ -230,7 +240,7 @@ def pq_encode(
                 for s in range(n_sub):
                     sub = X[:, s * sub_dim:(s + 1) * sub_dim]
                     d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
-                    out[code_cols[s]] = _np.argmin(d, axis=1).astype(_np.int32)
+                    out[code_cols[s]] = keys[s][_np.argmin(d, axis=1)]
                 yield pd.DataFrame(out)
 
         schema = f"{corpus_id} long, " + ", ".join(f"{c} int" for c in code_cols)
@@ -293,6 +303,9 @@ def ivf_pq_encode(
         [[list(map(float, codebook[s][c])) for c in sorted(codebook[s])]
          for s in range(n_sub)]
     )
+    cb_keys = [
+        _np.array(sorted(codebook[s]), dtype=_np.int32) for s in range(n_sub)
+    ]
     code_cols = [f"code{s}" for s in range(n_sub)]
 
     def _build(batches):
@@ -320,7 +333,8 @@ def ivf_pq_encode(
             for s in range(n_sub):
                 sub = X[:, s * sub_dim:(s + 1) * sub_dim]
                 d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
-                out[code_cols[s]] = _np.argmin(d, axis=1).astype(_np.int32)
+                # actual codebook keys, not positions (see pq_encode)
+                out[code_cols[s]] = cb_keys[s][_np.argmin(d, axis=1)]
             yield pd.DataFrame(out)
 
     schema = (

@@ -88,3 +88,54 @@ def bigram_lm_scores(
             F.round(F.sum("nll") / F.count("*") / NLL_SCALE, 6).alias("avg_nll"),
         )
     )
+
+
+def bm25_scaled_contrib(
+    docs: DataFrame,
+    query_terms,
+    doc_id: str = "doc_id",
+    toks_col: str = "toks",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Scaled-integer BM25 contributions ``(doc_id, term, ci)`` for a set
+    of query terms over ``docs(doc_id, toks)`` — the ONE implementation of
+    the k1=1.2 / b=0.75 scoring expression shared by ``t_bm25_topk``,
+    ``v_hybrid_rrf``, and the scale probe (three hand copies of the
+    constant soup is how engines silently fork).
+
+    Each per-(doc, term) contribution rounds into 1e-9-scaled integer
+    space BEFORE any aggregation, so downstream per-doc sums are exact
+    under any partial-sum order (both engines rank identical integers).
+    ``query_terms`` is either a Python list (becomes a pushed-down
+    ``isin`` on the token explode — the serve shape when terms arrive as
+    input) or a 1-column ``term`` DataFrame (broadcast-joined — the shape
+    when terms are themselves corpus-derived). Doc length rides through
+    the explode; N/avgdl broadcast as a 1-row scalar; df is a window over
+    the already-filtered slice."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        doc_id, F.size(toks_col).alias("dl"), F.explode(toks_col).alias("term")
+    )
+    if isinstance(query_terms, DataFrame):
+        sliced = tok.join(F.broadcast(query_terms), "term")
+    else:
+        sliced = tok.filter(F.col("term").isin(list(query_terms)))
+    tfq = sliced.groupBy(doc_id, "term", "dl").agg(F.count("*").alias("tf"))
+    d = tfq.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    stats = docs.agg(
+        F.sum(F.size(toks_col)).alias("s_tok"), F.count("*").alias("n_docs")
+    )
+    s = d.join(F.broadcast(stats))
+    avgdl = F.col("s_tok").cast("double") / F.col("n_docs")
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / avgdl))
+    )
+    return s.select(
+        doc_id, "term", F.round(contrib * 1e9, 0).cast("long").alias("ci")
+    )

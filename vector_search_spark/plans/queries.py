@@ -1880,8 +1880,16 @@ def v_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
     probes = _probes(emb, 3)
+    # repo-relative scratch (portable to any checkout), keyed per process
+    # so a concurrent pytest/parity pair can't overwrite each other's
+    # index mid-read
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     path = os.path.join(
-        "/root/repo/.scratch", f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}"
+        repo_root,
+        ".scratch",
+        f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     # one assignment pass total: checkpoint it, write THAT table as the
     # index, and serve the in-memory comparison from the same relation —
@@ -2121,18 +2129,20 @@ post AS (
   SELECT probe_id, vec_id FROM (
     SELECT probe_id, vec_id,
       ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY vec_id ASC) AS prn
-    FROM overfetch WHERE label = probe_id) t WHERE prn <= 10)
+    FROM overfetch WHERE label = probe_id) t WHERE prn <= 10),
+nx AS (SELECT probe_id, COUNT(*) AS n_exact FROM exact GROUP BY probe_id)
 SELECT x.probe_id AS probe_id,
-       CAST(10 AS BIGINT) AS n_exact,
+       CAST(nx.n_exact AS BIGINT) AS n_exact,
        CAST(COUNT(po.vec_id) AS BIGINT) AS n_post,
        CAST(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS hits,
-       ROUND(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0
-             * 100, 2) AS recall_pct
+       ROUND(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(nx.n_exact AS DOUBLE) * 100, 2) AS recall_pct
 FROM (SELECT DISTINCT probe_id FROM p) x
+JOIN nx ON nx.probe_id = x.probe_id
 LEFT JOIN post po ON po.probe_id = x.probe_id
 LEFT JOIN exact ex ON ex.probe_id = po.probe_id AND ex.vec_id = po.vec_id
-GROUP BY x.probe_id
+GROUP BY x.probe_id, nx.n_exact
 """,
 )
 def v_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2177,10 +2187,13 @@ def v_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("centroid_vec")
     )
-    assigned = ivf_assign(emb.select("vec_id", "e", "label"), cents, corpus_vec="e")
-    # ivf_assign keeps (id, vec, centroid); re-attach label for the post-filter
-    assigned = assigned.join(
-        emb.select("vec_id", "label"), "vec_id"
+    # label rides through the assignment (payload_cols) — no corpus-sized
+    # self-join to re-attach metadata after the build
+    assigned = ivf_assign(
+        emb.select("vec_id", "e", "label"),
+        cents,
+        corpus_vec="e",
+        payload_cols=["label"],
     )
     pcent = (
         probes.crossJoin(F.broadcast(cents))
@@ -2221,15 +2234,22 @@ def v_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("vec_id") == F.col("x_vec")),
         "left",
     )
-    return j.groupBy("probe_id").agg(
-        F.lit(10).cast("long").alias("n_exact"),
+    # recall's denominator is the probe's ACTUAL exact-set size — a label
+    # class with < 10 members must not cap a perfect retrieval below 100%
+    nx = exact.groupBy("x_probe").agg(F.count("*").cast("long").alias("n_exact"))
+    agg = j.groupBy("probe_id").agg(
         F.count("vec_id").cast("long").alias("n_post"),
         F.sum(
             F.when(F.col("x_vec").isNotNull(), 1).otherwise(0)
         ).cast("long").alias("hits"),
+    )
+    return agg.join(F.broadcast(nx), agg.probe_id == nx.x_probe).select(
+        "probe_id",
+        "n_exact",
+        "n_post",
+        "hits",
         F.round(
-            F.sum(F.when(F.col("x_vec").isNotNull(), 1).otherwise(0)) / 10.0 * 100,
-            2,
+            F.col("hits") / F.col("n_exact").cast("double") * 100, 2
         ).alias("recall_pct"),
     )
 
@@ -2355,6 +2375,8 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 score = 0.7 * rel[i] - 0.3 * maxsim
                 if best is None or score > best_score:
                     best, best_score = i, score
+            if best is None:  # fewer candidates than selection steps
+                break
             selected.append(best)
             rows.append(
                 (
@@ -2488,6 +2510,8 @@ def v_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rv") <= 20)
         .select("probe_id", F.col("vec_id").alias("id"), "rv")
     )
+    from ..operators.lm import bm25_scaled_contrib
+
     qt = (
         docs.filter(F.col("doc_id") < 3)
         .select(
@@ -2497,30 +2521,7 @@ def v_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     terms = qt.select("term").distinct()
-    tok = docs.select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-    )
-    tfq = (
-        tok.join(F.broadcast(terms), "term")
-        .groupBy("doc_id", "term", "dl")
-        .agg(F.count("*").alias("tf"))
-    )
-    d = tfq.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    stats = docs.agg(
-        F.sum(F.size("toks")).alias("s_tok"), F.count("*").alias("n_docs")
-    )
-    s = d.join(F.broadcast(stats))
-    avgdl = F.col("s_tok").cast("double") / F.col("n_docs")
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    contrib = (
-        idf * F.col("tf") * 2.2
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
-    )
-    ci = s.select(
-        "doc_id", "term", F.round(contrib * 1e9, 0).cast("long").alias("ci")
-    )
+    ci = bm25_scaled_contrib(docs, terms)
     lex = (
         ci.join(F.broadcast(qt), "term")
         .groupBy("probe_id", F.col("doc_id").alias("id"))
@@ -5355,12 +5356,12 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized-KNN probes) so the scoring pass filters with a pushed-down
     isin instead of a join — a real deployment receives its query terms
     as input and pays ONE corpus scan for scoring."""
+    from ..operators.lm import bm25_scaled_contrib
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    tok = docs.select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-    )
+    tok = docs.select("doc_id", F.explode("toks").alias("term"))
     qt = [
         r["term"]
         for r in (
@@ -5371,27 +5372,7 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     ]
-    tfq = (
-        tok.filter(F.col("term").isin(qt))
-        .groupBy("doc_id", "term", "dl")
-        .agg(F.count("*").alias("tf"))
-    )
-    stats = docs.agg(
-        F.sum(F.size("toks")).alias("s_tok"), F.count("*").alias("n_docs")
-    )
-    d = tfq.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    s = d.join(F.broadcast(stats))
-    avgdl = F.col("s_tok").cast("double") / F.col("n_docs")
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    contrib = (
-        idf
-        * F.col("tf")
-        * 2.2
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
-    )
-    sc = s.withColumn("ci", F.round(contrib * 1e9, 0).cast("long"))
+    sc = bm25_scaled_contrib(docs, qt)
     per_doc = sc.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_query_terms"),
         F.sum("ci").alias("ci"),
