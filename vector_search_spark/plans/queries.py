@@ -5571,6 +5571,182 @@ def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_rerank_cross_encoder",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id AS query_id, v AS pv FROM e WHERE vec_id < 2),
+cand AS (
+  SELECT query_id, vec_id, rn AS bi_rank FROM (
+    SELECT p.query_id, e.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        ORDER BY list_cosine_similarity(e.v, p.pv) DESC, e.vec_id ASC) AS rn
+    FROM e CROSS JOIN p WHERE e.vec_id != p.query_id) t WHERE rn <= 10),
+qt AS (SELECT doc_id AS query_id, text AS qtext FROM documents WHERE doc_id < 2),
+pairs AS (
+  SELECT c.query_id, c.vec_id, c.bi_rank,
+         ('0x' || substr(md5(qt.qtext || ' [SEP] ' || d.text || '#0'), 1, 16))
+           ::UINT64::DOUBLE / 9223372036854775808.0 - 1.0 AS ce
+  FROM cand c
+  JOIN qt ON qt.query_id = c.query_id
+  JOIN documents d ON d.doc_id = c.vec_id)
+SELECT query_id AS query_id, vec_id AS vec_id,
+       CAST(bi_rank AS BIGINT) AS bi_rank,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY ce DESC, vec_id ASC) AS BIGINT) AS ce_rank,
+       ROUND(ce, 6) AS ce_score
+FROM pairs
+""",
+)
+def pipe_rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank with a cross-encoder — the two-stage serving
+    stack (bi-encoder recall, cross-encoder precision) every production
+    RAG/search deployment runs: cosine top-10 per query (cheap, corpus
+    scan), then a PAIR scorer over query-text x candidate-text re-orders
+    the short list. The cross-encoder is the deterministic md5 fake in
+    the FakeEmbeddingClient family — score = uint64(md5(q || ' [SEP] ' ||
+    d || '#0')[:16]) / 2^63 - 1 — computed JVM-SIDE (F.md5 + F.conv on
+    the hex prefix; the integer-to-double rounding is identical to
+    DuckDB's UINT64::DOUBLE), so the rerank stage needs no Python at all
+    and the oracle reproduces it bit-for-bit. The expensive stage scores
+    20 pairs, not the corpus — the entire point of the split."""
+    from ..functions.vector import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_v = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("pv")
+    )
+    wbi = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    cand = (
+        emb.crossJoin(F.broadcast(queries_v))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine_sim("e", "pv"))
+        .withColumn("bi_rank", F.row_number().over(wbi))
+        .filter(F.col("bi_rank") <= 10)
+        .select("query_id", "vec_id", "bi_rank")
+    )
+    qt = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("qtext")
+    )
+    pairs = (
+        cand.join(F.broadcast(qt), cand.query_id == qt.q_id)
+        .join(docs, cand.vec_id == docs.doc_id)
+        .select(
+            "query_id",
+            "vec_id",
+            "bi_rank",
+            F.concat(
+                F.col("qtext"), F.lit(" [SEP] "), F.col("text"), F.lit("#0")
+            ).alias("pair_text"),
+        )
+    )
+    ce = (
+        F.conv(F.substring(F.md5("pair_text"), 1, 16), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("double")
+        / 9223372036854775808.0
+        - 1.0
+    )
+    scored = pairs.withColumn("ce", ce)
+    wce = Window.partitionBy("query_id").orderBy(F.desc("ce"), F.asc("vec_id"))
+    return scored.select(
+        "query_id",
+        "vec_id",
+        F.col("bi_rank").cast("long").alias("bi_rank"),
+        F.row_number().over(wce).cast("long").alias("ce_rank"),
+        F.round("ce", 6).alias("ce_score"),
+    )
+
+
+@register(
+    "pipe_hard_negatives",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+p AS (SELECT vec_id AS anchor_id, v AS pv, label AS plabel
+      FROM e WHERE vec_id < 3),
+scored AS (
+  SELECT p.anchor_id, e.vec_id, e.label, p.plabel,
+         list_cosine_similarity(e.v, p.pv) AS sim
+  FROM e CROSS JOIN p WHERE e.vec_id != p.anchor_id),
+negs AS (
+  SELECT anchor_id, vec_id, sim, 'hard_negative' AS pair_type,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+           ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored WHERE label != plabel),
+pos AS (
+  SELECT anchor_id, vec_id, sim, 'hard_positive' AS pair_type,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+           ORDER BY sim ASC, vec_id ASC) AS rn
+  FROM scored WHERE label = plabel)
+SELECT anchor_id AS anchor_id, pair_type AS pair_type,
+       CAST(rn AS BIGINT) AS rank, vec_id AS vec_id,
+       ROUND(sim, 6) AS sim
+FROM (SELECT * FROM negs WHERE rn <= 3
+      UNION ALL
+      SELECT * FROM pos WHERE rn <= 1) t
+""",
+)
+def pipe_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-pair mining for contrastive embedding training — the
+    training-DATA-generation op behind every bi-encoder fine-tune: per
+    anchor, the top-3 HARD NEGATIVES (highest cosine among WRONG-label
+    rows — the confusable examples that actually move the loss; random
+    negatives are trivially separable) and the HARDEST POSITIVE (lowest
+    cosine among same-label rows — the worst-case pair the model must
+    still pull together). One scored pass (anchors broadcast over the
+    corpus scan), two windows over the same partitioning, no shuffle of
+    the corpus beyond the per-anchor rank exchange. At 100 TB the
+    anchor set batches and the candidate generation swaps to the ANN
+    index (v_ivf_pq_knn) — the mining semantics certified here are
+    index-agnostic."""
+    from ..functions.vector import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    anchors = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("e").alias("pv"),
+        F.col("label").alias("plabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .withColumn("sim", cosine_sim("e", "pv"))
+        .select("anchor_id", "vec_id", "label", "plabel", "sim")
+    )
+    wneg = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    wpos = Window.partitionBy("anchor_id").orderBy(F.asc("sim"), F.asc("vec_id"))
+    negs = (
+        scored.filter(F.col("label") != F.col("plabel"))
+        .withColumn("rank", F.row_number().over(wneg))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "anchor_id",
+            F.lit("hard_negative").alias("pair_type"),
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("plabel"))
+        .withColumn("rank", F.row_number().over(wpos))
+        .filter(F.col("rank") <= 1)
+        .select(
+            "anchor_id",
+            F.lit("hard_positive").alias("pair_type"),
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+    return negs.unionByName(pos)
+
+
+@register(
     "pipe_data_mixture",
     oracle=f"""
 WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
