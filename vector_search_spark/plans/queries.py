@@ -5571,6 +5571,38 @@ def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_streaming_knn_serve",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS probe_vec
+           FROM embeddings WHERE vec_id < 3),
+sc AS (
+  SELECT p.probe_id, e.vec_id,
+         {_duck_cos('e.embedding', 'p.probe_vec')} AS score
+  FROM embeddings e CROSS JOIN p)
+SELECT probe_id AS probe_id, vec_id AS vec_id, ROUND(score, 6) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+    ORDER BY score DESC, vec_id ASC) AS rn
+  FROM sc) t
+WHERE rn <= 10
+""",
+)
+def s_streaming_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector-search SERVING — queries arrive as a stream, the
+    corpus is static, and each micro-batch runs the untouched batch
+    ``knn`` operator inside ``foreachBatch`` (the online half of the
+    batch-index/serve split; see streaming/serving.py). A REAL
+    availableNow streaming run, not a batch twin: the file source drains
+    the probe files through the streaming engine and the served answers
+    are certified against the batch KNN oracle — per-probe results are
+    batching-invariant because each probe's top-k depends only on that
+    probe and the static corpus."""
+    from ..streaming.serving import run_streaming_knn_availablenow
+
+    return run_streaming_knn_availablenow(spark, sf_dir, k=10, n_probes=3)
+
+
+@register(
     "pipe_rerank_cross_encoder",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,76 @@
+"""Streaming vector-search serving: a stream of query vectors answered
+against the static corpus, micro-batch at a time.
+
+This is the online half of the batch-index/serve split the ANN rows
+certify: queries ARRIVE (a file/queue stream), the corpus/index is a
+static broadcastable relation, and each micro-batch runs the SAME
+``operators.knn`` plan the batch path uses — so the streaming results are
+oracle-checkable against the batch KNN over the same probe set. Per-probe
+top-k inside one micro-batch is fine (the rank is per batch, not over the
+unbounded stream — contrast streaming/fusion.py, which accumulates state
+across batches instead).
+
+``foreachBatch`` is the serving surface on purpose: it hands each bounded
+micro-batch to arbitrary BATCH code (the knn operator, untouched), which
+is exactly how real Structured Streaming deployments serve model/index
+lookups. Results accumulate on the driver here only because the memory
+sink is the test harness — a deployment writes each batch's answers to
+its sink inside the same callback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_vectors(spark: SparkSession, path_glob: str) -> DataFrame:
+    """File-source stream over embeddings parquet (bounded drain with
+    Trigger.availableNow in tests)."""
+    schema = spark.read.parquet(path_glob).schema
+    return spark.readStream.schema(schema).parquet(path_glob)
+
+
+def run_streaming_knn_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Drain the probe stream (vec_id < ``n_probes`` of the embeddings
+    table arriving as files) through a per-micro-batch KNN against the
+    static corpus; return all served answers. Deterministic regardless of
+    how the file source batches the probes: each probe's top-k depends
+    only on that probe and the static corpus."""
+    from ..operators.knn import knn
+    from ..sources.catalog import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    probes = (
+        stream_vectors(spark, f"{sf_dir}/embeddings*.parquet")
+        .filter(F.col("vec_id") < n_probes)
+        .select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+        )
+    )
+    served: list = []
+
+    def _serve(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = knn(corpus, batch_df, k=k).select(
+            "probe_id", "vec_id", F.round("score", 6).alias("score")
+        )
+        # driver accumulation is the TEST sink (k x n_probes rows); a
+        # deployment writes res to its real sink here instead
+        served.extend(res.collect())
+
+    q = (
+        probes.writeStream.foreachBatch(_serve)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        served, "probe_id long, vec_id long, score double"
+    )
