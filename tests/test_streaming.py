@@ -542,3 +542,68 @@ def test_transform_with_state_totals_equal_batch(spark, sf_dir, tmp_path):
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, old)
+
+
+def test_streaming_knn_serve_multi_batch(spark, sf_dir, tmp_path):
+    """The serving row's batching-invariance claim, actually exercised:
+    split the probe set across THREE files, force one file per
+    micro-batch, and assert the served union equals the batch KNN answer
+    exactly. Each probe's top-k depends only on that probe and the static
+    corpus, so HOW the stream batches the probes must not matter."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.knn import knn
+    from vector_search_spark.sources.catalog import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    probes_src = corpus.filter(F.col("vec_id") < 3)
+    pdir = str(tmp_path / "probes")
+    # one probe per file -> 3 micro-batches under maxFilesPerTrigger=1
+    for pid in range(3):
+        probes_src.filter(F.col("vec_id") == pid).coalesce(1).write.mode(
+            "append"
+        ).parquet(pdir)
+
+    served: list = []
+
+    def _serve(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        res = knn(corpus, batch_df, k=5).select(
+            "probe_id", "vec_id", F.round("score", 6).alias("score")
+        )
+        served.append((sorted(r["probe_id"] for r in batch_df.collect()),
+                       res.collect()))
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+    )
+    q = stream.writeStream.foreachBatch(_serve).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    assert len(served) == 3, f"expected 3 micro-batches, got {len(served)}"
+    got = sorted(
+        (r["probe_id"], r["vec_id"], r["score"])
+        for _, rows in served
+        for r in rows
+    )
+    expect = sorted(
+        (r["probe_id"], r["vec_id"], r["score"])
+        for r in knn(
+            corpus,
+            probes_src.select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_vec"),
+            ),
+            k=5,
+        )
+        .select("probe_id", "vec_id", F.round("score", 6).alias("score"))
+        .collect()
+    )
+    assert got == expect
