@@ -1039,17 +1039,27 @@ m AS (
            (a, b) -> a + b)::DOUBLE / len(tk) AS mean_len
   FROM t)
 SELECT doc_id AS doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-       ROUND(distinct_ratio, 6) AS distinct_ratio,
-       ROUND(stop_ratio, 6) AS stop_ratio,
-       ROUND(mean_len, 6) AS mean_len,
-       ROUND(0.4 * distinct_ratio + 0.3 * (1 - stop_ratio)
-             + 0.3 * LEAST(mean_len / 10, 1.0), 6) AS quality
+       FLOOR(distinct_ratio * 1000000) / 1000000 AS distinct_ratio,
+       FLOOR(stop_ratio * 1000000) / 1000000 AS stop_ratio,
+       FLOOR(mean_len * 1000000) / 1000000 AS mean_len,
+       FLOOR((0.4 * distinct_ratio + 0.3 * (1 - stop_ratio)
+              + 0.3 * LEAST(mean_len / 10, 1.0)) * 1000000) / 1000000
+         AS quality
 FROM m
 """,
 )
 def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: distinct-token ratio, stopword ratio,
-    mean token length → weighted composite score."""
+    mean token length → weighted composite score.
+
+    Outputs TRUNCATE at 6 digits (floor(x*1e6)/1e6) instead of rounding:
+    these metrics are exact small rationals (counts over counts), which
+    land on exact decimal halves at any fixed rounding digit (found at
+    sf0.1: doc 844's quality is exactly 0.5146875 — Spark's
+    BigDecimal-on-shortest-repr ROUND said 0.514688, DuckDB's
+    binary-value ROUND said 0.514687). floor operates on the identical
+    double both engines computed, so truncation is boundary-stable where
+    half-rounding rules are not."""
     from ..functions.text import STOPWORDS, tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -1076,13 +1086,16 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (1 - stop_ratio)
         + 0.3 * F.least(mean_len / 10, F.lit(1.0))
     )
+    def f6(c):  # truncate at 6 digits — boundary-stable (see docstring)
+        return F.floor(c * 1e6).cast("double") / 1e6
+
     return d.select(
         "doc_id",
         n_tok.cast("long").alias("n_tok"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(mean_len, 6).alias("mean_len"),
-        F.round(quality, 6).alias("quality"),
+        f6(distinct_ratio).alias("distinct_ratio"),
+        f6(stop_ratio).alias("stop_ratio"),
+        f6(mean_len).alias("mean_len"),
+        f6(quality).alias("quality"),
     )
 
 
