@@ -3918,9 +3918,9 @@ g AS (
 SELECT doc_id AS doc_id,
        CAST(len(bigrams) AS BIGINT) AS n_bigrams,
        CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
-       ROUND(CASE WHEN len(bigrams) = 0 THEN 0.0
-             ELSE 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)
-             END, 6) AS dup_bigram_ratio,
+       FLOOR((CASE WHEN len(bigrams) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)
+              END) * 1000000) / 1000000 AS dup_bigram_ratio,
        CAST(CASE WHEN len(bigrams) > 0 AND
                  1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams) > 0.2
             THEN 1 ELSE 0 END AS BIGINT) AS flagged
@@ -3950,7 +3950,10 @@ def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.cast("long").alias("n_bigrams"),
         nd.cast("long").alias("n_distinct_bigrams"),
-        F.round(ratio, 6).alias("dup_bigram_ratio"),
+        # truncate, not round: per-doc count ratios land on exact decimal
+        # halves where engine ROUND rules diverge (the t_quality_score
+        # lesson — same denominator class)
+        (F.floor(ratio * 1e6).cast("double") / 1e6).alias("dup_bigram_ratio"),
         (ratio > 0.2).cast("long").alias("flagged"),
     )
 
