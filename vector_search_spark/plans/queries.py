@@ -5876,6 +5876,53 @@ def pipe_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_udaf_geomean",
+    oracle="""
+SELECT lang AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(EXP(AVG(LN(n_chars::DOUBLE))), 4) AS geo_mean_chars
+FROM documents GROUP BY lang
+""",
+)
+def a_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a pandas GROUPED_AGG UDAF — the §2.11 UDAF
+    API surface (scalar pandas_udf, UDTF, mapInPandas, applyInPandas,
+    and applyInPandasWithState are pinned elsewhere; this is the
+    remaining entry point): per-language geometric mean of document
+    length, an aggregate Catalyst has no builtin for. Arrow ships each
+    group's column once; the UDAF computes exp(mean(log(x))) in numpy.
+    Output rounds at 4 digits — log/exp are transcendental, so the two
+    engines' libm results agree to ~1 ulp and the rounded values match
+    (same contract as the cosine family); the UDAF is constructed inside
+    the function because pandas_udf at module import time needs an
+    active session."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType (not type hints): this module uses
+    # `from __future__ import annotations`, which stringifies the hints
+    # the pandas_udf signature parser inspects
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v.astype("float64").to_numpy()).mean()))
+
+    docs = _t(spark, sf_dir, "documents")
+    # Spark disallows mixing a GROUPED_AGG UDAF with builtin aggregates
+    # in one agg — counts come from a separate pass over the same 5-group
+    # key, joined broadcast
+    geo = docs.groupBy("lang").agg(
+        F.round(geo_mean(F.col("n_chars").cast("double")), 4).alias(
+            "geo_mean_chars"
+        )
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    return counts.join(F.broadcast(geo), "lang").select(
+        "lang", "n_docs", "geo_mean_chars"
+    )
+
+
+@register(
     "a_percentiles_by_group",
     oracle="""
 SELECT lang AS lang,
