@@ -783,6 +783,88 @@ def main() -> None:
 
         return run
 
+    def hybrid_rrf(docs_src, emb_src):
+        # v_hybrid_rrf shape: one token-explode aggregation sliced by the
+        # broadcast query terms (shared bm25_scaled_contrib) + one cosine
+        # corpus scan + a full-outer join of two <=20-row rank lists per
+        # probe. doc_id/vec_id stay aligned across replication (same
+        # stride), so the probe docs exist at both scales.
+        from pyspark.sql import Window
+
+        from vector_search_spark.functions.vector import cosine_sim
+        from vector_search_spark.operators.lm import bm25_scaled_contrib
+
+        def run():
+            d2 = docs_src.select("doc_id", F.split("text", " ").alias("toks"))
+            e2 = emb_src.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+            probes = e2.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("probe_id"), F.col("e").alias("pv")
+            )
+            vrank = (
+                e2.crossJoin(F.broadcast(probes))
+                .withColumn("score", cosine_sim("e", "pv"))
+                .withColumn(
+                    "rv",
+                    F.row_number().over(
+                        Window.partitionBy("probe_id").orderBy(
+                            F.desc("score"), F.asc("vec_id")
+                        )
+                    ),
+                )
+                .filter(F.col("rv") <= 20)
+                .select("probe_id", F.col("vec_id").alias("id"), "rv")
+            )
+            qt = (
+                d2.filter(F.col("doc_id") < 3)
+                .select(
+                    F.col("doc_id").alias("probe_id"),
+                    F.explode(F.slice("toks", 1, 5)).alias("term"),
+                )
+                .distinct()
+            )
+            ci = bm25_scaled_contrib(d2, qt.select("term").distinct())
+            lex = (
+                ci.join(F.broadcast(qt), "term")
+                .groupBy("probe_id", F.col("doc_id").alias("id"))
+                .agg(F.sum("ci").alias("lexs"))
+            )
+            lrank = (
+                lex.withColumn(
+                    "rl",
+                    F.row_number().over(
+                        Window.partitionBy("probe_id").orderBy(
+                            F.desc("lexs"), F.asc("id")
+                        )
+                    ),
+                )
+                .filter(F.col("rl") <= 20)
+                .select(
+                    F.col("probe_id").alias("lp"), F.col("id").alias("li"), "rl"
+                )
+            )
+            fused = lrank.join(
+                vrank,
+                (lrank.lp == vrank.probe_id) & (lrank.li == vrank.id),
+                "full_outer",
+            ).select(
+                F.coalesce("lp", "probe_id").alias("p"),
+                F.coalesce("li", "id").alias("i"),
+                (
+                    F.coalesce(1.0 / (60 + F.col("rl")), F.lit(0.0))
+                    + F.coalesce(1.0 / (60 + F.col("rv")), F.lit(0.0))
+                ).alias("rrf"),
+            )
+            w = Window.partitionBy("p").orderBy(F.desc("rrf"), F.asc("i"))
+            return (
+                fused.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 10)
+                .count()
+            )
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -801,6 +883,7 @@ def main() -> None:
         ("pq_adc_knn", pq_adc(emb), pq_adc(emb_big)),
         ("cohort_retention", cohort(ev), cohort(ev_big)),
         ("twolevel_dedup", twolevel(docs), twolevel(docs_big)),
+        ("hybrid_rrf", hybrid_rrf(docs, emb), hybrid_rrf(docs_big, emb_big)),
         ("ivf_pq", ivf_pq(emb), ivf_pq(emb_big)),
         ("incremental_index", incr_index(docs), incr_index(docs_big)),
     ]
