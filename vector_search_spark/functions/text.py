@@ -147,10 +147,18 @@ def word_shingle_hashes(col: ColumnOrName, n: int = 3) -> Column:
     """Distinct hashes of n-word shingles, composed from per-WORD poly
     hashes: ``h = ((wh_1 * MIX + wh_2) % MOD * MIX + wh_3) % MOD``.
 
-    Equivalent fingerprint to ``poly_hash(word_shingles(...))`` but each
-    word's characters are folded ONCE instead of once per overlapping
-    shingle — O(chars + shingles) vs O(shingles x shingle_len), ~3x fewer
-    interpreted lambda steps for n=3. All intermediates stay below
+    Serves the same ROLE as ``poly_hash(word_shingles(...))`` — a distinct
+    per-shingle fingerprint — but the VALUES differ (the old form folds the
+    shingle's characters including the joining spaces; this folds per-word
+    hashes), so the two are not interchangeable mid-pipeline. Each word's
+    characters are folded ONCE instead of once per overlapping shingle —
+    O(chars + shingles) vs O(shingles x shingle_len), ~3x fewer
+    interpreted lambda steps for n=3. Collision bound: the composed hash
+    lives in the ~30-bit ``HASH_MOD`` space, so a document with ~30k
+    distinct shingles has a birthday-collision expectation of ~0.4 merged
+    pairs — consumers count distinct composed hashes, not distinct
+    shingles (slight over-merge / over-flag bias, mirrored exactly by the
+    oracle so parity is unaffected). All intermediates stay below
     ``HASH_MOD * HASH_MIX`` ~ 2.7e18 < 2^63, so the integer math is exact
     and engine-portable (the DuckDB mirror is
     ``_DUCK_WORD_SHINGLE_HASHES3`` in plans/queries.py). Documents shorter

@@ -1899,11 +1899,29 @@ def v_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    scratch = os.path.join(repo_root, ".scratch")
     path = os.path.join(
-        repo_root,
-        ".scratch",
+        scratch,
         f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
+    # prune indexes left by dead processes (every bench/parity/pytest run
+    # writes a fresh pid-keyed dir; without this the scratch area grows
+    # unboundedly across runs)
+    import shutil
+
+    if os.path.isdir(scratch):
+        for d in os.listdir(scratch):
+            if not d.startswith("ivf_index_"):
+                continue
+            pid_s = d.rsplit("_", 1)[-1]
+            if not pid_s.isdigit() or int(pid_s) == os.getpid():
+                continue
+            try:
+                os.kill(int(pid_s), 0)  # raises if the owner is gone
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(scratch, d), ignore_errors=True)
+            except PermissionError:
+                pass  # pid exists under another user: leave it
     # one assignment pass total: checkpoint it, write THAT table as the
     # index, and serve the in-memory comparison from the same relation —
     # the certified claim (served == in-memory, parquet round-trip exact)
@@ -2628,7 +2646,7 @@ sys AS (
       ROW_NUMBER() OVER (PARTITION BY pc.probe_id
         ORDER BY list_cosine_similarity(a.v, pc.pv) DESC, a.vec_id ASC) AS rn
     FROM pcent pc JOIN assign a ON a.ctid = pc.ctid) t WHERE rn <= 10),
-wt(pos, w) AS (VALUES {", ".join(f"({i+1}, {w!r})" for i, w in enumerate(_NDCG_W))}),
+wt(pos, w) AS (VALUES {", ".join(f"({i+1}, CAST({w!r} AS DOUBLE))" for i, w in enumerate(_NDCG_W))}),
 terms AS (
   SELECT s.probe_id, s.pos,
          CASE WHEN ex.rn IS NULL THEN 0 ELSE 11 - ex.rn END AS rel,
@@ -5880,7 +5898,7 @@ def pipe_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang AS lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(EXP(AVG(LN(n_chars::DOUBLE))), 4) AS geo_mean_chars
+       ROUND(EXP(AVG(LN(GREATEST(n_chars, 1)::DOUBLE))), 4) AS geo_mean_chars
 FROM documents GROUP BY lang
 """,
 )
@@ -5905,7 +5923,12 @@ def a_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     def geo_mean(v):
         import numpy as np
 
-        return float(np.exp(np.log(v.astype("float64").to_numpy()).mean()))
+        # GREATEST(x,1) mirror: a future fixture with n_chars=0 would make
+        # DuckDB's LN(0) raise while numpy returns -inf — guard both sides
+        # identically so the row compares values instead of failing
+        # asymmetrically (fixture-drift hazard class, see CLAUDE.md)
+        x = np.maximum(v.astype("float64").to_numpy(), 1.0)
+        return float(np.exp(np.log(x).mean()))
 
     docs = _t(spark, sf_dir, "documents")
     # Spark disallows mixing a GROUPED_AGG UDAF with builtin aggregates
