@@ -85,7 +85,19 @@ def bigram_lm_scores(
         .groupBy("id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.sum("nll") / F.count("*") / NLL_SCALE, 6).alias("avg_nll"),
+            F.sum("nll").alias("_nll_sum"),
+        )
+        # SUM(int)/count/1e9 is an exact rational: truncate via pure
+        # integer division (floor at 6 digits == nll_sum div (n*1000)) —
+        # double division here could round UP across an integer boundary;
+        # `div` stays in BIGINT (hazard class, CLAUDE.md)
+        .select(
+            "id",
+            "n_bigrams",
+            (
+                F.expr("_nll_sum div (n_bigrams * 1000)").cast("double")
+                / 1000000
+            ).alias("avg_nll"),
         )
     )
 

@@ -180,45 +180,75 @@ def v_knn_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "r_q1_pricing_summary",
     oracle="""
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p100,
+         CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT) AS d100,
+         CAST(ROUND((1 + l_tax) * 100, 0) AS BIGINT) AS t100,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc100
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(SUM(q) AS DOUBLE) AS sum_qty,
+       CAST(SUM(p100) AS DOUBLE) / 100 AS sum_base_price,
+       CAST(SUM(p100 * d100) // 100 AS DOUBLE) / 100 AS sum_disc_price,
+       CAST(SUM(p100 * d100 * t100) // 10000 AS DOUBLE) / 100 AS sum_charge,
+       CAST((SUM(q) * 10000) // COUNT(*) AS DOUBLE) / 10000 AS avg_qty,
+       CAST((SUM(p100) * 100) // COUNT(*) AS DOUBLE) / 10000 AS avg_price,
+       CAST((SUM(disc100) * 100) // COUNT(*) AS DOUBLE) / 10000 AS avg_disc,
        COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-GROUP BY l_returnflag, l_linestatus
+FROM s GROUP BY l_returnflag, l_linestatus
 """,
 )
 def r_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-shaped hash aggregation (A1-family; headline bench query)."""
+    """TPC-H-Q1-shaped hash aggregation (A1-family; headline bench query).
+
+    Float hazard class (see CLAUDE.md): quantities are integers, prices
+    2-decimal, discount/tax 0.01-step — every aggregate here is an EXACT
+    small rational, so a ROUND-of-double output can land on an exact
+    decimal half where Spark (shortest-repr) and DuckDB (binary) round
+    differently. All money/avg outputs therefore go through scaled-int
+    BIGINT sums (exact, order-free) and integer-division truncation —
+    both engines floor the identical integer, boundary-stable at any SF.
+    Magnitude bound: p100*d100*t100 <= ~1.2e11/row, so the BIGINT sum
+    holds to ~sf10; beyond that the scale path is a DECIMAL(38) cast."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    s = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p100"),
+        F.round((1 - F.col("l_discount")) * 100, 0).cast("long").alias("d100"),
+        F.round((1 + F.col("l_tax")) * 100, 0).cast("long").alias("t100"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc100"),
+    )
+    agg = s.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("q").alias("sq"),
+        F.sum("p100").alias("sp"),
+        F.sum(F.col("p100") * F.col("d100")).alias("sdp"),
+        F.sum(F.col("p100") * F.col("d100") * F.col("t100")).alias("sch"),
+        F.sum("disc100").alias("sd"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        (F.col("sp").cast("double") / 100).alias("sum_base_price"),
+        (F.expr("sdp div 100").cast("double") / 100).alias("sum_disc_price"),
+        (F.expr("sch div 10000").cast("double") / 100).alias("sum_charge"),
+        (F.expr("(sq * 10000) div count_order").cast("double") / 10000).alias(
+            "avg_qty"
+        ),
+        (F.expr("(sp * 100) div count_order").cast("double") / 10000).alias(
+            "avg_price"
+        ),
+        (F.expr("(sd * 100) div count_order").cast("double") / 10000).alias(
+            "avg_disc"
+        ),
+        "count_order",
     )
 
 
@@ -379,7 +409,8 @@ def r_denorm_campaign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus AS o_orderstatus,
        COUNT(*) AS n_above,
-       ROUND(AVG(o_totalprice), 2) AS avg_above
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) // COUNT(*)
+            AS DOUBLE) / 100 AS avg_above
 FROM orders
 WHERE o_totalprice > (
   SELECT AVG(o_totalprice) + 0.5 * STDDEV_SAMP(o_totalprice) FROM orders)
@@ -388,7 +419,10 @@ GROUP BY o_orderstatus
 )
 def a_dynamic_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8+P7 dynamic threshold = mean + 0.5·stddev_samp (camp_vec_rcmn.py:97,
-    pandas ddof=1 == stddev_samp), applied via broadcast scalar join."""
+    pandas ddof=1 == stddev_samp), applied via broadcast scalar join.
+    avg_above is an exact small rational (2-decimal prices / count), so it
+    truncates via scaled-int cents division instead of ROUND — see the
+    half-boundary hazard class in CLAUDE.md."""
     orders = _t(spark, sf_dir, "orders")
     stats = orders.agg(
         (F.avg("o_totalprice") + 0.5 * F.stddev_samp("o_totalprice")).alias("thr")
@@ -399,7 +433,16 @@ def a_dynamic_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_above"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_above"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "_cents"
+            ),
+        )
+        .select(
+            "o_orderstatus",
+            "n_above",
+            (F.expr("_cents div n_above").cast("double") / 100).alias(
+                "avg_above"
+            ),
         )
     )
 
@@ -513,20 +556,33 @@ def t_sweepline_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type AS event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+       CAST((SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000)
+            // COUNT(*) AS DOUBLE) / 10000 AS avg_k
 FROM events
 GROUP BY event_type
 """,
 )
 def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7/F8 JSON field extraction (nl_targeting_save.py:46-61) over the
-    events.props JSON blob column."""
+    events.props JSON blob column. avg_k is an integer/count exact
+    rational — truncated via scaled-int division, not ROUND (half-boundary
+    hazard class, CLAUDE.md)."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.round(F.avg(k), 4).alias("avg_k"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_k",
+            (F.expr("(sum_k * 10000) div n").cast("double") / 10000).alias(
+                "avg_k"
+            ),
+        )
     )
 
 
@@ -758,8 +814,9 @@ t AS (
          list_transform({_DUCK_SHINGLES3}, q -> {_duck_poly("q", v="h")}) AS tk
   FROM w)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(len(list_intersect(a.tk, b.tk))::DOUBLE
-             / len(list_distinct(list_concat(a.tk, b.tk))), 6) AS jaccard
+       FLOOR(len(list_intersect(a.tk, b.tk))::DOUBLE
+             / len(list_distinct(list_concat(a.tk, b.tk))) * 1000000)
+         / 1000000 AS jaccard
 FROM t a JOIN t b
   ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
@@ -780,7 +837,13 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", ["source", "lang"], 0.2, shingle_n=3, hashed=True,
         max_block_size=None,
     )
-    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return res.select(
+        "id_a",
+        "id_b",
+        # |A∩B|/|A∪B| is an exact small rational: truncate the identical
+        # int/int double, don't ROUND (half-boundary hazard class, CLAUDE.md)
+        (F.floor(F.col("jaccard") * 1000000) / 1000000).alias("jaccard"),
+    )
 
 
 @register(
@@ -809,7 +872,7 @@ rerank AS (
          / len(list_distinct(list_concat(ta.hs, tb.hs))) AS jaccard
   FROM cands c JOIN hashed ta ON ta.id = c.id_a
                JOIN hashed tb ON tb.id = c.id_b)
-SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+SELECT id_a, id_b, FLOOR(jaccard * 1000000) / 1000000 AS jaccard
 FROM rerank WHERE jaccard >= 0.5
 """,
 )
@@ -821,7 +884,13 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     res = minhash_lsh_pairs(docs, "text", "doc_id", 16, 4, 0.5, shingle_n=3)
-    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return res.select(
+        "id_a",
+        "id_b",
+        # |A∩B|/|A∪B| is an exact small rational: truncate the identical
+        # int/int double, don't ROUND (half-boundary hazard class, CLAUDE.md)
+        (F.floor(F.col("jaccard") * 1000000) / 1000000).alias("jaccard"),
+    )
 
 
 @register(
@@ -2167,8 +2236,8 @@ SELECT x.probe_id AS probe_id,
        CAST(COUNT(po.vec_id) AS BIGINT) AS n_post,
        CAST(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS hits,
-       ROUND(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-             / CAST(nx.n_exact AS DOUBLE) * 100, 2) AS recall_pct
+       CAST((SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000)
+            // nx.n_exact AS DOUBLE) / 100 AS recall_pct
 FROM (SELECT DISTINCT probe_id FROM p) x
 JOIN nx ON nx.probe_id = x.probe_id
 LEFT JOIN post po ON po.probe_id = x.probe_id
@@ -2279,9 +2348,11 @@ def v_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_post",
         "hits",
-        F.round(
-            F.col("hits") / F.col("n_exact").cast("double") * 100, 2
-        ).alias("recall_pct"),
+        # hits/n_exact is an exact small rational: truncate via scaled-int
+        # division (half-boundary hazard class, CLAUDE.md)
+        (F.expr("(hits * 10000) div n_exact").cast("double") / 100).alias(
+            "recall_pct"
+        ),
     )
 
 
@@ -2656,9 +2727,10 @@ terms AS (
   JOIN wt ON wt.pos = s.pos
   LEFT JOIN exact ex ON ex.probe_id = s.probe_id AND ex.vec_id = s.vec_id)
 SELECT probe_id AS probe_id,
-       ROUND(CAST(SUM(ci) AS DOUBLE) / {_NDCG_IDCG}, 6) AS ndcg,
-       ROUND(COALESCE(1.0 / MIN(CASE WHEN rel > 0 THEN pos END), 0.0), 6)
-         AS mrr,
+       FLOOR(CAST(SUM(ci) AS DOUBLE) / {_NDCG_IDCG} * 1000000) / 1000000
+         AS ndcg,
+       FLOOR(COALESCE(1.0 / MIN(CASE WHEN rel > 0 THEN pos END), 0.0)
+             * 1000000) / 1000000 AS mrr,
        CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
 FROM terms GROUP BY probe_id
 """,
@@ -2741,12 +2813,24 @@ def v_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("ci"),
     )
     return terms.groupBy("probe_id").agg(
-        F.round(F.sum("ci").cast("double") / F.lit(_NDCG_IDCG), 6).alias("ndcg"),
-        F.round(
-            F.coalesce(
-                1.0 / F.min(F.when(F.col("rel") > 0, F.col("pos"))), F.lit(0.0)
-            ),
-            6,
+        # ndcg = exact-int / literal-double, mrr = 1/int — both engines
+        # compute the identical double, so FLOOR-truncation is stable where
+        # ROUND could split on a decimal half (hazard class, CLAUDE.md)
+        (
+            F.floor(
+                F.sum("ci").cast("double") / F.lit(_NDCG_IDCG) * 1000000
+            )
+            / 1000000
+        ).alias("ndcg"),
+        (
+            F.floor(
+                F.coalesce(
+                    1.0 / F.min(F.when(F.col("rel") > 0, F.col("pos"))),
+                    F.lit(0.0),
+                )
+                * 1000000
+            )
+            / 1000000
         ).alias("mrr"),
         F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("long").alias(
             "n_hits"
@@ -3443,8 +3527,8 @@ SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
        RANK() OVER w AS rnk,
        DENSE_RANK() OVER w AS drnk,
        NTILE(4) OVER w AS quartile,
-       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       FLOOR(PERCENT_RANK() OVER w * 1000000) / 1000000 AS pct_rank,
+       FLOOR(CUME_DIST() OVER w * 1000000) / 1000000 AS cume,
        ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER w, 2) AS delta_prev
 FROM orders
 WHERE o_custkey < 50
@@ -3465,8 +3549,12 @@ def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # rank ratios are exact small rationals ((r-1)/(n-1), i/n): truncate
+        # the identical computed double, don't ROUND (hazard class, CLAUDE.md)
+        (F.floor(F.percent_rank().over(w) * 1000000) / 1000000).alias(
+            "pct_rank"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1000000) / 1000000).alias("cume"),
         F.round(
             F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
         ).alias("delta_prev"),
@@ -3867,8 +3955,10 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
        CAST(MIN(n_chars) AS BIGINT) AS min_chars,
        CAST(MAX(n_chars) AS BIGINT) AS max_chars,
-       ROUND(AVG(n_chars), 4) AS avg_chars,
-       ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+       CAST((SUM(n_chars) * 10000) // COUNT(*) AS DOUBLE) / 10000
+         AS avg_chars,
+       CAST((SUM(len(string_split(text, ' '))) * 10000) // COUNT(*)
+            AS DOUBLE) / 10000 AS avg_tokens
 FROM documents
 """,
 )
@@ -3884,8 +3974,23 @@ def t_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        F.sum("n_chars").alias("_sc"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("_st"),
+    ).select(
+        "n_rows",
+        "n_langs",
+        "n_sources",
+        "n_null_text",
+        "min_chars",
+        "max_chars",
+        # integer-sum / count exact rationals: scaled-int truncation, not
+        # ROUND (half-boundary hazard class, CLAUDE.md)
+        (F.expr("(_sc * 10000) div n_rows").cast("double") / 10000).alias(
+            "avg_chars"
+        ),
+        (F.expr("(_st * 10000) div n_rows").cast("double") / 10000).alias(
+            "avg_tokens"
+        ),
     )
 
 
@@ -4386,7 +4491,8 @@ WITH target AS (
          AVG(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
   WHERE p.p_brand = 'Brand#4' AND p.p_size <= 10)
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) // 7
+            AS DOUBLE) / 100 AS avg_yearly,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM target WHERE l_quantity < 0.2 * avg_qty
 """,
@@ -4409,9 +4515,17 @@ def r_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
+    # sum(2-dec prices)/7 is an exact rational with denominator 700 — a
+    # ROUND(.,2) output can land exactly on a half-cent (cents divisible
+    # by 7). Scaled-int cents // 7 truncates identically in both engines.
     return t.agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "_cents"
+        ),
         F.count("*").alias("n_rows"),
+    ).select(
+        (F.expr("_cents div 7").cast("double") / 100).alias("avg_yearly"),
+        "n_rows",
     )
 
 
@@ -5225,7 +5339,7 @@ sc AS (SELECT bg.doc_id,
               CAST(ROUND(-LN(model.c2 / uni.c1) * 1000000000, 0) AS BIGINT) AS nll
        FROM bg JOIN model USING (w1, w2) JOIN uni USING (w1))
 SELECT doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(SUM(nll) / COUNT(*) / 1000000000, 6) AS avg_nll
+       CAST(SUM(nll) // (COUNT(*) * 1000) AS DOUBLE) / 1000000 AS avg_nll
 FROM sc GROUP BY doc_id
 """,
 )
@@ -5368,7 +5482,7 @@ agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_query_terms,
                CAST(SUM(ci) AS BIGINT) AS ci
         FROM sc GROUP BY 1)
 SELECT doc_id AS doc_id, n_query_terms AS n_query_terms,
-       ROUND(ci / 1000000000.0, 6) AS bm25
+       CAST(ci // 1000 AS DOUBLE) / 1000000 AS bm25
 FROM agg ORDER BY ci DESC, doc_id ASC LIMIT 20
 """,
 )
@@ -5417,7 +5531,9 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_query_terms",
-            F.round(F.col("ci") / 1e9, 6).alias("bm25"),
+            # ci/1e9 is an exact 9-decimal rational: truncate at 6 via
+            # integer division (hazard class, CLAUDE.md)
+            (F.expr("ci div 1000").cast("double") / 1000000).alias("bm25"),
         )
     )
 
@@ -5449,7 +5565,8 @@ rerank AS (
   FROM cands c JOIN hashed ta ON ta.id = c.id_a
                JOIN hashed tb ON tb.id = c.id_b)
 SELECT id_a AS id_a, id_b AS id_b,
-       ROUND(c_ab, 6) AS c_ab, ROUND(c_ba, 6) AS c_ba
+       FLOOR(c_ab * 1000000) / 1000000 AS c_ab,
+       FLOOR(c_ba * 1000000) / 1000000 AS c_ba
 FROM rerank WHERE GREATEST(c_ab, c_ba) >= 0.6
 """,
 )
@@ -5469,8 +5586,8 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "id_a",
         "id_b",
-        F.round("c_ab", 6).alias("c_ab"),
-        F.round("c_ba", 6).alias("c_ba"),
+        (F.floor(F.col("c_ab") * 1000000) / 1000000).alias("c_ab"),
+        (F.floor(F.col("c_ba") * 1000000) / 1000000).alias("c_ba"),
     )
 
 
@@ -6968,8 +7085,8 @@ hits AS (SELECT * FROM lsh INTERSECT SELECT * FROM ex)
 SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_exact,
        CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
        CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
-       ROUND((SELECT COUNT(*) FROM hits) * 1.0
-             / (SELECT COUNT(*) FROM ex), 6) AS recall
+       CAST(((SELECT COUNT(*) FROM hits) * 1000000)
+            // (SELECT COUNT(*) FROM ex) AS DOUBLE) / 1000000 AS recall
 """,
 )
 def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7023,6 +7140,7 @@ def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_lsh",
             "n_hits",
-            F.round(F.col("n_hits") * 1.0 / F.col("n_exact"), 6).alias("recall"),
+            (F.expr("(n_hits * 1000000) div n_exact").cast("double")
+             / 1000000).alias("recall"),
         )
     )
