@@ -67,6 +67,8 @@ HEADLINE = [
     "v_retrieval_ndcg",
     "a_percentiles_by_group",
     "pipe_data_mixture",
+    # round-6 flagship additions
+    "d_decontaminate_bloom",
 ]
 
 

@@ -340,3 +340,43 @@ def test_dup_clusters_driver_vs_iterative_property(spark):
             for r in dup_clusters(pairs, driver_max_edges=0).collect()
         }
         assert fast == slow, (edges, fast, slow)
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fpp(spark):
+    # membership keys: every inserted key MUST test positive (bloom
+    # soundness — a false negative would silently drop a true
+    # contamination hit); non-members must survive at ~the designed fpp
+    from vector_search_spark.operators.dedup import bloom_build, bloom_member
+
+    keys = spark.range(0, 2000).select((F.col("id") * 7 + 3).alias("h"))
+    bloom_row, m_bits, k = bloom_build(keys, "h")
+    members = keys.crossJoin(F.broadcast(bloom_row)).filter(
+        bloom_member("h", m_bits, k)
+    )
+    assert members.count() == 2000  # zero false negatives
+
+    # disjoint probe set (different residue class mod 7)
+    non = spark.range(0, 20000).select((F.col("id") * 7 + 5).alias("h"))
+    fp = (
+        non.crossJoin(F.broadcast(bloom_row))
+        .filter(bloom_member("h", m_bits, k))
+        .count()
+    )
+    # designed fpp ~1e-3 at 16 bits/key k=6; allow 10x headroom
+    assert fp <= 20000 * 0.01, fp
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_dir):
+    # the bloom variant is candidate generation + exact verify: its
+    # output must be BIT-EXACT equal to the exact broadcast semi-join
+    from vector_search_spark.plans.queries import QUERIES
+
+    exact = {
+        (r.doc_id, r.n_shared)
+        for r in QUERIES["d_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_shared)
+        for r in QUERIES["d_decontaminate_bloom"].fn(spark, sf_dir).collect()
+    }
+    assert bloom == exact

@@ -865,6 +865,336 @@ def main() -> None:
 
         return run
 
+
+    def bloom_decon(src):
+        # d_decontaminate_bloom shape: bloom build is O(eval set) and the
+        # eval set (doc_id < 20, original ids only) is FIXED across scales
+        # while the corpus replicates 10x — the decontamination story at
+        # 100 TB. Map-side bit-test prefilter, then exact verify join over
+        # the surviving candidates only. Linear class: one corpus shingle
+        # pass + a candidate-sized shuffle.
+        from vector_search_spark.functions.text import word_shingle_hashes
+        from vector_search_spark.operators.dedup import bloom_build, bloom_member
+        from vector_search_spark.utils import fan_out
+
+        def run():
+            sh = lambda df: df.select(
+                "doc_id", F.explode(word_shingle_hashes("text", 3)).alias("h")
+            )
+            bench = sh(src.filter(F.col("doc_id") < 20)).select("h").distinct()
+            bloom_row, m_bits, k = bloom_build(bench, "h")
+            corpus = sh(fan_out(src.filter(F.col("doc_id") >= 20)))
+            cand = corpus.crossJoin(F.broadcast(bloom_row)).filter(
+                bloom_member("h", m_bits, k)
+            )
+            return (
+                cand.join(F.broadcast(bench), "h")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("h"))
+                .count()
+            )
+
+        return run
+
+    def mmr_rerank(src):
+        # v_mmr_rerank shape: candidate generation (broadcast probes over
+        # the corpus scan + per-probe top-10 window) dominates; the Python
+        # MMR stage touches 10 rows per probe regardless of corpus size —
+        # the probe verifies the rerank stays O(probes), not O(corpus).
+        from pyspark.sql import Window
+
+        from vector_search_spark.functions.vector import cosine_sim
+
+        def run():
+            e2 = src.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+            probes = e2.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("probe_id"), F.col("e").alias("pv")
+            )
+            w = Window.partitionBy("probe_id").orderBy(
+                F.desc("rel"), F.asc("vec_id")
+            )
+            cands = (
+                e2.crossJoin(F.broadcast(probes))
+                .withColumn("rel", cosine_sim("e", "pv"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 10)
+                .select("probe_id", "vec_id", "rel", "e")
+            )
+
+            def mmr(pdf):
+                import numpy as np
+                import pandas as pd
+
+                pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+                X = np.array(pdf["e"].tolist(), dtype=np.float64)
+                nrm = np.sqrt((X * X).sum(axis=1))
+                S = (X @ X.T) / np.outer(nrm, nrm)
+                rel = pdf["rel"].to_numpy()
+                sel = []
+                for rank in range(1, 6):
+                    best, best_s = None, None
+                    for i in range(len(pdf)):
+                        if i in sel:
+                            continue
+                        ms = max((S[i, j] for j in sel), default=0.0)
+                        sc = 0.7 * rel[i] - 0.3 * ms
+                        if best is None or sc > best_s:
+                            best, best_s = i, sc
+                    if best is None:
+                        break
+                    sel.append(best)
+                return pd.DataFrame(
+                    {"probe_id": pdf["probe_id"][:1], "n_sel": [len(sel)]}
+                )
+
+            return (
+                cands.groupBy("probe_id")
+                .applyInPandas(mmr, "probe_id long, n_sel long")
+                .count()
+            )
+
+        return run
+
+    def retrieval_ndcg(src):
+        # v_retrieval_ndcg shape: exact ground-truth pass + starved-IVF
+        # system pass (assign = one more corpus scan) + bounded rank-list
+        # join/fold. ~2 corpus passes — linear class.
+        from pyspark.sql import Window
+
+        from vector_search_spark.functions.vector import cosine_sim
+
+        def run():
+            e2 = src.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+            probes = e2.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("probe_id"), F.col("e").alias("pv")
+            )
+            wex = Window.partitionBy("probe_id").orderBy(
+                F.desc("score"), F.asc("vec_id")
+            )
+            exact = (
+                e2.crossJoin(F.broadcast(probes))
+                .withColumn("score", cosine_sim("e", "pv"))
+                .withColumn("rn", F.row_number().over(wex))
+                .filter(F.col("rn") <= 10)
+                .select(
+                    F.col("probe_id").alias("xp"),
+                    F.col("vec_id").alias("xv"),
+                    F.col("rn").alias("xr"),
+                )
+            )
+            cents = e2.filter(F.col("vec_id") < 16).select(
+                F.col("vec_id").alias("ctid"), F.col("e").alias("cv")
+            )
+            wc = Window.partitionBy("vec_id").orderBy(
+                F.desc("cs"), F.asc("ctid")
+            )
+            assigned = (
+                e2.crossJoin(F.broadcast(cents))
+                .withColumn("cs", cosine_sim("e", "cv"))
+                .withColumn("crn", F.row_number().over(wc))
+                .filter(F.col("crn") == 1)
+                .select("vec_id", "e", "ctid")
+            )
+            wp = Window.partitionBy("probe_id").orderBy(
+                F.desc("cs"), F.asc("ctid")
+            )
+            pcent = (
+                probes.crossJoin(F.broadcast(cents))
+                .withColumn("cs", cosine_sim("pv", "cv"))
+                .withColumn("crn", F.row_number().over(wp))
+                .filter(F.col("crn") <= 2)
+                .select("probe_id", "pv", "ctid")
+            )
+            wsys = Window.partitionBy("probe_id").orderBy(
+                F.desc("s"), F.asc("vec_id")
+            )
+            sysr = (
+                assigned.join(F.broadcast(pcent), "ctid")
+                .withColumn("s", cosine_sim("e", "pv"))
+                .withColumn("rn", F.row_number().over(wsys))
+                .filter(F.col("rn") <= 10)
+                .select("probe_id", "vec_id", "rn")
+            )
+            return (
+                sysr.join(
+                    exact,
+                    (sysr.probe_id == exact.xp) & (sysr.vec_id == exact.xv),
+                    "left",
+                )
+                .groupBy("probe_id")
+                .agg(F.count("xv").alias("hits"))
+                .count()
+            )
+
+        return run
+
+    def hard_negatives(src):
+        # pipe_hard_negatives shape: one broadcast-anchor scored corpus
+        # pass, two windows over the same per-anchor partitioning.
+        from pyspark.sql import Window
+
+        from vector_search_spark.functions.vector import cosine_sim
+
+        def run():
+            e2 = src.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+                "label",
+            )
+            anchors = e2.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("anchor_id"),
+                F.col("e").alias("pv"),
+                F.col("label").alias("plabel"),
+            )
+            scored = (
+                e2.crossJoin(F.broadcast(anchors))
+                .filter(F.col("vec_id") != F.col("anchor_id"))
+                .withColumn("sim", cosine_sim("e", "pv"))
+                .select("anchor_id", "vec_id", "label", "plabel", "sim")
+            )
+            wneg = Window.partitionBy("anchor_id").orderBy(
+                F.desc("sim"), F.asc("vec_id")
+            )
+            wpos = Window.partitionBy("anchor_id").orderBy(
+                F.asc("sim"), F.asc("vec_id")
+            )
+            negs = (
+                scored.filter(F.col("label") != F.col("plabel"))
+                .withColumn("rank", F.row_number().over(wneg))
+                .filter(F.col("rank") <= 3)
+            )
+            pos = (
+                scored.filter(F.col("label") == F.col("plabel"))
+                .withColumn("rank", F.row_number().over(wpos))
+                .filter(F.col("rank") <= 1)
+            )
+            return negs.select("anchor_id", "vec_id").unionAll(
+                pos.select("anchor_id", "vec_id")
+            ).count()
+
+        return run
+
+    def cross_encoder(docs_src, emb_src):
+        # pipe_rerank_cross_encoder shape: bi-encoder corpus pass, then the
+        # JVM md5 pair scorer over 10 pairs/query — rerank cost constant.
+        from pyspark.sql import Window
+
+        from vector_search_spark.functions.vector import cosine_sim
+
+        def run():
+            e2 = emb_src.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+            d2 = docs_src.select("doc_id", "text")
+            qv = e2.filter(F.col("vec_id") < 2).select(
+                F.col("vec_id").alias("query_id"), F.col("e").alias("pv")
+            )
+            wbi = Window.partitionBy("query_id").orderBy(
+                F.desc("sim"), F.asc("vec_id")
+            )
+            cand = (
+                e2.crossJoin(F.broadcast(qv))
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .withColumn("sim", cosine_sim("e", "pv"))
+                .withColumn("bi_rank", F.row_number().over(wbi))
+                .filter(F.col("bi_rank") <= 10)
+                .select("query_id", "vec_id", "bi_rank")
+            )
+            qt = d2.filter(F.col("doc_id") < 2).select(
+                F.col("doc_id").alias("q_id"), F.col("text").alias("qtext")
+            )
+            pairs = (
+                cand.join(F.broadcast(qt), cand.query_id == qt.q_id)
+                .join(d2, cand.vec_id == d2.doc_id)
+                .select(
+                    "query_id",
+                    "vec_id",
+                    F.concat(
+                        F.col("qtext"), F.lit(" [SEP] "), F.col("text"),
+                        F.lit("#0"),
+                    ).alias("pair_text"),
+                )
+            )
+            ce = (
+                F.conv(F.substring(F.md5("pair_text"), 1, 16), 16, 10)
+                .cast("decimal(20,0)")
+                .cast("double")
+                / 9223372036854775808.0
+            )
+            wce = Window.partitionBy("query_id").orderBy(
+                F.desc("ce"), F.asc("vec_id")
+            )
+            return (
+                pairs.withColumn("ce", ce)
+                .withColumn("rn", F.row_number().over(wce))
+                .count()
+            )
+
+        return run
+
+    def data_mixture(src):
+        # pipe_data_mixture shape: lang groupBy + tiny broadcast mixture
+        # table + map-side hash-sample predicate. One shuffle on lang.
+        from vector_search_spark.functions.text import poly_hash
+
+        def run():
+            d2 = src.select("doc_id", "lang")
+            counts = d2.groupBy("lang").agg(F.count("*").alias("n"))
+            stats = counts.agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.sqrt(F.col("n").cast("double")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("denom"),
+                F.sum("n").alias("t"),
+            )
+            w = F.sqrt(F.col("n").cast("double")) / F.col("denom")
+            m = counts.crossJoin(F.broadcast(stats)).select(
+                "lang",
+                "n",
+                F.round(w * F.col("t"), 0).cast("long").alias("target"),
+            )
+            r = m.withColumn(
+                "rate",
+                F.least(
+                    F.lit(1.0), F.col("target").cast("double") / F.col("n")
+                ),
+            )
+            keep = (poly_hash(F.col("doc_id").cast("string")) % 1000000) < (
+                F.col("rate") * 1000000.0
+            )
+            return (
+                d2.join(F.broadcast(r.select("lang", "rate")), "lang")
+                .filter(keep)
+                .groupBy("lang")
+                .agg(F.count("*"))
+                .count()
+            )
+
+        return run
+
+    def percentiles(src):
+        # a_percentiles_by_group shape: per-group exact disc percentiles
+        # (sort within 5 lang groups) + the one-pass approx sketch.
+        def run():
+            return (
+                src.groupBy("lang")
+                .agg(
+                    F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))"),
+                    F.expr("approx_percentile(n_chars, 0.5, 10000)"),
+                    F.count("*"),
+                )
+                .count()
+            )
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -886,6 +1216,14 @@ def main() -> None:
         ("hybrid_rrf", hybrid_rrf(docs, emb), hybrid_rrf(docs_big, emb_big)),
         ("ivf_pq", ivf_pq(emb), ivf_pq(emb_big)),
         ("incremental_index", incr_index(docs), incr_index(docs_big)),
+        ("bloom_decon", bloom_decon(docs), bloom_decon(docs_big)),
+        ("mmr_rerank", mmr_rerank(emb), mmr_rerank(emb_big)),
+        ("retrieval_ndcg", retrieval_ndcg(emb), retrieval_ndcg(emb_big)),
+        ("hard_negatives", hard_negatives(emb), hard_negatives(emb_big)),
+        ("cross_encoder", cross_encoder(docs, emb),
+         cross_encoder(docs_big, emb_big)),
+        ("data_mixture", data_mixture(docs), data_mixture(docs_big)),
+        ("percentiles", percentiles(docs), percentiles(docs_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:

@@ -1023,3 +1023,91 @@ def containment_pairs(
         .select("id_a", "id_b", "c_ab", "c_ba")
     )
     return _own_caches(out, [t_cached, banded])
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the 100 TB candidate-generation shape)
+# ---------------------------------------------------------------------------
+
+# (multiplier, offset) pairs for the k bloom hash functions. Multipliers are
+# odd 31-bit constants; with inputs < HASH_MOD (~2^30) every intermediate
+# stays below 2^62, so the arithmetic is exact under ANSI mode and portable.
+_BLOOM_PARAMS = [
+    (1_862_270_231, 104_395_303),
+    (1_297_337_873, 512_927_357),
+    (1_543_871_467, 29_986_577),
+    (1_136_930_381, 741_871_103),
+    (1_752_475_693, 373_587_883),
+    (1_377_246_689, 961_748_941),
+    (1_953_653_491, 217_645_199),
+    (1_211_400_641, 654_188_429),
+]
+_BLOOM_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def _bloom_pos_sql(col: str, i: int, m_bits: int) -> str:
+    """SQL text for the i-th bloom bit position of ``col`` (m_bits pow-2)."""
+    a, b = _BLOOM_PARAMS[i]
+    return f"(pmod({col} * {a}L + {b}L, {_BLOOM_PRIME}L) & {m_bits - 1}L)"
+
+
+def bloom_build(
+    keys: DataFrame, col: str = "h", bits_per_key: int = 16, k: int = 6
+) -> tuple[DataFrame, int, int]:
+    """Build a Bloom filter over a key column, DataFrame-first.
+
+    Returns ``(bloom_row, m_bits, k)`` where ``bloom_row`` is a ONE-ROW
+    DataFrame with an ``array<bigint>`` column ``bf`` of packed 64-bit
+    words — broadcast it and test membership with :func:`bloom_member`.
+
+    Construction is distributed: explode each key into its k bit
+    positions, ``bit_or`` the shifted bits per word — the only
+    driver-side step is collecting the populated words, which is
+    O(m_bits/64) = O(filter size), sized to the KEY set (an eval set for
+    decontamination), never the corpus. Spark ships
+    ``bloom_filter_agg``/``might_contain`` for exactly this shape but
+    does not expose them in the public function registry (checked on
+    4.1.2: UNRESOLVED_ROUTINE); this portable-hash build keeps the same
+    plan shape and makes the filter reproducible from SQL in any engine.
+    """
+    spark = keys.sparkSession
+    n = keys.count()  # bounded scalar job over the (small) key set
+    m_bits = 1024
+    while m_bits < n * bits_per_key:
+        m_bits *= 2
+    pos = keys.select(
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_sql(col, i, m_bits)) for i in range(k)])
+        ).alias("p")
+    )
+    packed = (
+        pos.select(
+            F.shiftright("p", 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63L AS INT))").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("word"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for row in packed:
+        words[row.w] = row.word
+    bloom_row = spark.createDataFrame([(words,)], "bf: array<bigint>")
+    return bloom_row, m_bits, k
+
+
+def bloom_member(col: str, m_bits: int, k: int):
+    """Predicate: all k bloom bits set for ``col`` (requires the ``bf``
+    word array in scope, e.g. via ``crossJoin(F.broadcast(bloom_row))``).
+    Pure JVM bitwise expressions — no Python, no shuffle: the map-side
+    prefilter a 100 TB corpus scan needs."""
+    terms = []
+    for i in range(k):
+        p = _bloom_pos_sql(col, i, m_bits)
+        terms.append(
+            f"((element_at(bf, CAST(({p}) >> 6 AS INT) + 1)"
+            f" >> CAST(({p}) & 63L AS INT)) & 1L) = 1L"
+        )
+    return F.expr("(" + ") AND (".join(terms) + ")")

@@ -1201,9 +1201,10 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "d_decontaminate",
-    oracle=f"""
+# Exact decontamination recompute — shared by d_decontaminate AND the bloom
+# variant: the bloom stage is candidate generation only, so its results must
+# EQUAL the exact row's.
+_DECON_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 ph AS (
@@ -1217,8 +1218,10 @@ SELECT e.doc_id AS doc_id, CAST(COUNT(DISTINCT e.h) AS BIGINT) AS n_shared
 FROM ex e JOIN bench b ON e.h = b.h
 WHERE e.doc_id >= 20
 GROUP BY e.doc_id
-""",
-)
+"""
+
+
+@register("d_decontaminate", oracle=_DECON_ORACLE)
 def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (training-pipeline staple): flag corpus
     docs sharing ANY 3-word shingle with the benchmark set (doc_id < 20
@@ -1230,10 +1233,11 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pushed-down ``doc_id < 20``, no fan-out shuffle — it is O(eval set)
     by construction), so the corpus text is shuffled exactly once, by the
     fan-out that parallelizes the shingle fold. An eval set too large to
-    broadcast exactly should become a bloom filter on the corpus side
-    (false positives only over-flag, which decontamination tolerates) —
-    at typical eval-set sizes (10^5-10^7 shingles, a few MB) the exact
-    broadcast set is the better trade and is what we ship. Shingle
+    broadcast exactly should become a bloom filter on the corpus side —
+    that variant ships as ``d_decontaminate_bloom`` (bit-exact same
+    output: bloom prefilter + exact verify of flagged hits only); at
+    typical eval-set sizes (10^5-10^7 shingles, a few MB) the exact
+    broadcast set is the better trade and is what this row ships. Shingle
     fingerprints come from ``word_shingle_hashes`` (per-word hash folded
     once, composed per shingle) — 3x fewer interpreted hash steps than
     hashing each overlapping shingle string."""
@@ -1253,6 +1257,52 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = shingles(fan_out(docs.filter(F.col("doc_id") >= 20)))
     return (
         corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+    )
+
+
+@register("d_decontaminate_bloom", oracle=_DECON_ORACLE)
+def d_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB shape of
+    ``d_decontaminate`` for when the eval shingle set outgrows an exact
+    broadcast (pretraining-scale benchmark leakage checks). Three stages:
+
+    1. BUILD (O(eval set)): pack the benchmark shingle hashes into a
+       Bloom filter (16 bits/key, k=6 → ~1e-3 false-positive rate),
+       distributed explode → ``bit_or`` per 64-bit word; only the packed
+       words — O(filter), never O(corpus) — touch the driver.
+    2. PREFILTER (map-side, no shuffle): the corpus shingle stream tests
+       k bits against the word array via pure JVM bitwise expressions;
+       the filter rides a 1-row broadcast, so a 100 TB scan drops
+       ~all clean shingles before any shuffle.
+    3. VERIFY (exact, flagged hits only): surviving candidates semi-join
+       the exact benchmark set, eliminating bloom false positives.
+
+    The output is therefore BIT-EXACT equal to ``d_decontaminate`` —
+    the oracle is the exact recompute, which certifies stage 2 can only
+    over-generate, never drop a true hit. Reference counterpart: the
+    corpus-hygiene checks around camp_vec_rcmn.py:71's scoring loop
+    assume a clean corpus; this supplies the check at scale."""
+    from ..functions.text import word_shingle_hashes
+    from ..operators.dedup import bloom_build, bloom_member
+    from ..utils import fan_out
+
+    def shingles(df):
+        return df.select(
+            "doc_id",
+            F.explode(word_shingle_hashes("text", 3)).alias("h"),
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = shingles(docs.filter(F.col("doc_id") < 20)).select("h").distinct()
+    bloom_row, m_bits, k = bloom_build(bench, "h")
+    corpus = shingles(fan_out(docs.filter(F.col("doc_id") >= 20)))
+    cand = corpus.crossJoin(F.broadcast(bloom_row)).filter(
+        bloom_member("h", m_bits, k)
+    )
+    return (
+        cand.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
         .agg(F.countDistinct("h").alias("n_shared"))
     )
