@@ -69,6 +69,7 @@ HEADLINE = [
     "pipe_data_mixture",
     # round-6 flagship additions
     "d_decontaminate_bloom",
+    "v_ivf_kmeans_knn",
 ]
 
 

@@ -1958,6 +1958,105 @@ def v_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v_ivf_kmeans_knn",
+    oracle="""
+SELECT vec_id AS probe_id,
+       CAST(10 AS BIGINT) AS n_sys,
+       CAST(1 AS BIGINT) AS found_ok,
+       CAST(1 AS BIGINT) AS recall_floor_ok,
+       CAST(16 AS BIGINT) AS n_centroids
+FROM embeddings WHERE vec_id < 3
+""",
+)
+def v_ivf_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL trained coarse quantizer: MLlib KMeans (k=16,
+    seed=7, maxIter=5, k-means|| init — every knob pinned) replaces the
+    `vec_id < 16` centroid stand-in the exact-oracle IVF rows use. The
+    fixture embeddings are L2-normalized, so KMeans' euclidean objective
+    and the cosine assignment in ``ivf_assign`` agree on the unit sphere
+    (||a-b||² = 2-2cos on unit vectors) — the trained centers drop
+    straight into the same broadcast-assign / bucket-probe serve shape.
+
+    Oracle design: MLlib's centroid floats exist only JVM-side — DuckDB
+    cannot rerun KMeans, so the raw per-probe hit counts cannot cross
+    the engine boundary as values (unlike ``v_ivf_recall_sweep``, whose
+    first-16 centroids BOTH engines derive). Following the
+    ``a_percentiles_by_group`` sketch-gate pattern, the row certifies
+    the serving contract as 0/1 gates vs oracle literals: exactly 10
+    results per probe; every probe finds ≥1 true exact-top-10 member;
+    total recall across probes ≥ 12/30 (random 16-way bucketing with
+    n_probe=4 expects ~7.5 — the floor proves trained structure, with
+    headroom under KMeans' ulp-level partial-sum nondeterminism);
+    KMeans trained 16 nonempty clusters. Measured recall@10 for the
+    seeded build: 20/30 (sf0.001), 20/30 (sf0.01), 23/30 (sf0.1).
+    A recall REGRESSION (bad centroids, broken bucket probe) fails
+    parity; sketch-level noise does not. Reference counterpart:
+    BASELINE.json's "MLlib batch vector indexing" north star.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vector import cosine_sim
+    from ..operators.ann import ivf_assign, ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    feat = emb.select(
+        "vec_id", array_to_vector(F.col("e").cast("array<float>")).alias("features")
+    )
+    model = KMeans(k=16, seed=7, maxIter=5, initMode="k-means||", tol=0.0).fit(
+        feat
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id: long, centroid_vec: array<double>",
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    assigned = ivf_assign(emb, cents, corpus_vec="e")
+    sys_res = ivf_knn(assigned, cents, probes, k=10, n_probe=4, corpus_vec="e")
+    wex = Window.partitionBy("probe_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    exact = (
+        emb.crossJoin(F.broadcast(probes))
+        .withColumn("s", cosine_sim("e", "probe_vec"))
+        .withColumn("rn", F.row_number().over(wex))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("probe_id").alias("xp"), F.col("vec_id").alias("xv"))
+    )
+    n_cents = assigned.agg(
+        F.countDistinct("centroid_id").alias("n_centroids")
+    )
+    per_probe = (
+        sys_res.join(
+            exact,
+            (sys_res.probe_id == exact.xp) & (sys_res.vec_id == exact.xv),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_sys"), F.count("xv").alias("hits"))
+    )
+    return (
+        per_probe.withColumn(
+            "total_hits", F.sum("hits").over(Window.partitionBy())
+        )
+        .crossJoin(F.broadcast(n_cents))
+        .select(
+            "probe_id",
+            F.col("n_sys").cast("long").alias("n_sys"),
+            F.when(F.col("hits") >= 1, 1).otherwise(0).cast("long").alias(
+                "found_ok"
+            ),
+            F.when(F.col("total_hits") >= 12, 1).otherwise(0).cast("long").alias(
+                "recall_floor_ok"
+            ),
+            F.col("n_centroids").cast("long").alias("n_centroids"),
+        )
+    )
+
+
+@register(
     "v_ivf_persist",
     oracle="""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
