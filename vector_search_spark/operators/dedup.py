@@ -934,12 +934,21 @@ def span_gram_stats_hashed(
         "i",
         F.xxhash64(F.array_join(F.slice("toks", F.col("i"), n), " ")).alias("gh"),
     )
+    # two-level aggregate instead of count + countDistinct in one pass:
+    # the mixed-distinct form plans an Expand (2 shuffle rows per span);
+    # grouping by (gh, id) first shuffles each span ONCE with map-side
+    # combine, then the per-doc rows reduce to per-gram stats. min(i) per
+    # (gh, id) then min(struct(id, min_i)) equals the global
+    # min(struct(id, i)) because the struct orders by id first.
+    per_doc = g.groupBy("gh", "id").agg(
+        F.count("*").alias("occ"), F.min("i").alias("mi")
+    )
     survivors = (
-        g.groupBy("gh")
+        per_doc.groupBy("gh")
         .agg(
-            F.count("*").alias("n_occ"),
-            F.countDistinct("id").alias("n_docs"),
-            F.min(F.struct("id", "i")).alias("rep"),
+            F.sum("occ").alias("n_occ"),
+            F.count("*").alias("n_docs"),
+            F.min(F.struct("id", F.col("mi").alias("i"))).alias("rep"),
         )
         .filter(F.col("n_docs") >= min_docs)
         .select("gh", "n_occ", "n_docs", "rep.id", "rep.i")

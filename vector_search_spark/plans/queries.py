@@ -6880,7 +6880,18 @@ def pipe_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dup_clusters, minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    surv = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # checkpoint SURV, not keepers: the LSH pair result is materialized
+    # eagerly (dup_clusters collects its edges in a separate job), so the
+    # exact-dedup groupBy would otherwise run once for the pair job and
+    # again in the final keeper/span job — in-job ReusedExchange cannot
+    # span jobs. Round-6 min-of-3 A/B at sf0.1: 2.99s vs 3.17s (and
+    # 3.27 vs 3.59 at lower load); checkpointing KEEPERS instead measured
+    # neutral (3.42 vs 3.34) because its three consumers share one job.
+    surv = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     pairs = minhash_lsh_pairs(surv, "text", "doc_id", 16, 4, 0.5, shingle_n=3)
     clusters = dup_clusters(pairs)
     drops = (
@@ -7009,6 +7020,12 @@ def pipe_dedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") > 1)
         .select("id")
     )
+    # NO checkpoint/persist on keepers, by measurement (round 6, min-of-5
+    # A/B at sf0.1): AQE's ReusedExchange already shares the dedup->LSH->CC
+    # subtree across the three consumers inside the one final job, so a
+    # localCheckpoint only adds its write cost (3.42s ckpt vs 3.34s plain
+    # under identical load) — and at 100 TB materializing a corpus-shaped
+    # relation to executor disk is strictly worse.
     keepers = surv.join(drops, surv.doc_id == drops.id, "left_anti")
     spans = span_gram_stats_hashed(keepers, "text", "doc_id", 8, min_docs=2)
     n_in = docs.agg(F.count("*").alias("docs_in"))
