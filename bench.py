@@ -70,6 +70,9 @@ HEADLINE = [
     # round-6 flagship additions
     "d_decontaminate_bloom",
     "v_ivf_kmeans_knn",
+    "v_pq_refine_knn",
+    "w_session_window_native",
+    "r_incr_agg_refresh",
 ]
 
 

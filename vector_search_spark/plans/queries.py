@@ -4877,6 +4877,119 @@ def w_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_incr_agg_refresh",
+    oracle="""
+SELECT o_orderpriority AS o_orderpriority,
+       o_orderstatus AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100 AS total_price,
+       CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_order_day
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def r_incr_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate refresh (materialized-rollup maintenance):
+    the warehouse pattern where a standing aggregate table absorbs each
+    new partition WITHOUT rescanning history. The BASE aggregate covers
+    orders before 1996-01-01 (the already-materialized rollup); the
+    DELTA aggregates only the new partition (>= cutoff, the only data a
+    daily refresh scans); the MERGE is purely algebraic — counts add,
+    scaled-int cent sums add, MAX re-maxes — because sum/count/max are
+    commutative monoids over partial aggregates. The oracle is the FULL
+    recompute over all of orders: parity certifies merge(base, delta) ==
+    recompute, i.e. the refresh never drifts from the truth. Cent sums
+    are exact BIGINTs so the merged total is bit-identical to the
+    recomputed one at any split point (no float re-association hazard).
+    At 100 TB the base is a tiny rollup table, the delta scan is one
+    day's partition (partition-pruned), and the merge shuffles only
+    2x|groups| rows. Reference counterpart: the nightly re-aggregation
+    in seg_rcmn's audience-count refresh loop."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("timestamp")
+
+    def part_agg(df):
+        return df.groupBy("o_orderpriority", "o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        )
+
+    base = part_agg(orders.filter(F.col("o_orderdate") < cut))
+    delta = part_agg(orders.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+            F.max("last_day").alias("last_day"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("cents").cast("double") / 100).alias("total_price"),
+        F.col("last_day").cast("string").alias("last_order_day"),
+    )
+
+
+@register(
+    "w_session_window_native",
+    oracle="""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+s1 AS (
+  SELECT user_id, tus, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id AS user_id,
+       CAST(MIN(tus) AS BIGINT) AS session_start_us,
+       CAST(MAX(tus) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s1 GROUP BY user_id, sid
+""",
+)
+def w_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` operator in batch mode — the
+    built-in dynamic-gap session the hand-rolled lag-flag-cumsum row
+    (``w_sessionize_events``) reimplements. Pinning both matters: the
+    native form is what the streaming session query uses (merging
+    windows in state), and this row certifies its batch semantics —
+    window.start = first event ts, window.end = last event ts + gap —
+    against an engine-independent gaps-and-islands oracle. One shuffle
+    on (user_id); Catalyst plans the session merge without a window
+    function pass. Reference counterpart: the event-log session shape
+    of seg_rcmn's audience activity windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "t_chunk_documents",
     oracle="""
 WITH t AS (
@@ -6633,9 +6746,10 @@ def t_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "v_pq_adc_knn",
-    oracle="""
+# Shared oracle CTE prefix for the PQ family: build codes, probe tables,
+# and per-(probe, vec) ADC scores — v_pq_adc_knn and v_pq_refine_knn
+# append different serve-stage selects.
+_PQ_ADC_CTES = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cb AS (
   SELECT s.sub, c.vec_id AS cid, c.v[s.sub*16+1 : s.sub*16+16] AS cv
@@ -6667,16 +6781,15 @@ scp AS (
   FROM codes c JOIN ptab pt ON pt.sub = c.sub AND pt.cid = c.cid
   GROUP BY 1, 2),
 sc AS (SELECT probe_id, vec_id, ((t0 + t1) + t2) + t3 AS adc FROM scp)
-SELECT probe_id AS probe_id, vec_id AS vec_id, ROUND(adc, 6) AS adc_score
-FROM (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY probe_id ORDER BY adc DESC, vec_id ASC) AS rn
-  FROM sc) z
-WHERE rn <= 10
-""",
-)
-def v_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization + asymmetric distance computation (ADC): the
+"""
+
+
+def _pq_adc_scored(spark: SparkSession, sf_dir: str):
+    """Shared PQ build + ADC scoring for v_pq_adc_knn / v_pq_refine_knn:
+    returns ``(emb, scored)`` where ``scored`` is every (probe_id,
+    vec_id, adc) from the codes-only serve scan.
+
+    Product quantization + asymmetric distance computation (ADC): the
     standard ANN compression. 64 dims split into 4 subspaces of 16; each
     subvector encodes to its nearest of 16 deterministic codewords (the
     first 16 corpus vectors' subvectors — the seeded-KMeans stand-in the
@@ -6774,11 +6887,102 @@ def v_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = enc.select(
         "vec_id", F.explode(per_probe).alias("ps")
     ).select("vec_id", F.col("ps.probe_id").alias("probe_id"), F.col("ps.adc").alias("adc"))
+    return emb, scored
+
+
+@register(
+    "v_pq_adc_knn",
+    oracle=_PQ_ADC_CTES
+    + """
+SELECT probe_id AS probe_id, vec_id AS vec_id, ROUND(adc, 6) AS adc_score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY probe_id ORDER BY adc DESC, vec_id ASC) AS rn
+  FROM sc) z
+WHERE rn <= 10
+""",
+)
+def v_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codes-only ADC top-10 (see ``_pq_adc_scored`` for the full PQ
+    build/serve design and float discipline)."""
+    _emb, scored = _pq_adc_scored(spark, sf_dir)
     w = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("probe_id", "vec_id", F.round("adc", 6).alias("adc_score"))
+    )
+
+
+@register(
+    "v_pq_refine_knn",
+    oracle=_PQ_ADC_CTES
+    + """,
+short AS (
+  SELECT probe_id, vec_id, rn AS adc_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY probe_id ORDER BY adc DESC, vec_id ASC) AS rn
+    FROM sc) z
+  WHERE rn <= 50),
+ref AS (
+  SELECT sh.probe_id, sh.vec_id, sh.adc_rank,
+         list_cosine_similarity(e.v, p.pv) AS score
+  FROM short sh JOIN e ON e.vec_id = sh.vec_id
+               JOIN p ON p.probe_id = sh.probe_id)
+SELECT probe_id AS probe_id, vec_id AS vec_id,
+       ROUND(score, 6) AS score,
+       CAST(CASE WHEN adc_rank <= 10 THEN 1 ELSE 0 END AS BIGINT)
+         AS in_adc_top10
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rr
+  FROM ref) z
+WHERE rr <= 10
+""",
+)
+def v_pq_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serving — ADC shortlist then EXACT refine, the
+    standard production recipe (compressed codes give a cheap top-50;
+    re-scoring those 50 against the full-precision vectors repairs the
+    quantization error before results leave the system). Stage 1 is the
+    codes-only scan of ``v_pq_adc_knn`` widened to a 50-deep shortlist;
+    stage 2 broadcasts the tiny shortlist back over the vector table —
+    the corpus is touched by an equi-join probe, never rescanned — and
+    re-ranks on exact cosine. ``in_adc_top10`` exposes how many of the
+    final exact top-10 the compressed stage alone would have returned —
+    the quantization-error repair the refine pays one bounded join for.
+    At 100 TB stage 1 reads the 64x-smaller codes index and stage 2
+    fetches 50 vectors per probe by id (partition-pruned point reads on
+    a vec_id-bucketed table). Floats: same explicitly-ordered ADC fold
+    as v_pq_adc_knn; the refine cosine is the shared zip_with/aggregate
+    fold == DuckDB list_cosine_similarity."""
+    from ..functions.vector import cosine_sim
+
+    emb, scored = _pq_adc_scored(spark, sf_dir)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    short = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("probe_id", "vec_id", F.col("rn").alias("adc_rank"))
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pv")
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        emb.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .withColumn("score", cosine_sim("e", "pv"))
+        .withColumn("rr", F.row_number().over(wr))
+        .filter(F.col("rr") <= 10)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round("score", 6).alias("score"),
+            F.when(F.col("adc_rank") <= 10, 1).otherwise(0).cast("long").alias(
+                "in_adc_top10"
+            ),
+        )
     )
 
 
