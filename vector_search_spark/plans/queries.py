@@ -3442,6 +3442,170 @@ def r_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_dsir_weights",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS wd FROM documents),
+f AS (
+  SELECT doc_id, lang, {_duck_poly("wd")} % 4096 AS feat FROM w),
+tc AS (SELECT feat, COUNT(*) AS ct FROM f WHERE lang = 'en' GROUP BY feat),
+cc AS (SELECT feat, COUNT(*) AS cq FROM f GROUP BY feat),
+tot AS (SELECT (SELECT COUNT(*) FROM f WHERE lang = 'en') AS nt,
+               (SELECT COUNT(*) FROM f) AS nq),
+wt AS (
+  SELECT cc.feat,
+         CAST(ROUND(LN(
+           ((COALESCE(tc.ct, 0) + 1)::DOUBLE / (tot.nt + 4096))
+           / ((cc.cq + 1)::DOUBLE / (tot.nq + 4096))) * 1000000000, 0)
+           AS BIGINT) AS wi
+  FROM cc LEFT JOIN tc ON tc.feat = cc.feat CROSS JOIN tot)
+SELECT fx.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wt.wi) // (COUNT(*) * 1000) AS DOUBLE) / 1000000
+         AS dsir_score
+FROM f fx JOIN wt ON wt.feat = fx.feat
+GROUP BY fx.doc_id
+""",
+)
+def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    — the pretraining data-selection staple: score every corpus document
+    by how target-domain-like it is, via hashed n-gram importance
+    weights. Target = the English slice; features = portable word hash
+    into 4096 buckets (feature hashing: fixed-size model regardless of
+    vocabulary); per-feature weight = ln of the add-1-smoothed
+    target/corpus probability ratio; per-doc score = mean weight over
+    its word instances. The feature table is BOUNDED (4096 rows), so at
+    100 TB both distribution passes are plain map-side-combined
+    groupBys and the scoring pass is one token explode joined to a
+    broadcast weight table — no corpus-sized shuffle beyond the per-doc
+    aggregate. Float discipline: each ln rounds into scaled-int 1e9
+    space per FEATURE (the bigram-LM/NLL pattern — the ln argument is a
+    ratio of identical exact integers, so both engines round the same
+    double), per-doc sums are integer, and the mean truncates via
+    integer division."""
+    from ..functions.text import poly_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("wd")
+    ).select("doc_id", "lang", (poly_hash(F.col("wd")) % 4096).alias("feat"))
+    tc = f.filter(F.col("lang") == "en").groupBy("feat").agg(
+        F.count("*").alias("ct")
+    )
+    cc = f.groupBy("feat").agg(F.count("*").alias("cq"))
+    tot = f.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.count("*").alias("nq"),
+    )
+    wt = (
+        cc.join(F.broadcast(tc), "feat", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "feat",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("nt") + 4096)
+                    )
+                    / (
+                        (F.col("cq") + 1).cast("double")
+                        / (F.col("nq") + 4096)
+                    )
+                )
+                * 1e9,
+                0,
+            )
+            .cast("long")
+            .alias("wi"),
+        )
+    )
+    return (
+        f.join(F.broadcast(wt), "feat")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("wi").alias("si"))
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.expr("si div (n_words * 1000)").cast("double") / 1000000
+            ).alias("dsir_score"),
+        )
+    )
+
+
+@register(
+    "j_temporal_bucket_join",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+           WHERE event_type = 'view')
+SELECT p.event_id AS purchase_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views_30m,
+       CAST(MIN(ABS(p.tus - v.tus)) // 1000000 AS BIGINT) AS min_gap_s
+FROM p JOIN v ON p.user_id = v.user_id
+             AND ABS(p.tus - v.tus) <= 1800000000
+GROUP BY p.event_id
+""",
+)
+def j_temporal_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal proximity join — every purchase paired with the views
+    within ±30 min of it for the same user — expressed as an EQUI-join:
+    the naive ``|t_p - t_v| <= gap`` band predicate is an inequality
+    join, which Spark can only execute as a broadcast-nested-loop (the
+    O(n*m) plan that dies first at 100 TB). Instead both sides bucket
+    time into gap-width bins; the probe side explodes to its 3 candidate
+    bins (b-1, b, b+1 — any event within ±gap of t lies in one of them);
+    the join becomes an equi-join on (user_id, bin) that hash-partitions
+    like any other, and the exact band predicate filters residual
+    out-of-range candidates inside the joined bucket. Each (p, v) pair
+    matches at most once because the view side keeps its single true
+    bin — no post-join dedup. This bucketize-the-inequality rewrite is
+    the standard range-join strategy (Databricks' range-join hints do
+    exactly this under the hood; here it is explicit and portable).
+    Oracle: the naive inequality join, tractable at fixture scale.
+    Gap arithmetic is exact integer micros."""
+    ev = _t(spark, sf_dir, "events")
+    gap_us = 1_800_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("tus_p"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.unix_micros("ts").alias("tus_v"),
+        (F.unix_micros("ts") - (F.unix_micros("ts") % gap_us)).alias("bin"),
+    )
+    pb = p.select(
+        "purchase_id",
+        "user_id",
+        "tus_p",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.col("tus_p")
+                        - (F.col("tus_p") % gap_us)
+                        + F.lit(i * gap_us)
+                    )
+                    for i in (-1, 0, 1)
+                ]
+            )
+        ).alias("bin"),
+    )
+    joined = pb.join(
+        v, (pb.user_id == v.v_user) & (pb.bin == v.bin)
+    ).filter(F.abs(F.col("tus_p") - F.col("tus_v")) <= gap_us)
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_views_30m"),
+        F.expr("min(abs(tus_p - tus_v)) div 1000000").alias("min_gap_s"),
+    )
+
+
+@register(
     "j_asof_purchase_view",
     oracle="""
 WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
