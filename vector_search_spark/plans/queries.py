@@ -3442,6 +3442,64 @@ def r_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_hll_sketch_union",
+    oracle="""
+SELECT STRFTIME(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS hll_ok
+FROM events
+GROUP BY 1
+""",
+)
+def a_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the 100 TB distinct-count architecture:
+    per-DAY HLL sketches (Spark's Apache DataSketches
+    ``hll_sketch_agg``, the materialized daily sketch table a warehouse
+    maintains) are UNIONED per week (``hll_union_agg``) and estimated,
+    instead of re-scanning raw events for every window. Sketch
+    mergeability is what COUNT(DISTINCT) lacks: partials compose, so
+    any rollup (week, month, all-time) reads O(sketch) bytes. The gate
+    follows the a_percentiles_by_group pattern — DuckDB cannot replay
+    the DataSketches binary, so the row emits the EXACT weekly distinct
+    count (oracle-verified value) plus ``hll_ok`` = 1 iff the merged
+    estimate lands within 5%% of exact (HLL lgK=12 has ~1.6%% relative
+    error; the sketch is deterministic given the input set, so this is
+    stable, and a broken union/estimate fails parity)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    ).groupBy("week", "day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+    )
+    weekly_sketch = daily.groupBy("week").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+    )
+    exact = ev.groupBy(F.date_trunc("week", "ts").alias("w2")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        weekly_sketch.join(exact, weekly_sketch.week == exact.w2)
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "n_days",
+            "exact_users",
+            F.when(
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users"),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("hll_ok"),
+        )
+    )
+
+
+@register(
     "t_dsir_weights",
     oracle=f"""
 WITH w AS (
