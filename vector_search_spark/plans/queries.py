@@ -3442,6 +3442,94 @@ def r_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v_hamming_binary_knn",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sg AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, 32),
+             i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END)),
+           (a, b) -> a * 2 + b) AS lo,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(33, 64),
+             i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END)),
+           (a, b) -> a * 2 + b) AS hi
+  FROM e),
+p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi FROM sg
+      WHERE vec_id < 3),
+d AS (
+  SELECT p.probe_id, sg.vec_id,
+         bit_count(xor(sg.lo, p.plo)) + bit_count(xor(sg.hi, p.phi))
+           AS hamming
+  FROM sg CROSS JOIN p)
+SELECT probe_id AS probe_id, vec_id AS vec_id,
+       CAST(hamming AS BIGINT) AS hamming
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY probe_id ORDER BY hamming ASC, vec_id ASC) AS rn
+  FROM d) z
+WHERE rn <= 10
+""",
+)
+def v_hamming_binary_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature ANN: each 64-dim vector compresses to 64 SIGN
+    BITS (two 32-bit halves packed as BIGINTs by an ordered fold), and
+    candidate ranking is Hamming distance — ``bit_count(sig XOR
+    probe_sig)`` — 2 xors + 2 popcounts per comparison, the cheapest
+    similarity primitive there is (sign-random-projection LSH with the
+    identity projection, valid because the embedding dims are already
+    ~isotropic). At 100 TB the signature table is 8 bytes/vector in two
+    longs — 32x smaller than float32 vectors — and the scan is pure
+    JVM integer ops inside codegen; production stacks use exactly this
+    as the coarse filter before float re-rank (the v_pq_refine_knn
+    pattern applies unchanged). Everything is exact integer math, so
+    the oracle replays it bit-for-bit — no float discipline needed
+    anywhere. Ties break on vec_id ascending."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def pack(lo_i, hi_i):
+        return F.aggregate(
+            F.sequence(F.lit(lo_i), F.lit(hi_i)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at("e", i) > 0, 1).otherwise(0),
+        )
+
+    sg = emb.select(
+        "vec_id", pack(1, 32).alias("lo"), pack(33, 64).alias("hi")
+    )
+    probes = sg.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lo").alias("plo"),
+        F.col("hi").alias("phi"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return (
+        sg.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("plo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("phi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "vec_id", "hamming")
+    )
+
+
+@register(
     "a_hll_sketch_union",
     oracle="""
 SELECT STRFTIME(date_trunc('week', ts), '%Y-%m-%d') AS week,
