@@ -95,3 +95,45 @@ def test_ivf_pq_serves_from_codes(spark, sf_dir):
     plan = _final_plan(QUERIES["v_ivf_pq_knn"].fn(spark, sf_dir))
     assert JOIN_RE.findall(plan) == [], plan
     assert plan.count("Scan parquet") == 0, plan
+
+
+# round-6 plan pins
+
+
+def test_temporal_bucket_join_no_nested_loop(spark, sf_dir):
+    # the entire point of the bucketize rewrite: the band predicate must
+    # ride an EQUI-join (hash/broadcast), never a BroadcastNestedLoopJoin
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["j_temporal_bucket_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", plan)
+
+
+def test_hamming_knn_single_corpus_scan(spark, sf_dir):
+    # signature pack + xor/popcount must run in one corpus scan with the
+    # 3-row probe side broadcast; a second embeddings scan or an SMJ means
+    # the packing got duplicated or the broadcast was lost
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["v_hamming_binary_knn"].fn(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 2, final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_bloom_decontaminate_no_join_before_prefilter(spark, sf_dir):
+    # the corpus side must reach the bloom bit-test as a map-side filter:
+    # the only joins in the plan are the 1-row bloom broadcast and the
+    # exact-verify broadcast join over candidates
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["d_decontaminate_bloom"].fn(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    joins = JOIN_RE.findall(final)
+    bad = [
+        j for j in joins
+        if j not in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+    ]
+    assert not bad, f"non-broadcast joins in bloom plan: {bad}"

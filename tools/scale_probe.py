@@ -345,6 +345,8 @@ def main() -> None:
     docs_big = replicate_docs(docs, n, 1_000_000)
     emb_big = replicate_ids(emb, ["vec_id"], n, 1_000_000)
     ev_big = replicate_ids(ev, ["event_id", "user_id"], n, 10_000_000)
+    li_orders = load_table(spark, SF_DIR, "orders")
+    li_orders_big = replicate_ids(li_orders, ["o_orderkey"], n, 10_000_000)
 
     def q1(src):
         return lambda: src.groupBy("l_returnflag", "l_linestatus").agg(
@@ -1195,6 +1197,184 @@ def main() -> None:
 
         return run
 
+
+    def hamming_knn(src):
+        # v_hamming_binary_knn shape: one corpus scan packs sign bits and
+        # xor/popcounts against 3 broadcast probe signatures — pure JVM
+        # integer codegen, linear by construction.
+        from pyspark.sql import Window
+
+        def run():
+            e2 = src.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+
+            def pack(lo, hi):
+                return F.aggregate(
+                    F.sequence(F.lit(lo), F.lit(hi)),
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc * 2
+                    + F.when(F.element_at("e", i) > 0, 1).otherwise(0),
+                )
+
+            sg = e2.select(
+                "vec_id", pack(1, 32).alias("lo"), pack(33, 64).alias("hi")
+            )
+            probes = sg.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("lo").alias("plo"),
+                F.col("hi").alias("phi"),
+            )
+            w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
+            return (
+                sg.crossJoin(F.broadcast(probes))
+                .select(
+                    "probe_id",
+                    "vec_id",
+                    (
+                        F.bit_count(F.col("lo").bitwiseXOR(F.col("plo")))
+                        + F.bit_count(F.col("hi").bitwiseXOR(F.col("phi")))
+                    ).alias("hamming"),
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 10)
+                .count()
+            )
+
+        return run
+
+    def temporal_join(src):
+        # j_temporal_bucket_join shape: 3-bin explode on the probe side,
+        # equi-join on (user, bin), residual band filter. Replication
+        # multiplies users (ids shifted) so bin population per user is
+        # constant — linear class.
+        def run():
+            gap = 1_800_000_000
+            p = src.filter(F.col("event_type") == "purchase").select(
+                F.col("event_id").alias("pid"),
+                "user_id",
+                F.unix_micros("ts").alias("tp"),
+            )
+            v = src.filter(F.col("event_type") == "view").select(
+                F.col("user_id").alias("vu"),
+                F.unix_micros("ts").alias("tv"),
+                (F.unix_micros("ts") - (F.unix_micros("ts") % gap)).alias("bin"),
+            )
+            pb = p.select(
+                "pid", "user_id", "tp",
+                F.explode(F.array(*[
+                    (F.col("tp") - (F.col("tp") % gap) + F.lit(i * gap))
+                    for i in (-1, 0, 1)
+                ])).alias("bin"),
+            )
+            return (
+                pb.join(v, (pb.user_id == v.vu) & (pb.bin == v.bin))
+                .filter(F.abs(F.col("tp") - F.col("tv")) <= gap)
+                .groupBy("pid")
+                .agg(F.count("*"))
+                .count()
+            )
+
+        return run
+
+    def dsir(src):
+        # t_dsir_weights shape: two feature-count groupBys into a BOUNDED
+        # 4096-row weight table, then one explode + broadcast join + per-doc
+        # aggregate. Feature table size is constant across scales.
+        from vector_search_spark.functions.text import poly_hash
+
+        def run():
+            f = src.select(
+                "doc_id", "lang", F.explode(F.split("text", " ")).alias("wd")
+            ).select(
+                "doc_id", "lang", (poly_hash(F.col("wd")) % 4096).alias("feat")
+            )
+            tc = f.filter(F.col("lang") == "en").groupBy("feat").agg(
+                F.count("*").alias("ct")
+            )
+            cc = f.groupBy("feat").agg(F.count("*").alias("cq"))
+            tot = f.agg(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+                F.count("*").alias("nq"),
+            )
+            wt = (
+                cc.join(F.broadcast(tc), "feat", "left")
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "feat",
+                    F.round(
+                        F.log(
+                            ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                             / (F.col("nt") + 4096))
+                            / ((F.col("cq") + 1).cast("double")
+                               / (F.col("nq") + 4096))
+                        ) * 1e9, 0,
+                    ).cast("long").alias("wi"),
+                )
+            )
+            return (
+                f.join(F.broadcast(wt), "feat")
+                .groupBy("doc_id")
+                .agg(F.count("*"), F.sum("wi"))
+                .count()
+            )
+
+        return run
+
+    def hll_union(src):
+        # a_hll_sketch_union shape: per-day sketch agg, per-week union —
+        # two shuffles whose row counts are day/week cardinalities.
+        def run():
+            daily = src.select(
+                F.date_trunc("week", "ts").alias("wk"),
+                F.date_trunc("day", "ts").alias("dy"),
+                "user_id",
+            ).groupBy("wk", "dy").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+            return (
+                daily.groupBy("wk")
+                .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))"))
+                .count()
+            )
+
+        return run
+
+    def session_native(src):
+        # w_session_window_native shape: one shuffle on user_id, native
+        # session merge.
+        def run():
+            return (
+                src.groupBy("user_id", F.session_window("ts", "30 minutes"))
+                .agg(F.count("*"), F.sum("value"))
+                .count()
+            )
+
+        return run
+
+    def incr_refresh(src):
+        # r_incr_agg_refresh shape: two partition-pruned scans + algebraic
+        # merge of 2x|groups| partial rows.
+        def run():
+            cut = F.lit("1996-01-01").cast("timestamp")
+
+            def part(df):
+                return df.groupBy("o_orderpriority", "o_orderstatus").agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                    ).alias("c"),
+                )
+
+            base = part(src.filter(F.col("o_orderdate") < cut))
+            delta = part(src.filter(F.col("o_orderdate") >= cut))
+            return (
+                base.unionByName(delta)
+                .groupBy("o_orderpriority", "o_orderstatus")
+                .agg(F.sum("n"), F.sum("c"))
+                .count()
+            )
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -1224,6 +1404,12 @@ def main() -> None:
          cross_encoder(docs_big, emb_big)),
         ("data_mixture", data_mixture(docs), data_mixture(docs_big)),
         ("percentiles", percentiles(docs), percentiles(docs_big)),
+        ("hamming_knn", hamming_knn(emb), hamming_knn(emb_big)),
+        ("temporal_join", temporal_join(ev), temporal_join(ev_big)),
+        ("dsir", dsir(docs), dsir(docs_big)),
+        ("hll_union", hll_union(ev), hll_union(ev_big)),
+        ("session_native", session_native(ev), session_native(ev_big)),
+        ("incr_refresh", incr_refresh(li_orders), incr_refresh(li_orders_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:
