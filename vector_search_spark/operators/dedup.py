@@ -1120,3 +1120,121 @@ def bloom_member(col: str, m_bits: int, k: int):
             f" >> CAST(({p}) & 63L AS INT)) & 1L) = 1L"
         )
     return F.expr("(" + ") AND (".join(terms) + ")")
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash signature index — dedup at INGESTION time
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_write(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Write the corpus' MinHash LSH index to disk: ``bands/`` — the
+    (band, key, id) bucket table partitioned by band — and ``sets/`` —
+    the per-doc shingle-hash sets the exact re-rank needs. Built once
+    per corpus (the batch job); incoming batches then dedup against it
+    via :func:`minhash_probe_pairs` WITHOUT recomputing anything over
+    the corpus — the ingestion-time dedup shape: at 100 TB the index is
+    the standing asset and each delivery probes it."""
+    rows_per_band = n_hashes // bands
+    t = _unit_sets(df, text_col, id_col, shingle_n, hashed=True).filter(
+        F.size("tk") > 0
+    )
+    sig_src = _minhash_signatures_from_tokens(
+        t.select("id", "tk"), n_hashes, prehashed=True
+    )
+    banded = sig_src.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    banded.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    t.select("id", "tk").write.mode("overwrite").parquet(f"{path}/sets")
+
+
+def minhash_probe_pairs(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup an incoming batch against a persisted corpus index: batch
+    rows are shingled/signed (O(batch) only), bucket-joined against the
+    on-disk band table, and candidates re-rank with exact Jaccard over
+    the STORED corpus sets — corpus text is never read, let alone
+    re-shingled. Returns (new_id, corpus_id, jaccard >= threshold).
+    Join hints: the banded batch and its candidates are delivery-sized —
+    broadcast them against the corpus-sized index scans, never the
+    reverse."""
+    rows_per_band = n_hashes // bands
+    idx_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col("id").alias("corpus_id"), "band", "key"
+    )
+    idx_sets = spark.read.parquet(f"{path}/sets").select(
+        F.col("id").alias("corpus_id"), F.col("tk").alias("tk_c")
+    )
+    t = _unit_sets(batch, text_col, id_col, shingle_n, hashed=True).filter(
+        F.size("tk") > 0
+    )
+    sig_src = _minhash_signatures_from_tokens(
+        t.select("id", "tk"), n_hashes, prehashed=True
+    )
+    b_banded = sig_src.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(F.col("id").alias("new_id"), "bk.band", "bk.key")
+    cands = (
+        idx_bands.join(F.broadcast(b_banded), ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("tk", "tk_c")).cast("double")
+    union = F.size(F.array_union("tk", "tk_c"))
+    return (
+        cands.join(idx_sets, "corpus_id")
+        .join(
+            F.broadcast(t.select(F.col("id").alias("new_id"), "tk")), "new_id"
+        )
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

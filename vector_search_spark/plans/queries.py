@@ -894,6 +894,76 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d_minhash_persist_incr",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id AS id, doc_id % 5 = 0 AS is_new,
+         string_split(text, ' ') AS ws
+  FROM documents),
+t AS (
+  SELECT id, is_new, {{shingles}} AS tk FROM w),
+hashed AS (
+  SELECT id, is_new, list_transform(tk, t -> {{poly}}) AS hs FROM t
+  WHERE len(tk) > 0),
+sigs AS (
+  SELECT id, is_new, {{sig}} AS sig FROM hashed),
+banded AS (
+  SELECT id, is_new, b.band,
+         array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+                                        x -> CAST(x AS VARCHAR)), ',') AS key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cands AS (
+  SELECT DISTINCT nb.id AS new_id, cb.id AS corpus_id
+  FROM banded nb JOIN banded cb ON nb.band = cb.band AND nb.key = cb.key
+  WHERE nb.is_new AND NOT cb.is_new),
+rerank AS (
+  SELECT c.new_id, c.corpus_id,
+         len(list_intersect(tn.hs, tc.hs))::DOUBLE
+         / len(list_distinct(list_concat(tn.hs, tc.hs))) AS jaccard
+  FROM cands c JOIN hashed tn ON tn.id = c.new_id
+               JOIN hashed tc ON tc.id = c.corpus_id)
+SELECT new_id AS new_id, corpus_id AS corpus_id,
+       FLOOR(jaccard * 1000000) / 1000000 AS jaccard
+FROM rerank WHERE jaccard >= 0.5
+""".format(
+        shingles=_DUCK_SHINGLES3,
+        poly=_duck_poly("t", v="q"),
+        sig=_DUCK_MINHASH_SIG,
+    ),
+)
+def d_minhash_persist_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup against a PERSISTED MinHash index — the
+    standing-asset shape every production corpus runs: the corpus' LSH
+    index (banded signature table partitioned by band + per-doc shingle
+    hash sets) is written ONCE (`minhash_index_write`); each incoming
+    delivery (here: doc_id %% 5 == 0 plays the new batch) is then
+    shingled/signed at O(batch) cost and bucket-joined against the
+    on-disk index (`minhash_probe_pairs`) — corpus text is never
+    re-read, never re-shingled. Exact-Jaccard re-rank runs over the
+    STORED corpus sets for candidates only. At 100 TB the index build is
+    the once-per-corpus batch job and each delivery probes partitions of
+    a band-partitioned table; the batch side rides broadcasts.
+    Output = (new_id, corpus_id, jaccard >= 0.5); the oracle replays the
+    whole cross-set pipeline from scratch, certifying the persisted path
+    equals the recompute. Jaccard is an exact small rational: truncated,
+    not rounded (hazard class, CLAUDE.md)."""
+    from ..operators.dedup import minhash_index_write, minhash_probe_pairs
+    from ..utils import pid_scratch
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = pid_scratch("mh_index", sf_dir)
+    minhash_index_write(corpus, "text", "doc_id", path)
+    pairs = minhash_probe_pairs(spark, path, batch, "text", "doc_id", 0.5)
+    return pairs.select(
+        "new_id",
+        "corpus_id",
+        (F.floor(F.col("jaccard") * 1000000) / 1000000).alias("jaccard"),
+    )
+
+
+@register(
     "d_dup_clusters",
     oracle=f"""
 WITH RECURSIVE w AS (
@@ -2111,35 +2181,9 @@ def v_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
     probes = _probes(emb, 3)
-    # repo-relative scratch (portable to any checkout), keyed per process
-    # so a concurrent pytest/parity pair can't overwrite each other's
-    # index mid-read
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    scratch = os.path.join(repo_root, ".scratch")
-    path = os.path.join(
-        scratch,
-        f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
-    )
-    # prune indexes left by dead processes (every bench/parity/pytest run
-    # writes a fresh pid-keyed dir; without this the scratch area grows
-    # unboundedly across runs)
-    import shutil
+    from ..utils import pid_scratch
 
-    if os.path.isdir(scratch):
-        for d in os.listdir(scratch):
-            if not d.startswith("ivf_index_"):
-                continue
-            pid_s = d.rsplit("_", 1)[-1]
-            if not pid_s.isdigit() or int(pid_s) == os.getpid():
-                continue
-            try:
-                os.kill(int(pid_s), 0)  # raises if the owner is gone
-            except ProcessLookupError:
-                shutil.rmtree(os.path.join(scratch, d), ignore_errors=True)
-            except PermissionError:
-                pass  # pid exists under another user: leave it
+    path = pid_scratch("ivf_index", sf_dir)
     # one assignment pass total: checkpoint it, write THAT table as the
     # index, and serve the in-memory comparison from the same relation —
     # the certified claim (served == in-memory, parquet round-trip exact)
