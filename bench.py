@@ -73,6 +73,11 @@ HEADLINE = [
     "v_pq_refine_knn",
     "w_session_window_native",
     "r_incr_agg_refresh",
+    "d_minhash_persist_incr",
+    "v_hamming_binary_knn",
+    "t_dsir_weights",
+    "j_temporal_bucket_join",
+    "a_hll_sketch_union",
 ]
 
 

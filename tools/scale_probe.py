@@ -1375,6 +1375,30 @@ def main() -> None:
 
         return run
 
+
+    def mh_persist(src):
+        # d_minhash_persist_incr shape: corpus index written once (this IS
+        # the build job, so it scales with the corpus); the batch probe is
+        # O(batch) + partition-pruned index reads.
+        import os
+
+        from vector_search_spark.operators.dedup import (
+            minhash_index_write,
+            minhash_probe_pairs,
+        )
+        from vector_search_spark.utils import pid_scratch
+
+        def run():
+            corpus = src.filter(F.col("doc_id") % 5 != 0)
+            batch = src.filter(F.col("doc_id") % 5 == 0)
+            path = pid_scratch("mh_probe_idx", SF_DIR) + f"_{id(src) % 97}"
+            minhash_index_write(corpus, "text", "doc_id", path)
+            return minhash_probe_pairs(
+                spark, path, batch, "text", "doc_id", 0.5
+            ).count()
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -1410,6 +1434,7 @@ def main() -> None:
         ("hll_union", hll_union(ev), hll_union(ev_big)),
         ("session_native", session_native(ev), session_native(ev_big)),
         ("incr_refresh", incr_refresh(li_orders), incr_refresh(li_orders_big)),
+        ("mh_persist", mh_persist(docs), mh_persist(docs_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:

@@ -1144,8 +1144,13 @@ def minhash_index_write(
     the corpus — the ingestion-time dedup shape: at 100 TB the index is
     the standing asset and each delivery probes it."""
     rows_per_band = n_hashes // bands
-    t = _unit_sets(df, text_col, id_col, shingle_n, hashed=True).filter(
-        F.size("tk") > 0
+    # checkpoint the unit sets: the bands write and the sets write are two
+    # separate actions — without this the Arrow shingle stage runs twice
+    # (measured 0.7s/pass at sf0.1)
+    t = (
+        _unit_sets(df, text_col, id_col, shingle_n, hashed=True)
+        .filter(F.size("tk") > 0)
+        .localCheckpoint(eager=True)
     )
     sig_src = _minhash_signatures_from_tokens(
         t.select("id", "tk"), n_hashes, prehashed=True
