@@ -3632,6 +3632,63 @@ def a_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_entropy_score",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+  WHERE len(text) > 0),
+cnt AS (
+  SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+n AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY doc_id),
+terms AS (
+  SELECT cnt.doc_id,
+         CAST(ROUND(-(cnt.k::DOUBLE / n.n) * LN(cnt.k::DOUBLE / n.n)
+                    * 1000000000, 0) AS BIGINT) AS ei
+  FROM cnt JOIN n USING (doc_id))
+SELECT doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       CAST(SUM(ei) // 1000 AS DOUBLE) / 1000000 AS entropy_nats
+FROM terms GROUP BY doc_id
+""",
+)
+def t_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal — the cheap gibberish/boilerplate
+    detector quality pipelines run beside length and repetition rules
+    (near-zero entropy = repeated filler, near-max = random bytes;
+    natural text sits in a stable band): per-doc Shannon entropy of the
+    character distribution, H = -sum p ln p in nats. Shape: one char
+    explode + two groupBys on (doc_id[, char]) — the same two-level
+    aggregate as the span stats, map-side combined; no NLTK-ish UDF
+    anywhere, the explode and the log run JVM-side. Float discipline:
+    each -p*ln(p) term rounds into scaled-int 1e9 space (ln of an
+    identical exact rational — the bigram-NLL pattern), per-doc sums
+    are integer, and the output truncates at 6 digits via integer
+    division."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ch = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    n = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    pfrac = F.col("k").cast("double") / F.col("n")
+    terms = cnt.join(n, "doc_id").select(
+        "doc_id",
+        F.round(-pfrac * F.log(pfrac) * 1e9, 0).cast("long").alias("ei"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.count("*").alias("n_distinct_chars"), F.sum("ei").alias("si"))
+        .select(
+            "doc_id",
+            "n_distinct_chars",
+            (F.expr("si div 1000").cast("double") / 1000000).alias(
+                "entropy_nats"
+            ),
+        )
+    )
+
+
+@register(
     "t_dsir_weights",
     oracle=f"""
 WITH w AS (
