@@ -1391,7 +1391,11 @@ def main() -> None:
         def run():
             corpus = src.filter(F.col("doc_id") % 5 != 0)
             batch = src.filter(F.col("doc_id") % 5 == 0)
-            path = pid_scratch("mh_probe_idx", SF_DIR) + f"_{id(src) % 97}"
+            # NOTE: no extra suffix — pid_scratch's dead-pid pruning parses
+            # the trailing _<pid> token, so appending anything after it would
+            # let another process mistake this dir for a dead one. Base and
+            # scaled runs share the path sequentially (mode=overwrite).
+            path = pid_scratch("mh_probe_idx", SF_DIR)
             minhash_index_write(corpus, "text", "doc_id", path)
             return minhash_probe_pairs(
                 spark, path, batch, "text", "doc_id", 0.5

@@ -1111,15 +1111,19 @@ def bloom_member(col: str, m_bits: int, k: int):
     """Predicate: all k bloom bits set for ``col`` (requires the ``bf``
     word array in scope, e.g. via ``crossJoin(F.broadcast(bloom_row))``).
     Pure JVM bitwise expressions — no Python, no shuffle: the map-side
-    prefilter a 100 TB corpus scan needs."""
-    terms = []
-    for i in range(k):
-        p = _bloom_pos_sql(col, i, m_bits)
-        terms.append(
-            f"((element_at(bf, CAST(({p}) >> 6 AS INT) + 1)"
-            f" >> CAST(({p}) & 63L AS INT)) & 1L) = 1L"
-        )
-    return F.expr("(" + ") AND (".join(terms) + ")")
+    prefilter a 100 TB corpus scan needs. The k positions are computed
+    ONCE into an array and the bit test runs over the bound lambda
+    variable — filter codegen does not CSE predicate conjuncts, so
+    inlining each position expression twice (word index + shift amount)
+    would double the per-row hash arithmetic in the hot scan."""
+    positions = ", ".join(_bloom_pos_sql(col, i, m_bits) for i in range(k))
+    # function-form shiftright: the `>>` operator does not parse inside a
+    # lambda body (PARSE_SYNTAX_ERROR at the second `>`)
+    return F.expr(
+        f"forall(transform(array({positions}), bp -> "
+        f"(shiftright(element_at(bf, CAST(shiftright(bp, 6) AS INT) + 1), "
+        f"CAST(bp & 63L AS INT)) & 1L) = 1L), bb -> bb)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1234,8 +1238,12 @@ def minhash_probe_pairs(
     )
     inter = F.size(F.array_intersect("tk", "tk_c")).cast("double")
     union = F.size(F.array_union("tk", "tk_c"))
+    # broadcast the delivery-sized candidate list against the corpus-sized
+    # sets scan: AQE sizes joins from PRE-filter relation stats (CLAUDE.md,
+    # the v_matryoshka_knn bite), so without the hint this statically plans
+    # as a SortMergeJoin that shuffles the whole sets table
     return (
-        cands.join(idx_sets, "corpus_id")
+        F.broadcast(cands).join(idx_sets, "corpus_id")
         .join(
             F.broadcast(t.select(F.col("id").alias("new_id"), "tk")), "new_id"
         )

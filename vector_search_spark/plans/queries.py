@@ -557,7 +557,8 @@ SELECT event_type AS event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST((SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000)
-            // COUNT(*) AS DOUBLE) / 10000 AS avg_k
+            // COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS DOUBLE) / 10000 AS avg_k
 FROM events
 GROUP BY event_type
 """,
@@ -574,12 +575,15 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(k).alias("sum_k"),
+            F.count(k).alias("_nk"),
         )
         .select(
             "event_type",
             "n",
             "sum_k",
-            (F.expr("(sum_k * 10000) div n").cast("double") / 10000).alias(
+            # AVG semantics: divide by non-null k count, not all rows —
+            # a fixture with props missing '$.k' must not shift the metric
+            (F.expr("(sum_k * 10000) div _nk").cast("double") / 10000).alias(
                 "avg_k"
             ),
         )
@@ -2034,7 +2038,7 @@ SELECT vec_id AS probe_id,
        CAST(10 AS BIGINT) AS n_sys,
        CAST(1 AS BIGINT) AS found_ok,
        CAST(1 AS BIGINT) AS recall_floor_ok,
-       CAST(16 AS BIGINT) AS n_centroids
+       CAST(1 AS BIGINT) AS centroids_ok
 FROM embeddings WHERE vec_id < 3
 """,
 )
@@ -2057,7 +2061,14 @@ def v_ivf_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     total recall across probes ≥ 12/30 (random 16-way bucketing with
     n_probe=4 expects ~7.5 — the floor proves trained structure, with
     headroom under KMeans' ulp-level partial-sum nondeterminism);
-    KMeans trained 16 nonempty clusters. Measured recall@10 for the
+    ≥ 12 of the 16 trained clusters win corpus vectors under the COSINE
+    assignment (a gate, not an exact 16: KMeans centers are means of
+    unit vectors and are NOT unit-norm, so cosine argmax and KMeans'
+    own euclidean argmin can legitimately rank centroids differently —
+    the ||a-b||² = 2-2cos identity needs both operands unit — and a
+    euclidean-nonempty cluster may win nothing under cosine; observed
+    16/16 at all three fixture scales, floored at 12 for cross-machine
+    stability). Measured recall@10 for the
     seeded build: 20/30 (sf0.001), 20/30 (sf0.01), 23/30 (sf0.1).
     A recall REGRESSION (bad centroids, broken bucket probe) fails
     parity; sketch-level noise does not. Reference counterpart:
@@ -2121,7 +2132,9 @@ def v_ivf_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("total_hits") >= 12, 1).otherwise(0).cast("long").alias(
                 "recall_floor_ok"
             ),
-            F.col("n_centroids").cast("long").alias("n_centroids"),
+            F.when(F.col("n_centroids") >= 12, 1).otherwise(0).cast("long").alias(
+                "centroids_ok"
+            ),
         )
     )
 
@@ -4515,9 +4528,9 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
        CAST(MIN(n_chars) AS BIGINT) AS min_chars,
        CAST(MAX(n_chars) AS BIGINT) AS max_chars,
-       CAST((SUM(n_chars) * 10000) // COUNT(*) AS DOUBLE) / 10000
+       CAST((SUM(n_chars) * 10000) // COUNT(n_chars) AS DOUBLE) / 10000
          AS avg_chars,
-       CAST((SUM(len(string_split(text, ' '))) * 10000) // COUNT(*)
+       CAST((SUM(len(string_split(text, ' '))) * 10000) // COUNT(text)
             AS DOUBLE) / 10000 AS avg_tokens
 FROM documents
 """,
@@ -4535,7 +4548,9 @@ def t_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("_sc"),
+        F.count("n_chars").alias("_nc"),
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("_st"),
+        F.count("text").alias("_nt"),
     ).select(
         "n_rows",
         "n_langs",
@@ -4544,11 +4559,14 @@ def t_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_chars",
         "max_chars",
         # integer-sum / count exact rationals: scaled-int truncation, not
-        # ROUND (half-boundary hazard class, CLAUDE.md)
-        (F.expr("(_sc * 10000) div n_rows").cast("double") / 10000).alias(
+        # ROUND (half-boundary hazard class, CLAUDE.md). Denominators are
+        # NON-NULL counts (AVG semantics), not COUNT(*) — this table
+        # tracks n_null_text in the same row, so dividing by all rows
+        # would silently redefine the metric on a fixture with nulls.
+        (F.expr("(_sc * 10000) div _nc").cast("double") / 10000).alias(
             "avg_chars"
         ),
-        (F.expr("(_st * 10000) div n_rows").cast("double") / 10000).alias(
+        (F.expr("(_st * 10000) div _nt").cast("double") / 10000).alias(
             "avg_tokens"
         ),
     )
