@@ -137,3 +137,21 @@ def test_bloom_decontaminate_no_join_before_prefilter(spark, sf_dir):
         if j not in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
     ]
     assert not bad, f"non-broadcast joins in bloom plan: {bad}"
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    # the bucketed tables' whole reason to exist: with broadcast disabled,
+    # the custkey join must carry ZERO exchanges (bucket co-location) —
+    # the only exchange in the full plan is the final segment aggregate
+    from vector_search_spark.plans.queries import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["j_bucketed_colocated"].fn(spark, sf_dir)
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        join_part = plan.split("HashAggregate")[-1]  # below the final agg
+        assert "Exchange" not in join_part, join_part
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -3796,6 +3796,68 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_bucketed_colocated",
+    oracle="""
+SELECT c.c_mktsegment AS c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100 AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the shuffle-free big-big join the brief
+    names ("bucketing for co-located joins"): both fact and dim are
+    written ONCE as bucketed+sorted tables on the join key
+    (``bucketBy(8, custkey).sortBy``), after which the join consumes the
+    matching bucket files directly — the executed plan carries ZERO
+    exchanges on the join (pinned in tests/test_plan_shapes.py with
+    broadcast disabled; the one exchange in the full plan is the final
+    segment aggregate). At 100 TB this is THE repeated-join strategy:
+    pay one bucketed write, then every subsequent custkey join of these
+    tables — daily jobs, backfills — shuffles nothing. Tables live in a
+    pid-keyed database under .scratch (in-memory catalog, per-session;
+    concurrent runs can't collide), and the result is certified against
+    the plain unbucketed join recompute."""
+    import os
+
+    from ..utils import pid_scratch
+
+    loc = pid_scratch("bucketdb", sf_dir)
+    db = f"bdemo_{os.getpid()}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).saveAsTable(f"{db}.orders_b")
+    cust.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).saveAsTable(f"{db}.cust_b")
+    return (
+        spark.table(f"{db}.orders_b")
+        .join(
+            spark.table(f"{db}.cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("_cents"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            (F.col("_cents").cast("double") / 100).alias("total_price"),
+        )
+    )
+
+
+@register(
     "j_temporal_bucket_join",
     oracle="""
 WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
