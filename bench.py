@@ -78,6 +78,7 @@ HEADLINE = [
     "t_dsir_weights",
     "j_temporal_bucket_join",
     "a_hll_sketch_union",
+    "pipe_corpus_build",
 ]
 
 

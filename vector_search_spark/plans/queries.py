@@ -3587,6 +3587,161 @@ def v_hamming_binary_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_corpus_build",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, text
+  FROM documents
+  WHERE doc_id >= 20 AND n_chars >= 200
+    AND len(string_split(text, ' ')) >= 50),
+d AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM q) z WHERE rn = 1),
+bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       WHERE doc_id < 20),
+bph AS (SELECT doc_id, list_transform(ws, w -> {{poly_w}}) AS wk FROM bw),
+bsh AS (SELECT DISTINCT unnest({{wsh}}) AS h FROM bph),
+dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+dph AS (SELECT doc_id, list_transform(ws, w -> {{poly_w}}) AS wk FROM dw),
+dsh AS (SELECT doc_id, unnest({{wsh}}) AS h FROM dph),
+contaminated AS (
+  SELECT e.doc_id FROM dsh e JOIN bsh b ON e.h = b.h
+  GROUP BY e.doc_id HAVING COUNT(DISTINCT e.h) >= 3),
+c AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+lc AS (SELECT lang, COUNT(*) AS n FROM c GROUP BY lang),
+st AS (SELECT list_sum(list_sort(list(sqrt(CAST(n AS DOUBLE))))) AS denom,
+              SUM(n) AS t FROM lc),
+r AS (
+  SELECT lc.lang,
+         LEAST(1.0, CAST(ROUND(sqrt(CAST(lc.n AS DOUBLE)) / st.denom * st.t,
+                                0) AS BIGINT)::DOUBLE / lc.n) AS rate
+  FROM lc, st),
+kept AS (
+  SELECT c.doc_id, c.lang,
+         CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tok
+  FROM c JOIN r ON c.lang = r.lang
+  WHERE ({{poly_id}}) % 1000000 < r.rate * 1000000.0),
+packed AS (
+  SELECT lang, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM kept)
+SELECT lang AS lang, CAST(cum // 2000 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY 1, 2
+""".format(
+        poly_w=_duck_poly("w", v="h"),
+        wsh=_DUCK_WORD_SHINGLE_HASHES3,
+        poly_id=_duck_poly("CAST(c.doc_id AS VARCHAR)"),
+    ),
+)
+def pipe_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus build — the composition the whole
+    engine exists for, as ONE dataflow: quality gate (length floors) →
+    exact dedup (first-id keeper per text) → benchmark decontamination
+    (drop docs sharing ≥3 shingle hashes with the eval set, broadcast
+    semi-join) → temperature mixture sampling (n^0.5 targets,
+    deterministic hash membership) → token-budget shard packing (2000
+    tokens/shard per language). Output = the final shard manifest
+    (lang, shard_id, n_docs, n_tokens) a training job would read. The
+    oracle replays the ENTIRE five-stage chain, so a wrong survivor set
+    at ANY stage shifts the manifest — the certified object is the
+    composition, same design as pipe_dedup_corpus/pipe_dedup_twolevel.
+    All five stages shuffle on keys (text-hash, shingle-hash, lang) and
+    the only driver-bounded object is the mixture table (5 rows); at
+    100 TB each stage is the certified scale shape of its standalone
+    row. Reference counterpart: this is the pipeline a
+    vector_search-style team would run to produce its fine-tune corpus
+    before any of the serving queries matter."""
+    from ..functions.text import poly_hash, word_shingle_hashes
+    from ..utils import fan_out
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.filter(
+        (F.col("doc_id") >= 20)
+        & (F.col("n_chars") >= 200)
+        & (F.size(F.split("text", " ")) >= 50)
+    ).select("doc_id", "lang", "text")
+    wdup = Window.partitionBy("text").orderBy("doc_id")
+    d = (
+        q.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bench = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(F.explode(word_shingle_hashes("text", 3)).alias("h"))
+        .distinct()
+    )
+    shingled = fan_out(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(word_shingle_hashes("text", 3)).alias("h")
+    )
+    contaminated = (
+        shingled.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("ns"))
+        .filter(F.col("ns") >= 3)
+        .select("doc_id")
+    )
+    c = d.join(contaminated, "doc_id", "left_anti")
+    lc = c.groupBy("lang").agg(F.count("*").alias("n"))
+    st = lc.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("n").cast("double")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("denom"),
+        F.sum("n").alias("t"),
+    )
+    r = (
+        lc.crossJoin(F.broadcast(st))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    F.sqrt(F.col("n").cast("double"))
+                    / F.col("denom")
+                    * F.col("t"),
+                    0,
+                ).cast("long").cast("double")
+                / F.col("n"),
+            ).alias("rate"),
+        )
+    )
+    kept = (
+        c.join(F.broadcast(r), "lang")
+        .filter(
+            (poly_hash(F.col("doc_id").cast("string")) % 1000000)
+            < F.col("rate") * 1000000.0
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+    )
+    wpack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = kept.select(
+        "lang",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(wpack), F.lit(0)).alias("cum"),
+    )
+    return packed.groupBy(
+        "lang", F.floor(F.col("cum") / 2000).cast("long").alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+@register(
     "a_hll_sketch_union",
     oracle="""
 SELECT STRFTIME(date_trunc('week', ts), '%Y-%m-%d') AS week,
