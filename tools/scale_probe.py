@@ -1403,6 +1403,100 @@ def main() -> None:
 
         return run
 
+
+    def corpus_build(src):
+        # pipe_corpus_build shape: the five-stage manifest chain — every
+        # stage shuffles on keys (text window, shingle hash, lang); the
+        # eval set (doc_id < 20) is fixed across scales.
+        from pyspark.sql import Window
+
+        from vector_search_spark.functions.text import (
+            poly_hash,
+            word_shingle_hashes,
+        )
+        from vector_search_spark.utils import fan_out
+
+        def run():
+            q = src.filter(
+                (F.col("doc_id") >= 20)
+                & (F.col("n_chars") >= 200)
+                & (F.size(F.split("text", " ")) >= 50)
+            ).select("doc_id", "lang", "text")
+            d = (
+                q.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("text").orderBy("doc_id")
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            bench = (
+                src.filter(F.col("doc_id") < 20)
+                .select(F.explode(word_shingle_hashes("text", 3)).alias("h"))
+                .distinct()
+            )
+            sh = fan_out(d.select("doc_id", "text")).select(
+                "doc_id", F.explode(word_shingle_hashes("text", 3)).alias("h")
+            )
+            bad = (
+                sh.join(F.broadcast(bench), "h")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("h").alias("ns"))
+                .filter(F.col("ns") >= 3)
+                .select("doc_id")
+            )
+            c = d.join(bad, "doc_id", "left_anti")
+            lc = c.groupBy("lang").agg(F.count("*").alias("n"))
+            st = lc.agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.sqrt(F.col("n").cast("double")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("denom"),
+                F.sum("n").alias("t"),
+            )
+            r = lc.crossJoin(F.broadcast(st)).select(
+                "lang",
+                F.least(
+                    F.lit(1.0),
+                    F.round(
+                        F.sqrt(F.col("n").cast("double"))
+                        / F.col("denom") * F.col("t"), 0,
+                    ).cast("long").cast("double") / F.col("n"),
+                ).alias("rate"),
+            )
+            kept = (
+                c.join(F.broadcast(r), "lang")
+                .filter(
+                    (poly_hash(F.col("doc_id").cast("string")) % 1000000)
+                    < F.col("rate") * 1000000.0
+                )
+                .select(
+                    "doc_id", "lang",
+                    F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+                )
+            )
+            w = (
+                Window.partitionBy("lang")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            return (
+                kept.select(
+                    "lang", "n_tok",
+                    F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum"),
+                )
+                .groupBy("lang", F.floor(F.col("cum") / 2000).alias("sid"))
+                .agg(F.count("*"), F.sum("n_tok"))
+                .count()
+            )
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -1439,6 +1533,7 @@ def main() -> None:
         ("session_native", session_native(ev), session_native(ev_big)),
         ("incr_refresh", incr_refresh(li_orders), incr_refresh(li_orders_big)),
         ("mh_persist", mh_persist(docs), mh_persist(docs_big)),
+        ("corpus_build", corpus_build(docs), corpus_build(docs_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:
