@@ -3587,6 +3587,66 @@ def v_hamming_binary_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_json_malformed_rate",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 5)
+              ELSE props END AS props
+  FROM events)
+SELECT event_type AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_parsed,
+       CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN json_valid(props)
+                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS sum_k
+FROM m GROUP BY event_type
+""",
+)
+def f_json_malformed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust semi-structured ingest — the corrupt-record accounting a
+    real event feed needs (truncated payloads, partial writes): a
+    deterministic 1-in-7 slice of the props JSON is TRUNCATED (the
+    commonest corruption) and the pipeline must (a) not fail, (b) parse
+    every valid record, (c) COUNT the corrupt ones per type — silent
+    drops are how ingest bugs hide. Spark side: ``from_json`` in
+    PERMISSIVE mode with ``columnNameOfCorruptRecord`` — malformed input
+    lands its raw text in the corrupt column instead of throwing (note:
+    WITHOUT that column the PERMISSIVE struct comes back non-null with
+    null fields, which cannot distinguish 'malformed' from 'valid but
+    field absent' — the corrupt column is the real API for this). The
+    oracle mirrors with ``json_valid``. At 100 TB
+    this is the schema-on-read bronze→silver gate; the corrupt count
+    feeding a data-quality monitor is the whole point of the row."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.substring("props", 1, 5)
+        ).otherwise(F.col("props")).alias("props"),
+    ).select(
+        "event_type",
+        F.from_json(
+            "props",
+            "k long, _corrupt string",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+    )
+    parsed = F.col("j._corrupt").isNull()
+    return m.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(parsed, 1).otherwise(0)).cast("long").alias("n_parsed"),
+        F.sum(F.when(parsed, 0).otherwise(1)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(parsed, F.col("j.k")).otherwise(0)).cast("long").alias(
+            "sum_k"
+        ),
+    )
+
+
+@register(
     "pipe_corpus_build",
     oracle=f"""
 WITH q AS (
