@@ -3587,6 +3587,89 @@ def v_hamming_binary_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_decimal_exact_sum",
+    oracle="""
+SELECT o_orderstatus AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+         AS total_exact
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def r_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType money aggregation — the warehouse-correct alternative
+    to double sums: prices cast to DECIMAL(12,2) sum EXACTLY (no
+    accumulation error, no partial-sum order sensitivity — the property
+    the scaled-int BIGINT rows build by hand, here via the type system).
+    Output serializes the decimals as strings so the cross-engine
+    comparison is on the exact decimal representation, not a
+    double round-trip. (AVG is deliberately absent: Spark's decimal AVG
+    yields DECIMAL(16,6) while DuckDB's yields DOUBLE — the SUM is the
+    cross-engine-exact surface.) At 100 TB decimal aggregation costs
+    ~2x a double
+    sum (128-bit accumulators) and buys auditability — the right trade
+    for money columns, and Catalyst whole-stage-codegens it the same
+    way."""
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec).alias("_ts"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.col("_ts").cast("string").alias("total_exact"),
+        )
+    )
+
+
+@register(
+    "u_schema_evolution_union",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, lang, n_chars, NULL AS source FROM documents
+  WHERE doc_id % 2 = 0),
+v2 AS (
+  SELECT doc_id, lang, NULL::BIGINT AS n_chars, source FROM documents
+  WHERE doc_id % 2 = 1),
+u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+SELECT lang AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+       CAST(COUNT(source) AS BIGINT) AS n_with_source,
+       CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars
+FROM u GROUP BY lang
+""",
+)
+def u_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union — the multi-generation ingest reality:
+    an old extract carries (doc_id, lang, n_chars), a new one carries
+    (doc_id, lang, source); ``unionByName(allowMissingColumns=True)``
+    aligns by NAME and null-fills the gaps — positional unionAll would
+    silently misalign or refuse. The per-generation null accounting
+    (n_with_chars / n_with_source) is what a backfill job reads to
+    decide what needs recomputing. Pure metadata alignment — zero extra
+    shuffle over the plain union."""
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.count("source").alias("n_with_source"),
+        F.sum(F.coalesce("n_chars", F.lit(0))).alias("sum_chars"),
+    )
+
+
+@register(
     "f_json_malformed_rate",
     oracle="""
 WITH m AS (
