@@ -1177,8 +1177,17 @@ def minhash_index_write(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
-    banded.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
-    t.select("id", "tk").write.mode("overwrite").parquet(f"{path}/sets")
+    # repartition on band before the partitioned write: otherwise every
+    # upstream partition emits a file per band value (32x4 tiny files at
+    # fixture scale) — one task per band writes one file each, and the
+    # probe-side reads open 8x fewer footers. At real scale the
+    # repartition count scales with data; band stays the prefix key.
+    banded.repartition(bands, "band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+    t.select("id", "tk").coalesce(8).write.mode("overwrite").parquet(
+        f"{path}/sets"
+    )
 
 
 def minhash_probe_pairs(
