@@ -187,3 +187,28 @@ def test_json_csv_source_roundtrip(spark, sf_dir, tmp_path):
     d_keys = docs.select("doc_id", "lang", "n_chars", F.length("text").alias("L"))
     assert c_keys.exceptAll(d_keys).count() == 0
     assert d_keys.exceptAll(c_keys).count() == 0
+
+
+def test_pid_scratch_prunes_only_dead_pid_dirs(tmp_path):
+    # pruning contract: dirs whose trailing _<pid> token names a DEAD pid
+    # are removed; the caller's own dir, live pids, and non-numeric
+    # suffixes are left alone
+    import os
+
+    import vector_search_spark.utils as U
+
+    scratch = tmp_path / ".scratch"
+    scratch.mkdir()
+    dead = 999999  # far beyond pid_max defaults; certainly not running
+    (scratch / f"idx_sf0.01_{dead}").mkdir()
+    (scratch / f"idx_sf0.01_{os.getpid()}").mkdir()
+    (scratch / "idx_sf0.01_notapid").mkdir()
+    (scratch / "otherindex_sf0.01_123").mkdir()  # different name prefix
+
+    path = U.pid_scratch("idx", "/root/testdata/sf0.01", root=str(tmp_path))
+    assert path.endswith(f"idx_sf0.01_{os.getpid()}")
+    left = sorted(p.name for p in scratch.iterdir())
+    assert f"idx_sf0.01_{dead}" not in left  # dead pruned
+    assert f"idx_sf0.01_{os.getpid()}" in left  # own dir kept
+    assert "idx_sf0.01_notapid" in left  # non-numeric kept
+    assert "otherindex_sf0.01_123" in left  # other index untouched

@@ -25,7 +25,7 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
-def pid_scratch(name: str, sf_dir: str) -> str:
+def pid_scratch(name: str, sf_dir: str, root: str | None = None) -> str:
     """Repo-relative scratch path for a persisted index, keyed by process
     id (concurrent pytest/parity/bench runs can't overwrite each other's
     index mid-read) and fixture scale. Prunes sibling directories left by
@@ -34,7 +34,9 @@ def pid_scratch(name: str, sf_dir: str) -> str:
     import os
     import shutil
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = root or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
     scratch = os.path.join(repo_root, ".scratch")
     prefix = f"{name}_"
     if os.path.isdir(scratch):
