@@ -1260,3 +1260,60 @@ def minhash_probe_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs whose 30-bit SimHashes differ in ≤ ``max_hamming``
+    bits — the banded-SimHash dedup (Manku et al., WWW'07 — Google's
+    web-dedup design): exact-equal grouping (``simhash_groups``) misses a
+    single flipped bit, so the fingerprint splits into ``max_hamming+1``
+    10-bit bands; by pigeonhole, any pair within the distance budget
+    agrees EXACTLY on at least one band, so candidates come from an
+    equi-join on (band_idx, band_value) — a key shuffle, never all-pairs
+    — and a cheap xor/popcount verifies the true distance. Returns
+    (id_a < id_b, hamming). NULL-simhash rows (null text) drop out."""
+    from pyspark.sql import Window  # noqa: F401  (parity of import style)
+
+    sh = simhash_groups(df, text_col, id_col).select("id", "simhash").filter(
+        F.col("simhash").isNotNull()
+    )
+    n_bands = max_hamming + 1
+    width = 30 // n_bands
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key"
+    )
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        .cast("long")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

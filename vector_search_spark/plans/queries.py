@@ -1075,6 +1075,62 @@ def d_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d_simhash_hamming_pairs",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS id, {{tokens}} AS tk FROM documents),
+sh AS (
+  SELECT id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(0, 29), j ->
+        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(tk, t ->
+                 CASE WHEN ({{poly}} >> j) & 1 = 1
+                      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+               (va, vb) -> va + vb) > 0
+             THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)),
+      (ba, bb) -> ba + bb) AS simhash
+  FROM t),
+banded AS (
+  SELECT id, simhash, b.band,
+         (simhash >> (b.band * 10)) & 1023 AS key
+  FROM sh, (SELECT unnest(generate_series(0, 2)) AS band) b),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id)
+SELECT id_a AS id_a, id_b AS id_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 2
+""".format(tokens=_DUCK_TOKENS, poly=_duck_poly("t", v="q")),
+)
+def d_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs (Manku et al. — the web-scale
+    simhash dedup): pairs whose fingerprints differ in ≤2 of 30 bits,
+    found by pigeonhole banding (3 bands of 10 bits — any ≤2-bit pair
+    shares a band exactly) + xor/popcount verify — catches the
+    one-bit-flip near-dups ``d_simhash_groups``' exact-equality grouping
+    misses, with the same never-all-pairs shuffle shape as MinHash-LSH.
+    All integer math; the oracle replays bit-for-bit.
+
+    Scale note: the 30-bit fingerprint (sized for oracle portability —
+    the portable poly hash is ~30-bit) SATURATES on a large corpus of
+    statistically-similar docs: the fixture's random-word texts crowd
+    the vote space, so hamming≤2 matches ~1.4M pairs at sf0.1 — a
+    data-density property, not an operator defect. The production form
+    is the same banding over a 64-bit fingerprint (xxhash64 token
+    hashes, 4 bands of 16), which this operator supports by swapping
+    the hash; 64-bit is not DuckDB-reproducible, so the certified row
+    pins the 30-bit math and the plan shape."""
+    from ..operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", 2
+    )
+
+
+@register(
     "d_embedding_neardup",
     oracle="""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
