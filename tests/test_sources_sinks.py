@@ -199,7 +199,15 @@ def test_pid_scratch_prunes_only_dead_pid_dirs(tmp_path):
 
     scratch = tmp_path / ".scratch"
     scratch.mkdir()
-    dead = 999999  # far beyond pid_max defaults; certainly not running
+    # a GUARANTEED-dead pid: spawn and reap a real child — its pid is
+    # freed on wait() (immediate reuse within this test is vanishingly
+    # unlikely); a fixed large literal could collide with a live pid on
+    # hosts with kernel.pid_max raised (systemd defaults to 4194304)
+    import subprocess
+
+    child = subprocess.Popen(["true"])
+    child.wait()
+    dead = child.pid
     (scratch / f"idx_sf0.01_{dead}").mkdir()
     (scratch / f"idx_sf0.01_{os.getpid()}").mkdir()
     (scratch / "idx_sf0.01_notapid").mkdir()

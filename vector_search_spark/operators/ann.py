@@ -124,14 +124,17 @@ def ivf_build_index(
     centroid_id = assign_kwargs.get("centroid_id", "centroid_id")
     if assigned is None:
         assigned = ivf_assign(corpus, centroids, **assign_kwargs)
-    # repartition on the bucket key before the partitioned write so each
-    # bucket directory gets one file per shuffle partition of ITS rows,
-    # not one file per upstream partition x bucket (the small-files
-    # explosion); 16 matches the fixture centroid count — at real scale
-    # pass a higher count via the caller's shuffle.partitions.
-    assigned.repartition(16, centroid_id).write.mode("overwrite").partitionBy(
-        centroid_id
-    ).parquet(path)
+    # repartition on the bucket key before the partitioned write: one
+    # write task per centroid, one file per bucket directory — instead of
+    # one file per upstream partition x bucket (the small-files
+    # explosion). Sized from the actual centroid count (hash-by-key caps
+    # non-empty partitions at the key cardinality anyway); a huge-corpus
+    # build that needs more writer parallelism per bucket should add a
+    # salt column to both the repartition and the data before calling.
+    n_cents = centroids.count()
+    assigned.repartition(max(n_cents, 1), centroid_id).write.mode(
+        "overwrite"
+    ).partitionBy(centroid_id).parquet(path)
 
 
 def ivf_probe_index(

@@ -1139,6 +1139,7 @@ def minhash_index_write(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    write_partitions: int | None = None,
 ) -> None:
     """Write the corpus' MinHash LSH index to disk: ``bands/`` — the
     (band, key, id) bucket table partitioned by band — and ``sets/`` —
@@ -1177,14 +1178,21 @@ def minhash_index_write(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
-    # repartition on band before the partitioned write: otherwise every
-    # upstream partition emits a file per band value (32x4 tiny files at
-    # fixture scale) — one task per band writes one file each, and the
-    # probe-side reads open 8x fewer footers. At real scale the
-    # repartition count scales with data; band stays the prefix key.
-    banded.repartition(bands, "band").write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(f"{path}/bands")
+    # repartition before the partitioned write: otherwise every upstream
+    # partition emits a file per band value (32x4 tiny files at fixture
+    # scale). Default = one task per band (hash-by-band caps non-empty
+    # partitions at `bands` regardless of a larger count); a 100 TB build
+    # passes ``write_partitions`` and gets (band, id)-hashed tasks so
+    # writer parallelism is NOT capped at the band count — files per
+    # band dir then scale with the task count, which is what a corpus
+    # that size wants anyway.
+    if write_partitions:
+        banded = banded.repartition(write_partitions, "band", "id")
+    else:
+        banded = banded.repartition(bands, "band")
+    banded.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/bands"
+    )
     t.select("id", "tk").coalesce(8).write.mode("overwrite").parquet(
         f"{path}/sets"
     )
@@ -1274,8 +1282,6 @@ def simhash_hamming_pairs(
     equi-join on (band_idx, band_value) — a key shuffle, never all-pairs
     — and a cheap xor/popcount verifies the true distance. Returns
     (id_a < id_b, hamming). NULL-simhash rows (null text) drop out."""
-    from pyspark.sql import Window  # noqa: F401  (parity of import style)
-
     sh = simhash_groups(df, text_col, id_col).select("id", "simhash").filter(
         F.col("simhash").isNotNull()
     )

@@ -3779,17 +3779,20 @@ WITH m AS (
   SELECT event_type,
          CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 5)
               ELSE props END AS props
-  FROM events)
+  FROM events),
+c AS (
+  SELECT event_type, props,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN 1 ELSE 0 END AS ok
+  FROM m)
 SELECT event_type AS event_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_parsed,
-       CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
-         AS n_corrupt,
-       CAST(SUM(CASE WHEN json_valid(props)
+       CAST(SUM(ok) AS BIGINT) AS n_parsed,
+       CAST(SUM(1 - ok) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN ok = 1
                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                      ELSE 0 END) AS BIGINT) AS sum_k
-FROM m GROUP BY event_type
+FROM c GROUP BY event_type
 """,
 )
 def f_json_malformed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3815,13 +3818,18 @@ def f_json_malformed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("props")).alias("props"),
     ).select(
         "event_type",
+        "props",
         F.from_json(
             "props",
             "k long, _corrupt string",
             {"columnNameOfCorruptRecord": "_corrupt"},
         ).alias("j"),
     )
-    parsed = F.col("j._corrupt").isNull()
+    # NULL props is CORRUPT (missing payload), mirrored in the oracle —
+    # from_json(NULL) yields a null struct whose _corrupt is null, which
+    # would otherwise count as parsed while DuckDB's json_valid(NULL)
+    # counts it corrupt (latent fixture-drift divergence)
+    parsed = F.col("props").isNotNull() & F.col("j._corrupt").isNull()
     return m.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(parsed, 1).otherwise(0)).cast("long").alias("n_parsed"),
