@@ -5839,6 +5839,94 @@ def r_incr_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_conversion_funnel",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS t_buy
+  FROM events GROUP BY user_id),
+f AS (
+  SELECT user_id,
+         CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                   AND t_click >= t_view THEN 1 ELSE 0 END AS s2,
+         CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                   AND t_click >= t_view AND t_buy IS NOT NULL
+                   AND t_buy >= t_click THEN 1 ELSE 0 END AS s3
+  FROM s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(s1) AS BIGINT) AS n_viewed,
+       CAST(SUM(s2) AS BIGINT) AS n_clicked_after_view,
+       CAST(SUM(s3) AS BIGINT) AS n_purchased_after_click,
+       CAST((SUM(s2) * 1000000) // GREATEST(SUM(s1), 1) AS DOUBLE)
+         / 1000000 AS view_to_click,
+       CAST((SUM(s3) * 1000000) // GREATEST(SUM(s2), 1) AS DOUBLE)
+         / 1000000 AS click_to_buy
+FROM f
+""",
+)
+def w_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel — the sequence-analytics staple
+    (view → click → purchase, each stage's FIRST occurrence must follow
+    the prior stage's): one conditional-MIN pass per user pivots the
+    event log into stage timestamps, then pure column logic applies the
+    ordering constraints — no self-joins, no per-user sorting beyond
+    the single groupBy shuffle, which is how a funnel stays one-pass at
+    100 TB (the naive 3-way self-join shuffles the log three times).
+    Conversion rates are count ratios — exact small rationals — so they
+    truncate via scaled-int division (hazard class, CLAUDE.md)."""
+    ev = _t(spark, sf_dir, "events")
+    tus = F.unix_micros("ts")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", tus)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", tus)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", tus)).alias("t_buy"),
+    )
+    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    s2 = F.when(
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & (F.col("t_click") >= F.col("t_view")),
+        1,
+    ).otherwise(0)
+    s3 = F.when(
+        (s2 == 1)
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_click")),
+        1,
+    ).otherwise(0)
+    agg = s.agg(
+        F.count("*").alias("n_users"),
+        F.sum(s1).alias("n_viewed"),
+        F.sum(s2).alias("n_clicked_after_view"),
+        F.sum(s3).alias("n_purchased_after_click"),
+    )
+    return agg.select(
+        "n_users",
+        "n_viewed",
+        "n_clicked_after_view",
+        "n_purchased_after_click",
+        (
+            F.expr(
+                "(n_clicked_after_view * 1000000)"
+                " div greatest(n_viewed, 1)"
+            ).cast("double")
+            / 1000000
+        ).alias("view_to_click"),
+        (
+            F.expr(
+                "(n_purchased_after_click * 1000000)"
+                " div greatest(n_clicked_after_view, 1)"
+            ).cast("double")
+            / 1000000
+        ).alias("click_to_buy"),
+    )
+
+
+@register(
     "w_session_window_native",
     oracle="""
 WITH o AS (
