@@ -1497,6 +1497,47 @@ def main() -> None:
 
         return run
 
+
+    def stream_drain(src_path_n):
+        # Structured Streaming drain probe: write the (replicated) events
+        # to parquet, then drain them through the tumbling-window stream
+        # with availableNow — wall time measures streaming THROUGHPUT, the
+        # number SCALING.md lacked for the streaming family. State size is
+        # bounded by window x type cardinality, so 10x rows should cost
+        # ~linear drain time, not superlinear state growth.
+        import os
+        import uuid
+
+        src, n_copies = src_path_n
+
+        def run():
+            base = f"/root/repo/.scratch/stream_drain_{os.getpid()}"
+            path = f"{base}/in_{uuid.uuid4().hex[:8]}"
+            src.write.mode("overwrite").parquet(path)
+            schema = spark.read.parquet(path).schema
+            stream = spark.readStream.schema(schema).parquet(path)
+            agg = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+            )
+            qn = f"sd_{uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(qn)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.sql(f"SELECT COUNT(*) FROM {qn}").collect()[0][0]
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            return out
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -1534,6 +1575,7 @@ def main() -> None:
         ("incr_refresh", incr_refresh(li_orders), incr_refresh(li_orders_big)),
         ("mh_persist", mh_persist(docs), mh_persist(docs_big)),
         ("corpus_build", corpus_build(docs), corpus_build(docs_big)),
+        ("stream_drain", stream_drain((ev, 1)), stream_drain((ev_big, n))),
     ]
     for name, base, scaled in probes:
         if only and name not in only:
