@@ -3773,6 +3773,52 @@ def u_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_python_datasource",
+    oracle=f"""
+WITH g AS (
+  SELECT p.part, q.seq,
+         'alpha' || p.part || ' beta' || q.seq
+         || ' gamma' || (p.part * 7 + q.seq) % 13
+         || ' delta' || (q.seq * 3) % 11
+         || ' epsilon' || (p.part + q.seq) % 5
+         || ' zeta' || q.seq % 2 AS text
+  FROM (SELECT unnest(generate_series(0, 7)) AS part) p,
+       (SELECT unnest(generate_series(0, 49)) AS seq) q)
+SELECT part AS part,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({{poly}}) AS BIGINT) AS text_hash_sum
+FROM g GROUP BY part
+""".format(poly=_duck_poly("text")),
+)
+def s_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API surface (sources/pydatasource.py):
+    a custom batch source — partition planning and row generation in
+    pure Python — registered and consumed like any built-in format.
+    This is how the engine would wrap a system Spark has no connector
+    for (the reference's ad-hoc dimension-catalog reads,
+    nl_targeting_save.py:46-61). The source is a deterministic
+    synthetic-document generator, so the oracle reproduces every row
+    arithmetically and the gate value-checks a scan that reads NO file:
+    per source partition, row count and the SUM of the portable text
+    hash — any drift in partition planning, row generation, or the
+    reader protocol shifts the sums."""
+    from ..functions.text import poly_hash
+    from ..sources.pydatasource import register as register_source
+
+    register_source(spark)
+    df = (
+        spark.read.format("synthdocs")
+        .option("rows_per_partition", 50)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("part").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(poly_hash(F.col("text"))).alias("text_hash_sum"),
+    )
+
+
+@register(
     "f_json_malformed_rate",
     oracle="""
 WITH m AS (
