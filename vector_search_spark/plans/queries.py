@@ -8548,3 +8548,255 @@ def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 1000000).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 late additions: multi-level OLAP aggregation, explicit skew-salted
+# join, sorted-neighborhood dedup blocking, tokenizer-vocab coverage.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_cube_marginals",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def a_cube_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four marginal levels in ONE pass via the DataFrame-side
+    ``.cube()`` relational API — (flag, status) cells, BOTH single-axis
+    marginals, and the grand total from a single shuffle (Spark expands
+    grouping sets map-side; no self-union of four GROUP BYs).
+    Complements ``a_grouping_sets``, which pins the SQL-surface GROUPING
+    SETS form; CUBE additionally emits the status-only marginal neither
+    ROLLUP nor that sets-list produces. NULL grouping slots are coalesced
+    to an 'ALL' sentinel on BOTH engines and the level is pinned by an
+    explicit per-column GROUPING() bitmask (portable, unlike
+    engine-specific GROUPING_ID conventions). Money sums travel as exact
+    cents (scaled-int hazard rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "gid",
+            "n_rows",
+            "sum_qty",
+            "price_cents",
+        )
+    )
+
+
+@register(
+    "j_skew_salted_join",
+    oracle="""
+SELECT s.s_nationkey AS nationkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+)
+def j_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join — the manual skew-mitigation shape for when a
+    hot key floods one reducer and the dim side is too big to broadcast
+    (AQE skew-join only splits SORT-MERGE partitions; a pre-salted key
+    works under any strategy). The dim side is replicated x16 with a salt
+    column; each fact row picks ONE deterministic salt from row identity
+    (xxhash64 of its primary key — NOT the join key, so a hot suppkey
+    spreads evenly), and the join key becomes (suppkey, salt). Semantics
+    are oracle-pinned identical to the plain join. At this sf the 16x dim
+    still broadcasts; at 100 TB the same plan shuffles both sides with
+    every hot key split 16 ways."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_salt = 16
+    dim = sup.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    fact = li.select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+        .cast("int")
+        .alias("salt"),
+    )
+    return (
+        fact.join(dim, (fact.l_suppkey == dim.s_suppkey) & (fact.salt == dim.salt))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            F.col("s_nationkey").alias("nationkey"), "n_items", "revenue_cents"
+        )
+    )
+
+
+_SNM_ORACLE = f"""
+WITH w0 AS (
+  SELECT doc_id, n_chars, lower(substr(text, 1, 16)) AS blk,
+         string_split(text, ' ') AS ws
+  FROM documents),
+ph AS (
+  SELECT doc_id, n_chars, blk,
+         list_transform(ws, w -> {_duck_poly("w", v="h")}) AS wk
+  FROM w0),
+t AS (
+  SELECT doc_id, n_chars, blk, {_DUCK_WORD_SHINGLE_HASHES3} AS tk FROM ph),
+s AS (
+  SELECT doc_id, tk,
+         lead(doc_id, 1) OVER win AS id1, lead(tk, 1) OVER win AS tk1,
+         lead(doc_id, 2) OVER win AS id2, lead(tk, 2) OVER win AS tk2
+  FROM t
+  WINDOW win AS (PARTITION BY blk ORDER BY n_chars, doc_id)),
+pairs AS (
+  SELECT doc_id AS id_a, id1 AS id_b, tk, tk1 AS tkb FROM s
+  WHERE id1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id AS id_a, id2 AS id_b, tk, tk2 AS tkb FROM s
+  WHERE id2 IS NOT NULL)
+SELECT id_a, id_b,
+       FLOOR(len(list_intersect(tk, tkb))::DOUBLE
+             / len(list_distinct(list_concat(tk, tkb))) * 1000000) / 1000000
+         AS jaccard
+FROM pairs
+WHERE len(list_distinct(list_concat(tk, tkb))) > 0
+  AND len(list_intersect(tk, tkb))::DOUBLE
+      / len(list_distinct(list_concat(tk, tkb))) >= 0.1
+"""
+
+
+@register("d_sorted_neighborhood", oracle=_SNM_ORACLE)
+def d_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (the classic SNM alternative to
+    LSH): docs keyed by a 16-char lowercase prefix block, sorted within
+    the block by (n_chars, doc_id), and each doc compared only to its next
+    TWO neighbors (window w=3) — candidate count is <= 2n regardless of
+    block size, vs LSH's per-bucket quadratic. Verification is the exact
+    composed-shingle-hash Jaccard at >= 0.1. Shuffle cost: ONE hash
+    exchange on the block key + in-partition sort (the 100 TB form range-
+    partitions the sort key; blocks here are prefix-bounded so no single
+    sort dominates). Pairs carry hash SETS, never text. Complements
+    d_minhash_lsh_pairs / d_jaccard_pairs as the ordering-based blocking
+    strategy (reference analog: the dedup pass camp_vec_rcmn.py delegates
+    to SQL DISTINCT, generalized)."""
+    from ..functions.text import word_shingle_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.lower(F.substring("text", 1, 16)).alias("blk"),
+        word_shingle_hashes("text", 3).alias("tk"),
+    )
+    win = Window.partitionBy("blk").orderBy("n_chars", "doc_id")
+    s = d.select(
+        "doc_id",
+        "tk",
+        F.lead("doc_id", 1).over(win).alias("id1"),
+        F.lead("tk", 1).over(win).alias("tk1"),
+        F.lead("doc_id", 2).over(win).alias("id2"),
+        F.lead("tk", 2).over(win).alias("tk2"),
+    )
+    p1 = s.filter(F.col("id1").isNotNull()).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("id1").alias("id_b"),
+        "tk",
+        F.col("tk1").alias("tkb"),
+    )
+    p2 = s.filter(F.col("id2").isNotNull()).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("id2").alias("id_b"),
+        "tk",
+        F.col("tk2").alias("tkb"),
+    )
+    pairs = p1.unionByName(p2).select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("tk", "tkb")).alias("ni"),
+        F.size(F.array_union("tk", "tkb")).alias("nu"),
+    )
+    return (
+        pairs.filter(F.col("nu") > 0)
+        .filter(F.col("ni").cast("double") / F.col("nu") >= 0.1)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.floor(F.col("ni").cast("double") / F.col("nu") * 1000000)
+                / 1000000
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "t_vocab_coverage",
+    oracle="""
+WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
+top AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank
+        FROM c ORDER BY n DESC, tok LIMIT 50)
+SELECT rank, tok, n,
+       CAST(SUM(n) OVER (ORDER BY rank) * 1000000 // t AS BIGINT)
+         AS coverage_ppm
+FROM top, tot
+""",
+)
+def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve — the vocab-construction step of
+    a training pipeline: corpus token frequencies (one map-side-combined
+    groupBy), top-50 vocabulary via TakeOrdered (per-partition partial
+    top-k, never a global sort), and the cumulative fraction of ALL token
+    occurrences covered at each vocab rank, as exact integer ppm
+    (cum*1e6 div total — no float anywhere). The rank window runs over the
+    50-row vocab only; the corpus-sized relations see exactly two
+    shuffles (token groupBy, nothing else — total is a scalar broadcast)."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    c = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("t"))
+    top = (
+        c.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
+        )
+    )
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("cum", F.sum("n").over(cum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "tok",
+            "n",
+            F.expr("CAST((cum * 1000000) div t AS BIGINT)").alias("coverage_ppm"),
+        )
+    )
