@@ -79,6 +79,10 @@ HEADLINE = [
     "j_temporal_bucket_join",
     "a_hll_sketch_union",
     "pipe_corpus_build",
+    "d_sorted_neighborhood",
+    "t_vocab_coverage",
+    "w_time_weighted_avg",
+    "w_gap_fill_interpolate",
 ]
 
 

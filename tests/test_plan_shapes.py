@@ -169,3 +169,41 @@ def test_partition_prune_reads_one_day(spark, sf_dir):
     # pruning must CONSUME the predicate: if a post-scan Filter still
     # carries event_date, the scan read every partition and re-filtered
     assert not re.search(r"Filter [^\n]*event_date", plan), plan
+
+
+def test_sorted_neighborhood_no_join_single_scan(spark, sf_dir):
+    # SNM's entire value: neighbor pairing rides the in-block WINDOW, so
+    # the plan must contain NO join operator of any kind and exactly one
+    # documents scan — a join appearing means someone rewrote the pairing
+    # as a self-join and reintroduced the shuffle SNM exists to avoid
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["d_sorted_neighborhood"].fn(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert not JOIN_RE.search(final), final
+    assert final.count("Scan parquet") == 1, final
+
+
+def test_skew_salted_join_stays_equi(spark, sf_dir):
+    # the salted key (suppkey, salt) must remain a hash-joinable equi key:
+    # no nested-loop or cartesian fallback, and the aggregate semantics
+    # are oracle-pinned elsewhere — this guards the physical shape
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["j_skew_salted_join"].fn(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+    assert re.search(r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", final)
+
+
+def test_gap_fill_no_self_join(spark, sf_dir):
+    # the union+bidirectional-window formulation exists to avoid the naive
+    # per-grid-point probe join; the executed plan must be join-free and
+    # single-shuffle-per-side (a join means someone rewrote bracketing as
+    # a range self-join, which is quadratic per user at scale)
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["w_gap_fill_interpolate"].fn(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert not JOIN_RE.search(final), final

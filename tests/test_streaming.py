@@ -607,3 +607,48 @@ def test_streaming_knn_serve_multi_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == expect
+
+
+def test_cdc_apply_tombstone_ordering(spark, tmp_path):
+    """CDC merge must be arrival-order independent: an OLD delete landing
+    a batch after a NEWER upsert cannot kill the key (change time wins,
+    not arrival time), an old upsert cannot resurrect a newer delete, and
+    a newer upsert overwrites. Three keys, two out-of-order batches."""
+    import datetime as dt
+    import glob
+    import os
+
+    from vector_search_spark.streaming.cdc import run_cdc_apply_availablenow
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    b1 = [
+        (1, t(20), 1, "view", 10.00, "{}"),     # u1 upsert @20
+        (2, t(10), 2, "view", 5.00, "{}"),      # u2 upsert @10
+        (3, t(30), 3, "error", 0.00, "{}"),     # u3 delete @30
+    ]
+    b2 = [
+        (4, t(15), 1, "error", 0.00, "{}"),     # u1 OLD delete @15 — loses
+        (5, t(20), 2, "view", 7.00, "{}"),      # u2 newer upsert — wins
+        (6, t(25), 3, "view", 9.00, "{}"),      # u3 OLD upsert — stays dead
+    ]
+    in_dir = str(tmp_path / "feed")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        part = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        (f,) = glob.glob(os.path.join(part, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"{chr(97 + i)}.parquet")
+        os.rename(f, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    res = run_cdc_apply_availablenow(spark, in_dir, str(tmp_path / "work"))
+    got = {r["user_id"]: (r["last_v100"], r["last_event_id"]) for r in res.collect()}
+    assert got == {1: (1000, 1), 2: (700, 5)}

@@ -1538,6 +1538,190 @@ def main() -> None:
 
         return run
 
+    def snm_dedup(src):
+        # d_sorted_neighborhood shape: ONE block-key shuffle + in-block
+        # sort, window pairing (<=2n candidates regardless of block size),
+        # hash-set jaccard verify. Salted copies carry distinct word
+        # prefixes -> disjoint 16-char blocks; per-block work constant —
+        # linear class.
+        from pyspark.sql import Window
+
+        from vector_search_spark.functions.text import word_shingle_hashes
+
+        def run():
+            d = src.select(
+                "doc_id",
+                "n_chars",
+                F.lower(F.substring("text", 1, 16)).alias("blk"),
+                word_shingle_hashes("text", 3).alias("tk"),
+            )
+            w = Window.partitionBy("blk").orderBy("n_chars", "doc_id")
+            s = d.select(
+                "doc_id",
+                "tk",
+                F.lead("doc_id", 1).over(w).alias("id1"),
+                F.lead("tk", 1).over(w).alias("tk1"),
+                F.lead("doc_id", 2).over(w).alias("id2"),
+                F.lead("tk", 2).over(w).alias("tk2"),
+            )
+            p1 = s.filter(F.col("id1").isNotNull()).select(
+                "tk", F.col("tk1").alias("tkb")
+            )
+            p2 = s.filter(F.col("id2").isNotNull()).select(
+                "tk", F.col("tk2").alias("tkb")
+            )
+            pr = p1.unionByName(p2).select(
+                F.size(F.array_intersect("tk", "tkb")).alias("ni"),
+                F.size(F.array_union("tk", "tkb")).alias("nu"),
+            )
+            return pr.filter(
+                (F.col("nu") > 0)
+                & (F.col("ni").cast("double") / F.col("nu") >= 0.1)
+            ).count()
+
+        return run
+
+    def vocab_cov(src):
+        # t_vocab_coverage shape: one token groupBy (map-side combine) +
+        # TakeOrdered top-50 (per-partition partial top-k); replication
+        # grows the vocabulary 10x via the c{i}_ prefixes but per-token
+        # work is constant — linear class.
+        from pyspark.sql import Window
+
+        def run():
+            tok = src.select(F.explode(F.split("text", " ")).alias("tok"))
+            c = tok.groupBy("tok").agg(F.count("*").alias("n"))
+            tot = c.agg(F.sum("n").alias("t"))
+            top = (
+                c.orderBy(F.desc("n"), F.asc("tok"))
+                .limit(50)
+                .withColumn(
+                    "rank",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("n"), F.asc("tok"))
+                    ),
+                )
+            )
+            cum = Window.orderBy("rank").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            return (
+                top.withColumn("cum", F.sum("n").over(cum))
+                .crossJoin(F.broadcast(tot))
+                .selectExpr("CAST((cum * 1000000) div t AS BIGINT) AS ppm")
+                .count()
+            )
+
+        return run
+
+    def twa(src):
+        # w_time_weighted_avg shape: ONE user_id shuffle feeds the lead
+        # window and the scaled-int aggregate; replication multiplies
+        # users, per-user segment count constant — linear class.
+        from pyspark.sql import Window
+
+        def run():
+            e2 = src.select(
+                "user_id",
+                F.unix_micros("ts").alias("tus"),
+                "event_id",
+                F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+            )
+            w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+            seg = e2.withColumn(
+                "dur", F.lead("tus").over(w) - F.col("tus")
+            ).filter(F.col("dur").isNotNull())
+            return (
+                seg.groupBy("user_id")
+                .agg(
+                    F.sum("dur").alias("td"),
+                    F.sum(F.col("v100") * F.col("dur")).alias("ws"),
+                )
+                .count()
+            )
+
+        return run
+
+    def gap_fill(src):
+        # w_gap_fill_interpolate shape: per-user grid generation + union +
+        # two IGNORE-NULLS windows over one user_id shuffle; grid side is
+        # |users|·days rows. Replication multiplies users — linear class.
+        from pyspark.sql import Window
+
+        def run():
+            e = src.select(
+                "user_id",
+                F.unix_micros("ts").alias("tus"),
+                "event_id",
+                F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+            )
+            bounds = e.groupBy("user_id").agg(
+                F.min("tus").alias("mn"), F.max("tus").alias("mx")
+            )
+            grid = (
+                bounds.select(
+                    "user_id",
+                    "mn",
+                    "mx",
+                    F.explode(
+                        F.sequence(
+                            F.to_date(F.timestamp_micros("mn")),
+                            F.to_date(F.timestamp_micros("mx")),
+                        )
+                    ).alias("day"),
+                )
+                .select(
+                    "user_id",
+                    "day",
+                    F.unix_micros(F.to_timestamp("day")).alias("tg"),
+                    "mn",
+                    "mx",
+                )
+                .filter(
+                    (F.col("tg") >= F.col("mn")) & (F.col("tg") <= F.col("mx"))
+                )
+            )
+            evs = e.select(
+                "user_id",
+                F.col("tus").alias("t"),
+                F.lit(0).alias("isg"),
+                "event_id",
+                "v100",
+            )
+            grd = grid.select(
+                "user_id",
+                F.col("tg").alias("t"),
+                F.lit(1).alias("isg"),
+                F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("bigint").alias("v100"),
+            )
+            u = evs.unionByName(grd)
+            wp = (
+                Window.partitionBy("user_id")
+                .orderBy("t", "isg", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            wn = (
+                Window.partitionBy("user_id")
+                .orderBy("t", "isg", "event_id")
+                .rowsBetween(0, Window.unboundedFollowing)
+            )
+            ev_t = F.when(F.col("isg") == 0, F.col("t"))
+            ev_v = F.when(F.col("isg") == 0, F.col("v100"))
+            x = (
+                u.withColumn("tp", F.last(ev_t, ignorenulls=True).over(wp))
+                .withColumn("vp", F.last(ev_v, ignorenulls=True).over(wp))
+                .withColumn("tn", F.first(ev_t, ignorenulls=True).over(wn))
+                .withColumn("vn", F.first(ev_v, ignorenulls=True).over(wn))
+            )
+            return x.filter(
+                (F.col("isg") == 1)
+                & F.col("tp").isNotNull()
+                & F.col("tn").isNotNull()
+            ).count()
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -1576,6 +1760,10 @@ def main() -> None:
         ("mh_persist", mh_persist(docs), mh_persist(docs_big)),
         ("corpus_build", corpus_build(docs), corpus_build(docs_big)),
         ("stream_drain", stream_drain((ev, 1)), stream_drain((ev_big, n))),
+        ("snm_dedup", snm_dedup(docs), snm_dedup(docs_big)),
+        ("vocab_coverage", vocab_cov(docs), vocab_cov(docs_big)),
+        ("time_weighted_avg", twa(ev), twa(ev_big)),
+        ("gap_fill", gap_fill(ev), gap_fill(ev_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:

@@ -8551,60 +8551,9 @@ def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-6 late additions: multi-level OLAP aggregation, explicit skew-salted
-# join, sorted-neighborhood dedup blocking, tokenizer-vocab coverage.
+# Round-6 late additions: explicit skew-salted join, sorted-neighborhood
+# dedup blocking, tokenizer-vocab coverage.
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "a_cube_marginals",
-    oracle="""
-SELECT COALESCE(l_returnflag, 'ALL') AS rf,
-       COALESCE(l_linestatus, 'ALL') AS ls,
-       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
-         AS gid,
-       COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-         AS price_cents
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-""",
-)
-def a_cube_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four marginal levels in ONE pass via the DataFrame-side
-    ``.cube()`` relational API — (flag, status) cells, BOTH single-axis
-    marginals, and the grand total from a single shuffle (Spark expands
-    grouping sets map-side; no self-union of four GROUP BYs).
-    Complements ``a_grouping_sets``, which pins the SQL-surface GROUPING
-    SETS form; CUBE additionally emits the status-only marginal neither
-    ROLLUP nor that sets-list produces. NULL grouping slots are coalesced
-    to an 'ALL' sentinel on BOTH engines and the level is pinned by an
-    explicit per-column GROUPING() bitmask (portable, unlike
-    engine-specific GROUPING_ID conventions). Money sums travel as exact
-    cents (scaled-int hazard rule)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
-            .cast("bigint")
-            .alias("gid"),
-            F.count("*").alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
-                "price_cents"
-            ),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
-            "gid",
-            "n_rows",
-            "sum_qty",
-            "price_cents",
-        )
-    )
 
 
 @register(
@@ -8800,3 +8749,260 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((cum * 1000000) div t AS BIGINT)").alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "w_time_weighted_avg",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CAST(ROUND(value*100) AS BIGINT) AS v100
+  FROM events),
+s AS (
+  SELECT user_id, v100,
+         lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus
+           AS dur
+  FROM e)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+       FLOOR(CAST(SUM(v100*dur) AS DOUBLE) / CAST(SUM(dur)*100 AS DOUBLE)
+             * 1000000) / 1000000 AS twa
+FROM s WHERE dur IS NOT NULL
+GROUP BY user_id
+""",
+)
+def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregular event series (the sensor /
+    billing staple a plain AVG gets wrong): LOCF segments carry each
+    value for lead(ts)-ts microseconds, TWA = Σ v·dur / Σ dur per user.
+    ONE user_id shuffle feeds both the lead window and the aggregate.
+    Values travel as exact cents and durations as exact µs, so the only
+    float op is one final division of two engine-identical BIGINTs —
+    group-sum ORDER never matters (the scaled-int rule for unordered
+    float sums). At 100 TB this is per-key window state, no global sort.
+    Reference analog: the per-row weight accumulation loop at
+    camp_vec_rcmn.py:148-158, generalized to duration weighting."""
+    ev = _t(spark, sf_dir, "events")
+    e2 = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seg = e2.withColumn("dur", F.lead("tus").over(w) - F.col("tus")).filter(
+        F.col("dur").isNotNull()
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dur").alias("td"),
+            F.sum(F.col("v100") * F.col("dur")).alias("wsum"),
+        )
+        .select(
+            "user_id",
+            "n_segments",
+            F.col("td").alias("total_dur_us"),
+            (
+                F.floor(
+                    F.col("wsum").cast("double")
+                    / (F.col("td") * 100).cast("double")
+                    * 1000000
+                )
+                / 1000000
+            ).alias("twa"),
+        )
+    )
+
+
+@register(
+    "w_gap_fill_interpolate",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CAST(ROUND(value*100) AS BIGINT) AS v100 FROM events),
+b AS (SELECT user_id, MIN(tus) AS mn, MAX(tus) AS mx FROM e GROUP BY user_id),
+g0 AS (
+  SELECT user_id, unnest(generate_series(
+           date_trunc('day', make_timestamp(mn)),
+           date_trunc('day', make_timestamp(mx)),
+           INTERVAL 1 DAY)) AS d, mn, mx
+  FROM b),
+g AS (
+  SELECT user_id, strftime(d, '%Y-%m-%d') AS day, epoch_us(d) AS tg
+  FROM g0 WHERE epoch_us(d) >= mn AND epoch_us(d) <= mx),
+u AS (
+  SELECT user_id, tus AS t, 0 AS isg, event_id, v100,
+         CAST(NULL AS VARCHAR) AS day FROM e
+  UNION ALL
+  SELECT user_id, tg AS t, 1 AS isg, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         day FROM g),
+x AS (
+  SELECT user_id, t, isg, day,
+    last_value(CASE WHEN isg=0 THEN t END IGNORE NULLS) OVER wp AS tp,
+    last_value(CASE WHEN isg=0 THEN v100 END IGNORE NULLS) OVER wp AS vp,
+    first_value(CASE WHEN isg=0 THEN t END IGNORE NULLS) OVER wn AS tn,
+    first_value(CASE WHEN isg=0 THEN v100 END IGNORE NULLS) OVER wn AS vn
+  FROM u
+  WINDOW wp AS (PARTITION BY user_id ORDER BY t, isg, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY t, isg, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, day,
+       FLOOR((vp + (vn - vp) * ((t - tp)::DOUBLE / (tn - tp)::DOUBLE))
+             * 10000) / 1000000 AS v_interp
+FROM x WHERE isg = 1 AND tp IS NOT NULL AND tn IS NOT NULL
+""",
+)
+def w_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + linear interpolation to a regular daily grid (timeseries
+    resampling — the TimescaleDB/QuestDB 'interpolate' primitive): each
+    user's irregular events become midnight samples, linearly
+    interpolated between the bracketing events. Grid rows UNION into the
+    event stream and ONE bidirectional-window pass binds the bracketing
+    (prev at-or-before, next strictly-after) points — no self-join, no
+    per-grid-point probe; one user_id shuffle total. A grid point landing
+    exactly on an event interpolates to that event's value (frac=0).
+    The interpolation expression is composed IDENTICALLY in the oracle
+    (exact-int endpoints, one double ratio), so the doubles are
+    bit-equal; output truncates to 1e-6 (half-boundary rule). Events at
+    identical (t) disambiguate by event_id; grid rows sort after events
+    at the same instant (isg flag), which is what makes the frames
+    correct. At 100 TB the grid side is |users|·days rows — generated,
+    never shuffled wide."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.min("tus").alias("mn"), F.max("tus").alias("mx")
+    )
+    grid = (
+        bounds.select(
+            "user_id",
+            "mn",
+            "mx",
+            F.explode(
+                F.sequence(
+                    F.to_date(F.timestamp_micros("mn")),
+                    F.to_date(F.timestamp_micros("mx")),
+                )
+            ).alias("day"),
+        )
+        .select(
+            "user_id",
+            "day",
+            F.unix_micros(F.to_timestamp("day")).alias("tg"),
+            "mn",
+            "mx",
+        )
+        .filter((F.col("tg") >= F.col("mn")) & (F.col("tg") <= F.col("mx")))
+    )
+    evs = e.select(
+        "user_id",
+        F.col("tus").alias("t"),
+        F.lit(0).alias("isg"),
+        "event_id",
+        "v100",
+        F.lit(None).cast("date").alias("day"),
+    )
+    grd = grid.select(
+        "user_id",
+        F.col("tg").alias("t"),
+        F.lit(1).alias("isg"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("bigint").alias("v100"),
+        "day",
+    )
+    u = evs.unionByName(grd)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "isg", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "isg", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ev_t = F.when(F.col("isg") == 0, F.col("t"))
+    ev_v = F.when(F.col("isg") == 0, F.col("v100"))
+    x = (
+        u.withColumn("tp", F.last(ev_t, ignorenulls=True).over(wp))
+        .withColumn("vp", F.last(ev_v, ignorenulls=True).over(wp))
+        .withColumn("tn", F.first(ev_t, ignorenulls=True).over(wn))
+        .withColumn("vn", F.first(ev_v, ignorenulls=True).over(wn))
+    )
+    return (
+        x.filter(
+            (F.col("isg") == 1)
+            & F.col("tp").isNotNull()
+            & F.col("tn").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (
+                F.floor(
+                    (
+                        F.col("vp")
+                        + (F.col("vn") - F.col("vp"))
+                        * (
+                            (F.col("t") - F.col("tp")).cast("double")
+                            / (F.col("tn") - F.col("tp")).cast("double")
+                        )
+                    )
+                    * 10000
+                )
+                / 1000000
+            ).alias("v_interp"),
+        )
+    )
+
+
+@register(
+    "s_cdc_apply",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CAST(ROUND(value*100) AS BIGINT) AS v100,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY tus DESC, event_id DESC) AS rn
+  FROM e)
+SELECT user_id, v100 AS last_v100, event_id AS last_event_id
+FROM r WHERE rn = 1 AND is_del = 0
+""",
+)
+def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply, REAL three-micro-batch run: the event log
+    re-lands as an ordered change feed ('error' rows are DELETEs of the
+    user key, everything else UPSERTs value cents), drained one file per
+    trigger through a foreachBatch merge that folds each batch into
+    versioned key state (latest (ts, event_id) wins; delete tombstones
+    retained so arrival order cannot resurrect a deleted key). The final
+    materialized table must equal the batch answer: last change per user,
+    minus deleted keys — which is exactly what the oracle computes with
+    one window. The streaming MERGE twin of ``r_merge_upsert``; see
+    streaming/cdc.py for the 100 TB partition-wise form."""
+    import shutil
+    import tempfile
+
+    from ..streaming.cdc import make_cdc_batches, run_cdc_apply_availablenow
+
+    _STATEFUL_RUN_COUNTER[0] += 1
+    root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    try:
+        in_dir = f"{root}/feed"
+        make_cdc_batches(spark, f"{sf_dir}/events*.parquet", in_dir)
+        result = run_cdc_apply_availablenow(spark, in_dir, f"{root}/work")
+        result = result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
