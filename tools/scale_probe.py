@@ -1722,6 +1722,132 @@ def main() -> None:
 
         return run
 
+    def minhash_est(src):
+        # d_minhash_est_error shape: checkpointed sig table, bands-only
+        # candidate shuffle, two pair-side joins — same band-join class as
+        # minhash_lsh; replication multiplies docs with disjoint vocab so
+        # bucket population per band key stays constant.
+        from vector_search_spark.functions.text import (
+            minhash_perm,
+            poly_hash,
+            word_shingles,
+        )
+
+        def run():
+            hashed = src.select(
+                F.col("doc_id").alias("id"),
+                F.transform(word_shingles("text", 3), poly_hash).alias("hs"),
+            )
+            sig_bound = F.element_at(
+                F.transform(
+                    F.array("hs"),
+                    lambda full: F.transform(
+                        F.sequence(F.lit(0), F.lit(15)),
+                        lambda s: F.array_min(
+                            F.transform(full, lambda h: minhash_perm(h, s))
+                        ),
+                    ),
+                ),
+                1,
+            )
+            sigs = hashed.select(
+                "id", "hs", sig_bound.alias("sig")
+            ).localCheckpoint(eager=True)
+            banded = sigs.select(
+                "id",
+                F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+                "sig",
+            ).select(
+                "id",
+                "band",
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice("sig", F.col("band") * 4 + 1, 4),
+                        lambda x: x.cast("string"),
+                    ),
+                ).alias("key"),
+            )
+            a = banded.select(F.col("id").alias("id_a"), "band", "key")
+            b = banded.select(F.col("id").alias("id_b"), "band", "key")
+            cands = (
+                a.join(b, ["band", "key"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            sa = sigs.select(
+                F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+            )
+            sb = sigs.select(
+                F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+            )
+            j = cands.join(sa, "id_a").join(sb, "id_b")
+            agree = F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            return j.select(agree.alias("agree")).count()
+
+        return run
+
+    def freq_spectrum(src):
+        # t_freq_spectrum shape: two map-side-combined groupBys, shuffle
+        # rows bounded by vocabulary then by distinct counts — never by
+        # corpus size.
+        def run():
+            c = (
+                src.select(F.explode(F.split("text", " ")).alias("tok"))
+                .groupBy("tok")
+                .agg(F.count("*").alias("n"))
+            )
+            return (
+                c.groupBy("n")
+                .agg(F.count("*").alias("n_tokens"))
+                .orderBy("n")
+                .limit(20)
+                .count()
+            )
+
+        return run
+
+    def centroid_drift(src):
+        # v_centroid_drift shape: ONE conditional-aggregation pass, 18
+        # longs per (label) group — the per-label shuffle is O(labels),
+        # constant under replication.
+        def run():
+            v = F.col("embedding").cast("array<double>")
+            e = src.select(
+                "label",
+                (F.col("vec_id") % 2).alias("snap"),
+                *[
+                    F.floor(F.element_at(v, i + 1) * 1000000)
+                    .cast("bigint")
+                    .alias(f"r{i+1}")
+                    for i in range(8)
+                ],
+            )
+            aggs = [
+                F.count(F.when(F.col("snap") == 0, F.lit(1))).alias("n_a"),
+                F.count(F.when(F.col("snap") == 1, F.lit(1))).alias("n_b"),
+            ]
+            for i in range(8):
+                aggs.append(
+                    F.sum(F.when(F.col("snap") == 0, F.col(f"r{i+1}"))).alias(
+                        f"sa{i+1}"
+                    )
+                )
+                aggs.append(
+                    F.sum(F.when(F.col("snap") == 1, F.col(f"r{i+1}"))).alias(
+                        f"sb{i+1}"
+                    )
+                )
+            return e.groupBy("label").agg(*aggs).count()
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -1764,6 +1890,9 @@ def main() -> None:
         ("vocab_coverage", vocab_cov(docs), vocab_cov(docs_big)),
         ("time_weighted_avg", twa(ev), twa(ev_big)),
         ("gap_fill", gap_fill(ev), gap_fill(ev_big)),
+        ("minhash_est", minhash_est(docs), minhash_est(docs_big)),
+        ("freq_spectrum", freq_spectrum(docs), freq_spectrum(docs_big)),
+        ("centroid_drift", centroid_drift(emb), centroid_drift(emb_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:

@@ -9006,3 +9006,271 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+_MINHASH_EST_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+t AS (
+  SELECT id, {_DUCK_SHINGLES3} AS tk FROM w),
+hashed AS (
+  SELECT id, list_transform(tk, t -> {_duck_poly("t", v="q")}) AS hs FROM t),
+sigs AS (
+  SELECT id, hs, {_DUCK_MINHASH_SIG} AS sig FROM hashed),
+banded AS (
+  SELECT id, b.band,
+         array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+                                        x -> CAST(x AS VARCHAR)), ',') AS key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_filter(generate_series(1, 16),
+                            i -> sa.sig[i] = sb.sig[i]))
+            * 1000000 // 16 AS BIGINT) AS est_ppm,
+       CAST(len(list_intersect(sa.hs, sb.hs)) * 1000000
+            // len(list_distinct(list_concat(sa.hs, sb.hs))) AS BIGINT)
+         AS jac_ppm,
+       CAST(ABS(len(list_filter(generate_series(1, 16),
+                                i -> sa.sig[i] = sb.sig[i])) * 1000000 // 16
+                - len(list_intersect(sa.hs, sb.hs)) * 1000000
+                  // len(list_distinct(list_concat(sa.hs, sb.hs))))
+            AS BIGINT) AS err_ppm
+FROM cands c
+JOIN sigs sa ON sa.id = c.id_a
+JOIN sigs sb ON sb.id = c.id_b
+"""
+
+
+@register("d_minhash_est_error", oracle=_MINHASH_EST_ORACLE)
+def d_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality on the LSH candidate set: for every
+    banded candidate pair, the signature-agreement Jaccard estimate
+    (matching slots / 16) side-by-side with the exact shingle-set Jaccard
+    and the absolute estimation error — the number that justifies (or
+    indicts) the 16-permutation budget every LSH row rides on. All three
+    outputs are exact integer ppm (int division), no floats anywhere.
+    Candidate generation is the same bands-only shuffle as
+    d_minhash_lsh_pairs (never all-pairs); the two sig-table joins are
+    corpus-derived (no broadcast hint — AQE sizes the tiny pair side).
+    Reference analog: the similarity-threshold dial at
+    camp_vec_rcmn.py:66-74, quantified."""
+    from ..functions.text import minhash_perm, poly_hash, word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(word_shingles("text", 3), poly_hash).alias("hs"),
+    )
+    # bind hs ONCE via the 1-element-array trick (CollapseProject inlines
+    # the shingle-hash expression into the signature lambda otherwise —
+    # 16x re-evaluation per row, the CLAUDE.md HOF-binding hazard), then
+    # barrier with an eager checkpoint: sigs feeds THREE consumers
+    # (banded explode + both pair sides) and one is a generator.
+    sig_bound = F.element_at(
+        F.transform(
+            F.array("hs"),
+            lambda full: F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda s: F.array_min(
+                    F.transform(full, lambda h: minhash_perm(h, s))
+                ),
+            ),
+        ),
+        1,
+    )
+    sigs = hashed.select("id", "hs", sig_bound.alias("sig")).localCheckpoint(
+        eager=True
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        "sig",
+    ).select(
+        "id",
+        "band",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("sig", F.col("band") * 4 + 1, 4),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("key"),
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), "band", "key"
+    )
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    j = cands.join(sa, "id_a").join(sb, "id_b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    uni = F.size(F.array_union("hs_a", "hs_b"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            agree.alias("agree"),
+            inter.alias("ni"),
+            uni.alias("nu"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("agree * 1000000 div 16").alias("est_ppm"),
+            F.expr("ni * 1000000 div nu").alias("jac_ppm"),
+            F.expr("abs(agree * 1000000 div 16 - ni * 1000000 div nu)").alias(
+                "err_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "t_freq_spectrum",
+    oracle="""
+WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok),
+s AS (SELECT n AS occ_count, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM c GROUP BY n)
+SELECT occ_count, n_tokens,
+       CAST(occ_count * n_tokens AS BIGINT) AS total_occurrences
+FROM s ORDER BY occ_count LIMIT 20
+""",
+)
+def t_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies spectrum (the count-of-counts table
+    Good-Turing smoothing and vocabulary-growth estimates are built on):
+    how many distinct tokens occur exactly k times, for the 20 smallest
+    k. Two map-side-combined groupBys — token counts, then counts of
+    counts — both shuffle-bounded by cardinality, never by corpus size;
+    the limit keys on the unique occ_count so the row set is
+    deterministic."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    s = c.groupBy(F.col("n").alias("occ_count")).agg(
+        F.count("*").alias("n_tokens")
+    )
+    return (
+        s.orderBy("occ_count")
+        .limit(20)
+        .select(
+            "occ_count",
+            "n_tokens",
+            (F.col("occ_count") * F.col("n_tokens")).alias("total_occurrences"),
+        )
+    )
+
+
+_DRIFT_DIMS = 8
+_DRIFT_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, vec_id % 2 AS snap, embedding::DOUBLE[] AS v
+  FROM embeddings),
+g AS (
+  SELECT label,
+  CAST(COUNT(*) FILTER (WHERE snap = 0) AS BIGINT) AS n_a,
+  CAST(COUNT(*) FILTER (WHERE snap = 1) AS BIGINT) AS n_b,
+{",".join(
+    f"  CAST(SUM(CAST(FLOOR(v[{i+1}]*1000000) AS BIGINT))"
+    f" FILTER (WHERE snap = 0) AS BIGINT) AS sa{i+1},"
+    f"  CAST(SUM(CAST(FLOOR(v[{i+1}]*1000000) AS BIGINT))"
+    f" FILTER (WHERE snap = 1) AS BIGINT) AS sb{i+1}"
+    for i in range(_DRIFT_DIMS)
+)}
+  FROM e GROUP BY label)
+SELECT label, n_a, n_b,
+       FLOOR(SQRT({" + ".join(
+    f"(CAST(sa{i+1} AS DOUBLE) / CAST(n_a*1000000 AS DOUBLE)"
+    f" - CAST(sb{i+1} AS DOUBLE) / CAST(n_b*1000000 AS DOUBLE))"
+    f" * (CAST(sa{i+1} AS DOUBLE) / CAST(n_a*1000000 AS DOUBLE)"
+    f" - CAST(sb{i+1} AS DOUBLE) / CAST(n_b*1000000 AS DOUBLE))"
+    for i in range(_DRIFT_DIMS)
+)}) * 1000000) / 1000000 AS drift
+FROM g
+"""
+
+
+@register("v_centroid_drift", oracle=_DRIFT_ORACLE)
+def v_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitoring between two corpus snapshots (the
+    signal an index-refresh / re-embed decision keys on): per label, the
+    L2 distance between the even-id and odd-id snapshot centroids over
+    the first 8 dimensions. Per-component sums travel as exact
+    FLOOR-quantized 1e-6 ints (floor of an identical double is
+    boundary-stable where ROUND is not — CLAUDE.md hazard class), so the
+    unordered group-sum never touches floats; the only float math is the
+    final 8-term difference-of-means fold, composed IDENTICALLY (same
+    literal chain, left-associative) in the oracle. ONE pass over the
+    corpus — snapshots split by conditional aggregation, not a self-join.
+    At 100 TB this is a per-label shuffle of 18 longs per row group."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        *[
+            F.floor(F.element_at(v, i + 1) * 1000000)
+            .cast("bigint")
+            .alias(f"r{i+1}")
+            for i in range(_DRIFT_DIMS)
+        ],
+    )
+    aggs = [
+        F.count(F.when(F.col("snap") == 0, F.lit(1))).alias("n_a"),
+        F.count(F.when(F.col("snap") == 1, F.lit(1))).alias("n_b"),
+    ]
+    for i in range(_DRIFT_DIMS):
+        aggs.append(
+            F.sum(F.when(F.col("snap") == 0, F.col(f"r{i+1}"))).alias(f"sa{i+1}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("snap") == 1, F.col(f"r{i+1}"))).alias(f"sb{i+1}")
+        )
+    g = e.groupBy("label").agg(*aggs)
+
+    def mean(side: str, i: int):
+        return F.col(f"{side}{i+1}").cast("double") / (
+            F.col(f"n_{'a' if side == 'sa' else 'b'}") * 1000000
+        ).cast("double")
+
+    acc = None
+    for i in range(_DRIFT_DIMS):
+        d = mean("sa", i) - mean("sb", i)
+        term = d * d
+        acc = term if acc is None else acc + term
+    return g.select(
+        "label",
+        "n_a",
+        "n_b",
+        (F.floor(F.sqrt(acc) * 1000000) / 1000000).alias("drift"),
+    )
