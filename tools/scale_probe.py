@@ -1848,6 +1848,53 @@ def main() -> None:
 
         return run
 
+    def cdc_apply(src):
+        # s_cdc_apply shape: three foreachBatch merges, each O(state +
+        # batch) with a user_id row_number window; replication multiplies
+        # keys AND rows, so total merge work scales with the feed —
+        # linear class (per-batch state rewrite is the fixture-scale
+        # stand-in for partition-wise MERGE).
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from vector_search_spark.streaming.cdc import (
+            run_cdc_apply_availablenow,
+        )
+
+        def run():
+            root = tempfile.mkdtemp(prefix=f"sg_cdcprobe_{uuid.uuid4().hex[:6]}_")
+            try:
+                in_dir = os.path.join(root, "feed")
+                os.makedirs(in_dir)
+                # land the (replicated) feed as three day-ranged files,
+                # mirroring make_cdc_batches without re-reading fixtures
+                import glob as _g
+
+                dom = F.dayofmonth("ts")
+                for name, pred, mt in (
+                    ("a", dom <= 10, 1_000_000_000),
+                    ("b", (dom > 10) & (dom <= 20), 1_000_000_100),
+                    ("c", dom > 20, 1_000_000_200),
+                ):
+                    part = os.path.join(root, f"stage_{name}")
+                    src.filter(pred).coalesce(1).write.mode(
+                        "overwrite"
+                    ).parquet(part)
+                    (f,) = _g.glob(os.path.join(part, "part-*.parquet"))
+                    dst = os.path.join(in_dir, f"{name}.parquet")
+                    shutil.move(f, dst)
+                    os.utime(dst, (mt, mt))
+                res = run_cdc_apply_availablenow(
+                    spark, in_dir, os.path.join(root, "work")
+                )
+                return res.count()
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -1893,6 +1940,7 @@ def main() -> None:
         ("minhash_est", minhash_est(docs), minhash_est(docs_big)),
         ("freq_spectrum", freq_spectrum(docs), freq_spectrum(docs_big)),
         ("centroid_drift", centroid_drift(emb), centroid_drift(emb_big)),
+        ("cdc_apply", cdc_apply(ev), cdc_apply(ev_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:

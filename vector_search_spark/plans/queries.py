@@ -9016,7 +9016,8 @@ t AS (
 hashed AS (
   SELECT id, list_transform(tk, t -> {_duck_poly("t", v="q")}) AS hs FROM t),
 sigs AS (
-  SELECT id, hs, {_DUCK_MINHASH_SIG} AS sig FROM hashed),
+  SELECT id, hs, {_DUCK_MINHASH_SIG} AS sig FROM hashed
+  WHERE len(hs) > 0),
 banded AS (
   SELECT id, b.band,
          array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
@@ -9081,8 +9082,14 @@ def d_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     )
-    sigs = hashed.select("id", "hs", sig_bound.alias("sig")).localCheckpoint(
-        eager=True
+    # sub-3-word docs have EMPTY shingle sets: their all-null signatures
+    # would band together and divide by a zero union (DuckDB raises,
+    # Spark nulls — the asymmetric fixture-drift failure class). Filter
+    # them out of the index on BOTH sides.
+    sigs = (
+        hashed.filter(F.size("hs") > 0)
+        .select("id", "hs", sig_bound.alias("sig"))
+        .localCheckpoint(eager=True)
     )
     banded = sigs.select(
         "id",
