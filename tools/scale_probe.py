@@ -1895,6 +1895,46 @@ def main() -> None:
 
         return run
 
+    def ohlc(src):
+        # w_ohlc_bars shape: two row_number windows + groupBy over ONE
+        # (user, day) exchange; replication multiplies users — linear.
+        from pyspark.sql import Window
+
+        def run():
+            e = src.select(
+                "user_id",
+                F.unix_micros("ts").alias("tus"),
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+            )
+            wa = Window.partitionBy("user_id", "day").orderBy(
+                "tus", "event_id"
+            )
+            wd = Window.partitionBy("user_id", "day").orderBy(
+                F.desc("tus"), F.desc("event_id")
+            )
+            r = e.withColumn("rna", F.row_number().over(wa)).withColumn(
+                "rnd", F.row_number().over(wd)
+            )
+            return (
+                r.groupBy("user_id", "day")
+                .agg(
+                    F.max(F.when(F.col("rna") == 1, F.col("v100"))).alias(
+                        "open_c"
+                    ),
+                    F.max("v100").alias("high_c"),
+                    F.min("v100").alias("low_c"),
+                    F.max(F.when(F.col("rnd") == 1, F.col("v100"))).alias(
+                        "close_c"
+                    ),
+                    F.sum("v100").alias("volume_c"),
+                )
+                .count()
+            )
+
+        return run
+
     probes = [
         ("q1_agg", q1(li), q1(li_big)),
         ("knn_topk", topk(emb), topk(emb_big)),
@@ -1941,6 +1981,7 @@ def main() -> None:
         ("freq_spectrum", freq_spectrum(docs), freq_spectrum(docs_big)),
         ("centroid_drift", centroid_drift(emb), centroid_drift(emb_big)),
         ("cdc_apply", cdc_apply(ev), cdc_apply(ev_big)),
+        ("ohlc_bars", ohlc(ev), ohlc(ev_big)),
     ]
     for name, base, scaled in probes:
         if only and name not in only:

@@ -9281,3 +9281,116 @@ def v_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         (F.floor(F.sqrt(acc) * 1000000) / 1000000).alias("drift"),
     )
+
+
+@register(
+    "pipe_semantic_dedup",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM p
+  UNION SELECT id_b, id_a FROM p),
+reach(id, lab) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e2.s, reach.lab FROM edges e2 JOIN reach ON e2.t = reach.id),
+members AS (
+  SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id, id AS vec_id,
+       CAST(CASE WHEN id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM members
+""",
+)
+def pipe_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding space
+    (Abbas et al. 2023's recipe re-expressed relationally): cosine
+    near-dup pairs within label blocks → connected components → one
+    keeper per semantic cluster (minimum vec_id — the cluster label
+    itself). Reuses the two standing operators end-to-end:
+    ``embedding_neardup_pairs`` (blocked exact pairs; the production
+    default sub-buckets oversized blocks with hyperplane LSH) and
+    ``dup_clusters`` (union-find fast path / pointer-halving CC). The
+    oracle replays the whole chain with a recursive CTE, certifying
+    membership AND keeper flags. At 100 TB: pair generation is the
+    bucketed shuffle, CC is O(log diameter) rounds, and the keep flag is
+    free (label == min member)."""
+    from ..operators.dedup import dup_clusters, embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb, threshold=0.3, max_block_size=None
+    ).select("id_a", "id_b")
+    clusters = dup_clusters(pairs)
+    return clusters.select(
+        "cluster_id",
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") == F.col("cluster_id"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
+@register(
+    "w_ohlc_bars",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         strftime(ts, '%Y-%m-%d') AS day,
+         CAST(ROUND(value*100) AS BIGINT) AS v100
+  FROM events),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id, day
+                       ORDER BY tus, event_id) AS rna,
+    ROW_NUMBER() OVER (PARTITION BY user_id, day
+                       ORDER BY tus DESC, event_id DESC) AS rnd
+  FROM e)
+SELECT user_id, day,
+       CAST(MAX(CASE WHEN rna = 1 THEN v100 END) AS BIGINT) AS open_c,
+       CAST(MAX(v100) AS BIGINT) AS high_c,
+       CAST(MIN(v100) AS BIGINT) AS low_c,
+       CAST(MAX(CASE WHEN rnd = 1 THEN v100 END) AS BIGINT) AS close_c,
+       COUNT(*) AS n_events,
+       CAST(SUM(v100) AS BIGINT) AS volume_c
+FROM r GROUP BY user_id, day
+""",
+)
+def w_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bar (OHLC) aggregation — the canonical downsampling shape for
+    irregular series (financial bars, sensor rollups): per (user, day),
+    the chronologically first/highest/lowest/last value plus count and
+    volume, everything in exact cents. First/last ride two row_number
+    windows over ONE hash exchange on (user_id, day) — the following
+    groupBy clusters on the same keys, so Catalyst adds no second
+    shuffle; no self-joins, no min_by portability risk (engines disagree
+    on struct-ordered arg-extremes; rn=1 conditional aggregation is
+    deterministic everywhere)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    wa = Window.partitionBy("user_id", "day").orderBy("tus", "event_id")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("tus"), F.desc("event_id")
+    )
+    r = e.withColumn("rna", F.row_number().over(wa)).withColumn(
+        "rnd", F.row_number().over(wd)
+    )
+    return r.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rna") == 1, F.col("v100"))).alias("open_c"),
+        F.max("v100").alias("high_c"),
+        F.min("v100").alias("low_c"),
+        F.max(F.when(F.col("rnd") == 1, F.col("v100"))).alias("close_c"),
+        F.count("*").alias("n_events"),
+        F.sum("v100").alias("volume_c"),
+    )
