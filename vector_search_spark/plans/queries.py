@@ -9394,3 +9394,92 @@ def w_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("v100").alias("volume_c"),
     )
+
+
+_POOL_DIMS = 8
+_POOL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+           CAST(ceil(len(toks) / 50.0) AS INT) - 1)) AS chunk_id,
+         toks
+  FROM d),
+ct AS (
+  SELECT doc_id, chunk_id,
+         array_to_string(toks[chunk_id*50+1 : chunk_id*50+50], ' ')
+           AS chunk_text
+  FROM ch),
+cr AS (SELECT doc_id, chunk_id, {_duck_embed_raw('chunk_text')} AS rv FROM ct),
+cn AS (SELECT doc_id, rv,
+              sqrt(list_sum(list_transform(rv, _px -> _px * _px))) AS nrm
+       FROM cr),
+ce AS (SELECT doc_id,
+              list_transform(rv, _pv -> (_pv / nrm)::FLOAT) AS emb
+       FROM cn),
+g AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+{",".join(
+    f"  CAST(SUM(CAST(FLOOR(emb[{i+1}]::DOUBLE * 1000000) AS BIGINT))"
+    f" AS BIGINT) AS s{i+1}"
+    for i in range(_POOL_DIMS)
+)}
+  FROM ce GROUP BY doc_id)
+SELECT doc_id, n_chunks,
+{",".join(
+    f"  CAST(s{i+1} // n_chunks AS BIGINT) AS p{i+1}"
+    for i in range(_POOL_DIMS)
+)}
+FROM g
+"""
+
+
+@register("pipe_doc_embedding_pool", oracle=_POOL_ORACLE)
+def pipe_doc_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level embedding construction by chunk pooling — the
+    standard long-document recipe (a doc exceeds the encoder window, so
+    embed 50-token chunks and mean-pool them): Catalyst chunking →
+    Arrow-batched fake embedding (md5 client, bit-exact in DuckDB) →
+    per-doc mean pool. Pooling avoids unordered float summation
+    entirely: each chunk component is FLOOR-quantized to an exact 1e-6
+    int, group-summed (order-free), and integer-divided by the chunk
+    count — the output is pure BIGINT ppm, certifying the pooled vector
+    byte-for-byte. First 8 of 64 dims emitted. ONE Python stage (the
+    embed), one doc_id shuffle; at 100 TB this is the chunk→embed→pool
+    leg of every retrieval-corpus build. Reference analog: the batch
+    embedding loop at camp_vec_rcmn.py:96-118, lifted to documents."""
+    from ..llm.embed import embed_texts
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(50.0)).cast("int")
+    chunks = (
+        d.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join(
+                F.slice("toks", F.col("chunk_id") * 50 + 1, 50), " "
+            ).alias("chunk_text"),
+        )
+    )
+    ce = embed_texts(chunks, "chunk_text").select("doc_id", "embedding")
+    aggs = [F.count("*").alias("n_chunks")]
+    for i in range(_POOL_DIMS):
+        aggs.append(
+            F.sum(
+                F.floor(
+                    F.element_at("embedding", i + 1).cast("double") * 1000000
+                ).cast("bigint")
+            ).alias(f"s{i+1}")
+        )
+    g = ce.groupBy("doc_id").agg(*aggs)
+    return g.select(
+        "doc_id",
+        "n_chunks",
+        *[
+            F.expr(f"CAST(s{i+1} div n_chunks AS BIGINT)").alias(f"p{i+1}")
+            for i in range(_POOL_DIMS)
+        ],
+    )
