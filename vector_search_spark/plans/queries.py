@@ -9483,3 +9483,64 @@ def pipe_doc_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_POOL_DIMS)
         ],
     )
+
+
+@register(
+    "w_range_frame_sum",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day_num,
+         CAST(ROUND(value*100) AS BIGINT) AS v100
+  FROM events),
+d AS (
+  SELECT user_id, day_num, CAST(SUM(v100) AS BIGINT) AS day_c,
+         COUNT(*) AS n_events
+  FROM e GROUP BY user_id, day_num)
+SELECT user_id, day_num,
+       CAST(SUM(day_c) OVER (
+         PARTITION BY user_id ORDER BY day_num
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS trailing7_c,
+       CAST(SUM(n_events) OVER (
+         PARTITION BY user_id ORDER BY day_num
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS trailing7_events
+FROM d
+""",
+)
+def w_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (the VALUE-distance frame ROWS frames cannot
+    express): per user, the trailing-7-DAY spend and event count at each
+    active day — days with no activity silently widen the frame, which a
+    rowsBetween(-6, 0) would get wrong whenever a user skips a day.
+    Day totals pre-aggregate first (shuffle rows = user×day, not events),
+    then one rangeBetween window per user over exact cents. Pins Spark's
+    ``Window.rangeBetween`` against DuckDB's ``RANGE BETWEEN n PRECEDING``
+    on an integer ordering key (interval-typed RANGE frames differ across
+    engines; the day-number form is portable). Complements
+    ``a_rolling_wau``, which solves the distinct-count variant with a
+    day-spine join instead."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_num"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    d = e.groupBy("user_id", "day_num").agg(
+        F.sum("v100").alias("day_c"), F.count("*").alias("n_events")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "user_id",
+        "day_num",
+        F.sum("day_c").over(w).alias("trailing7_c"),
+        F.sum("n_events").over(w).alias("trailing7_events"),
+    )
