@@ -83,3 +83,72 @@ def test_minhash_lsh_sound_and_finds_exact_dups(spark, texts):
         assert abs(j - jac(a, b)) < 1e-9 and j >= 0.5
     # completeness for exact dups: identical docs always collide
     assert (0, len(texts) - 1) in pairs
+
+
+def test_twa_constant_series_equals_value(spark):
+    """Time-weighted average of a CONSTANT series equals that constant no
+    matter how irregular the spacing — the property that separates TWA
+    from a naive event-count average (which this setup would also pass)
+    and from any duration-weighting bug (which it would not)."""
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), 1, 7.25)
+        for i, s in enumerate([0, 1, 10, 100, 86400, 86411])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    e2 = df.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seg = e2.withColumn("dur", F.lead("tus").over(w) - F.col("tus")).filter(
+        F.col("dur").isNotNull()
+    )
+    out = (
+        seg.groupBy("user_id")
+        .agg(F.sum("dur").alias("td"), F.sum(F.col("v100") * F.col("dur")).alias("ws"))
+        .select(
+            (F.col("ws").cast("double") / (F.col("td") * 100).cast("double")).alias(
+                "twa"
+            )
+        )
+        .collect()
+    )
+    assert out[0]["twa"] == 7.25
+
+
+def test_gap_fill_hits_events_and_midpoints(spark, tmp_path):
+    """Linear interpolation must return the event value exactly when a
+    grid point lands ON an event — including the user's LAST event,
+    where no strictly-after bracket exists — and the arithmetic midpoint
+    halfway between two events. Runs the PRODUCTION registry fn over a
+    hand-built two-event series (midnight day 2 and midnight day 4, so
+    day 3's grid point is the exact midpoint)."""
+    import datetime as dt
+
+    from vector_search_spark.plans.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 2)  # midnight — ON the grid
+    rows = [
+        (1, base, 5, 100.0),
+        (2, base + dt.timedelta(days=2), 5, 300.0),  # day 4 midnight
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["day"]: r["v_interp"]
+        for r in QUERIES["w_gap_fill_interpolate"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "2024-01-02": 100.0,  # grid ON the opening event: exact hit
+        "2024-01-03": 200.0,  # exact midpoint
+        "2024-01-04": 300.0,  # grid ON the LAST event: exact-hit branch
+    }

@@ -8850,9 +8850,10 @@ x AS (
          wn AS (PARTITION BY user_id ORDER BY t, isg, event_id
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
 SELECT user_id, day,
-       FLOOR((vp + (vn - vp) * ((t - tp)::DOUBLE / (tn - tp)::DOUBLE))
-             * 10000) / 1000000 AS v_interp
-FROM x WHERE isg = 1 AND tp IS NOT NULL AND tn IS NOT NULL
+       CASE WHEN tp = t THEN FLOOR(vp * 10000) / 1000000
+            ELSE FLOOR((vp + (vn - vp) * ((t - tp)::DOUBLE / (tn - tp)::DOUBLE))
+                       * 10000) / 1000000 END AS v_interp
+FROM x WHERE isg = 1 AND tp IS NOT NULL AND (tn IS NOT NULL OR tp = t)
 """,
 )
 def w_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8863,7 +8864,10 @@ def w_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stream and ONE bidirectional-window pass binds the bracketing
     (prev at-or-before, next strictly-after) points — no self-join, no
     per-grid-point probe; one user_id shuffle total. A grid point landing
-    exactly on an event interpolates to that event's value (frac=0).
+    exactly on an event emits that event's value — including on the
+    user's LAST event, where no strictly-after bracket exists (the
+    exact-hit branch; pinned by
+    tests/test_property.py::test_gap_fill_hits_events_and_midpoints).
     The interpolation expression is composed IDENTICALLY in the oracle
     (exact-int endpoints, one double ratio), so the doubles are
     bit-equal; output truncates to 1e-6 (half-boundary rule). Events at
@@ -8941,12 +8945,16 @@ def w_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.filter(
             (F.col("isg") == 1)
             & F.col("tp").isNotNull()
-            & F.col("tn").isNotNull()
+            & (F.col("tn").isNotNull() | (F.col("tp") == F.col("t")))
         )
         .select(
             "user_id",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
-            (
+            F.when(
+                F.col("tp") == F.col("t"),
+                F.floor(F.col("vp") * 10000) / 1000000,
+            )
+            .otherwise(
                 F.floor(
                     (
                         F.col("vp")
@@ -8959,7 +8967,8 @@ def w_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * 10000
                 )
                 / 1000000
-            ).alias("v_interp"),
+            )
+            .alias("v_interp"),
         )
     )
 
