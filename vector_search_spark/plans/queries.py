@@ -9553,3 +9553,171 @@ def w_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_c").over(w).alias("trailing7_c"),
         F.sum("n_events").over(w).alias("trailing7_events"),
     )
+
+
+@register(
+    "m_phash_neardup",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ('0x' || substr(md5(text), 1, 8))::UINT64::BIGINT AS h1,
+         ('0x' || substr(md5(text), 9, 8))::UINT64::BIGINT AS h2
+  FROM documents),
+banded AS (
+  SELECT media_id, h1, h2, b.band,
+         CASE b.band
+           WHEN 0 THEN h1 // 65536 WHEN 1 THEN h1 % 65536
+           WHEN 2 THEN h2 // 65536 ELSE h2 % 65536 END AS key
+  FROM m, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cands AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.h1 AS a1, a.h2 AS a2, b.h1 AS b1, b.h2 AS b2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.media_id < b.media_id)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(a1, b1)) + bit_count(xor(a2, b2)) AS BIGINT)
+         AS hamming
+FROM cands
+WHERE bit_count(xor(a1, b1)) + bit_count(xor(a2, b2)) <= 3
+""",
+)
+def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over binary media payloads —
+    the image-dedup leg of a multimodal corpus build: a 64-bit pHash per
+    payload (fake: md5 of the blob, split into two 32-bit words — a real
+    pHash plugs into the same two-long signature shape used by
+    v_hamming_binary_knn), banded into four 16-bit keys so any pair
+    within hamming<=3 shares a band by pigeonhole; candidates come from
+    the (band, key) equi-join — never all-pairs — and xor/popcount
+    verifies. Payloads are the documents' utf-8 bytes (make_media_table),
+    so DuckDB's string md5 sees identical input. Exact-dup payloads land
+    at hamming 0; the hamming<=3 dial is where a REAL pHash catches
+    resized/recompressed variants."""
+    from ..multimodal.binary_ops import make_media_table
+
+    media = make_media_table(spark, sf_dir)
+    m = media.select(
+        "media_id",
+        F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5("payload"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
+    banded = m.select(
+        "media_id",
+        "h1",
+        "h2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        key_expr.alias("key"),
+                    )
+                    for b, key_expr in enumerate(
+                        [
+                            F.shiftright("h1", 16),
+                            F.col("h1").bitwiseAND(65535),
+                            F.shiftright("h2", 16),
+                            F.col("h2").bitwiseAND(65535),
+                        ]
+                    )
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "h1", "h2", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        F.col("h1").alias("a1"),
+        F.col("h2").alias("a2"),
+        "band",
+        "key",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("h1").alias("b1"),
+        F.col("h2").alias("b2"),
+        "band",
+        "key",
+    )
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "a1", "a2", "b1", "b2")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
+    ).cast("long")
+    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
+@register(
+    "a_regression_trend",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS x,
+         CAST(ROUND(value*100) AS BIGINT) AS y
+  FROM events),
+g AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+  FROM e GROUP BY event_type)
+SELECT event_type, n,
+       FLOOR(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             * 1000000) / 1000000 AS slope_c,
+       FLOOR((CAST(sy AS DOUBLE)
+              - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             * 1000000) / 1000000 AS intercept_c
+FROM g
+""",
+)
+def a_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment linear trend (closed-form OLS of value-cents vs
+    day-number) — drift/trend detection without MLlib: every moment
+    (n, Σx, Σy, Σxy, Σx²) is an exact integer group-sum (order-free by
+    construction), and slope/intercept are two float divisions composed
+    identically in the oracle, truncated 1e-6. The built-in
+    regr_slope/regr_intercept aggregates fold doubles in partition order
+    and CANNOT cross-check across engines — the moment form is the
+    portable (and map-side-combinable) way to regress at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return g.select(
+        "event_type",
+        "n",
+        (F.floor(slope * 1000000) / 1000000).alias("slope_c"),
+        (
+            F.floor(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("intercept_c"),
+    )
