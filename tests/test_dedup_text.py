@@ -380,3 +380,33 @@ def test_bloom_decontaminate_equals_exact(spark, sf_dir):
         for r in QUERIES["d_decontaminate_bloom"].fn(spark, sf_dir).collect()
     }
     assert bloom == exact
+
+
+def test_hamming64_banded_pairs_synthetic_distances(spark):
+    """The pHash banding must CATCH pairs at hamming 1-3 (pigeonhole: some
+    16-bit band intact), and exclude hamming-4 pairs both ways a 4 can
+    happen: spread one-bit-per-band (no shared band -> never a candidate)
+    and concentrated in one band (candidate, killed by the <=3 verify).
+    Registry row m_phash_neardup can only exercise hamming 0 (md5 fakes
+    are ~32 bits apart unless payloads are identical), so this pins the
+    1-3 branch the fixtures cannot reach."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.dedup import hamming64_banded_pairs
+
+    base1, base2 = 0x12345678, 0x1ABCDEF0
+    rows = [
+        (0, base1, base2),                       # reference
+        (1, base1 ^ 0x1, base2),                 # hamming 1 (h1 low band)
+        (2, base1 ^ 0x00010001, base2 ^ 0x1),    # hamming 3, 3 bands hit
+        (3, base1 ^ 0x00010001, base2 ^ 0x00010001),  # 4, one per band
+        (4, base1 ^ 0xF, base2),                 # 4, one band concentrated
+        (5, 0x7654321, 0x0FEDCBA),               # unrelated
+    ]
+    m = spark.createDataFrame(rows, "media_id long, h1 long, h2 long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming64_banded_pairs(m).collect()
+        if r["id_a"] == 0
+    }
+    assert got == {(0, 1): 1, (0, 2): 3}

@@ -85,43 +85,27 @@ def test_minhash_lsh_sound_and_finds_exact_dups(spark, texts):
     assert (0, len(texts) - 1) in pairs
 
 
-def test_twa_constant_series_equals_value(spark):
+def test_twa_constant_series_equals_value(spark, tmp_path):
     """Time-weighted average of a CONSTANT series equals that constant no
     matter how irregular the spacing — the property that separates TWA
-    from a naive event-count average (which this setup would also pass)
-    and from any duration-weighting bug (which it would not)."""
+    from a naive event-count average and from any duration-weighting bug.
+    Runs the PRODUCTION registry fn over a hand-built series."""
     import datetime as dt
 
-    from pyspark.sql import Window, functions as F
+    from vector_search_spark.plans.queries import QUERIES
 
     rows = [
         (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), 1, 7.25)
         for i, s in enumerate([0, 1, 10, 100, 86400, 86411])
     ]
-    df = spark.createDataFrame(
+    spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, value double"
-    )
-    e2 = df.select(
-        "user_id",
-        F.unix_micros("ts").alias("tus"),
-        "event_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
-    )
-    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    seg = e2.withColumn("dur", F.lead("tus").over(w) - F.col("tus")).filter(
-        F.col("dur").isNotNull()
-    )
-    out = (
-        seg.groupBy("user_id")
-        .agg(F.sum("dur").alias("td"), F.sum(F.col("v100") * F.col("dur")).alias("ws"))
-        .select(
-            (F.col("ws").cast("double") / (F.col("td") * 100).cast("double")).alias(
-                "twa"
-            )
-        )
-        .collect()
-    )
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["w_time_weighted_avg"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
     assert out[0]["twa"] == 7.25
+    assert out[0]["n_segments"] == 5
+    assert out[0]["total_dur_us"] == 86_411_000_000
 
 
 def test_gap_fill_hits_events_and_midpoints(spark, tmp_path):

@@ -1717,7 +1717,7 @@ def main() -> None:
             return x.filter(
                 (F.col("isg") == 1)
                 & F.col("tp").isNotNull()
-                & F.col("tn").isNotNull()
+                & (F.col("tn").isNotNull() | (F.col("tp") == F.col("t")))
             ).count()
 
         return run
@@ -1750,9 +1750,13 @@ def main() -> None:
                 ),
                 1,
             )
-            sigs = hashed.select(
-                "id", "hs", sig_bound.alias("sig")
-            ).localCheckpoint(eager=True)
+            sigs = (
+                hashed.filter(F.size("hs") > 0)  # mirror the registry row's
+                # empty-shingle guard: all-null sigs would band together
+                # and turn the probe superlinear on short-doc fixtures
+                .select("id", "hs", sig_bound.alias("sig"))
+                .localCheckpoint(eager=True)
+            )
             banded = sigs.select(
                 "id",
                 F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),

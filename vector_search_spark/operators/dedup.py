@@ -1323,3 +1323,67 @@ def simhash_hamming_pairs(
         .cast("long")
         .alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def hamming64_banded_pairs(
+    m: DataFrame, id_col: str = "media_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs over 64-bit signatures carried as two packed 32-bit
+    words (``h1``, ``h2``) whose hamming distance is ≤ ``max_hamming``
+    (default 3): the signature splits into four 16-bit bands, so by
+    pigeonhole any pair within the distance budget agrees EXACTLY on at
+    least one band — candidates come from the (band, key) equi-join (a
+    key shuffle, never all-pairs) and xor/popcount verifies the true
+    distance. The pHash/SimHash family's 64-bit twin of
+    :func:`simhash_hamming_pairs`; banding is only sound for
+    ``max_hamming <= 3`` with four bands (pigeonhole breaks at 4).
+    Returns (id_a < id_b, hamming)."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is only exhaustive for hamming <= 3")
+    banded = m.select(
+        id_col,
+        "h1",
+        "h2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), key_expr.alias("key"))
+                    for b, key_expr in enumerate(
+                        [
+                            F.shiftright("h1", 16),
+                            F.col("h1").bitwiseAND(65535),
+                            F.shiftright("h2", 16),
+                            F.col("h2").bitwiseAND(65535),
+                        ]
+                    )
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "h1", "h2", "bk.band", "bk.key")
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("h1").alias("a1"),
+        F.col("h2").alias("a2"),
+        "band",
+        "key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("h1").alias("b1"),
+        F.col("h2").alias("b2"),
+        "band",
+        "key",
+    )
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "a1", "a2", "b1", "b2")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
+    ).cast("long")
+    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -9005,7 +9005,6 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.cdc import make_cdc_batches, run_cdc_apply_availablenow
 
-    _STATEFUL_RUN_COUNTER[0] += 1
     root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
     try:
         in_dir = f"{root}/feed"
@@ -9594,6 +9593,7 @@ def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at hamming 0; the hamming<=3 dial is where a REAL pHash catches
     resized/recompressed variants."""
     from ..multimodal.binary_ops import make_media_table
+    from ..operators.dedup import hamming64_banded_pairs
 
     media = make_media_table(spark, sf_dir)
     m = media.select(
@@ -9605,56 +9605,7 @@ def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h2"),
     )
-    banded = m.select(
-        "media_id",
-        "h1",
-        "h2",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        key_expr.alias("key"),
-                    )
-                    for b, key_expr in enumerate(
-                        [
-                            F.shiftright("h1", 16),
-                            F.col("h1").bitwiseAND(65535),
-                            F.shiftright("h2", 16),
-                            F.col("h2").bitwiseAND(65535),
-                        ]
-                    )
-                ]
-            )
-        ).alias("bk"),
-    ).select("media_id", "h1", "h2", "bk.band", "bk.key")
-    a = banded.select(
-        F.col("media_id").alias("id_a"),
-        F.col("h1").alias("a1"),
-        F.col("h2").alias("a2"),
-        "band",
-        "key",
-    )
-    b = banded.select(
-        F.col("media_id").alias("id_b"),
-        F.col("h1").alias("b1"),
-        F.col("h2").alias("b2"),
-        "band",
-        "key",
-    )
-    cands = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "a1", "a2", "b1", "b2")
-        .distinct()
-    )
-    ham = (
-        F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
-        + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
-    ).cast("long")
-    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= 3
-    )
+    return hamming64_banded_pairs(m, "media_id", max_hamming=3)
 
 
 @register(
