@@ -136,3 +136,29 @@ def test_gap_fill_hits_events_and_midpoints(spark, tmp_path):
         "2024-01-03": 200.0,  # exact midpoint
         "2024-01-04": 300.0,  # grid ON the LAST event: exact-hit branch
     }
+
+
+def test_attribution_shares_conserve_pennies(spark, sf_dir):
+    """Per purchase, attributed shares must sum EXACTLY to the purchase's
+    cent value — the conservation law the remainder-to-earliest rule
+    exists for (a float split loses or invents pennies under division)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.plans.queries import QUERIES
+    from vector_search_spark.sources.catalog import load_table
+
+    res = QUERIES["j_attribution_split"].fn(spark, sf_dir)
+    sums = res.groupBy("purchase_id").agg(F.sum("share_c").alias("total_c"))
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+        )
+    )
+    bad = sums.join(p, "purchase_id").filter(
+        F.col("total_c") != F.col("v100")
+    )
+    assert res.count() > 0
+    assert bad.count() == 0

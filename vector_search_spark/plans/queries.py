@@ -9672,3 +9672,67 @@ def a_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("intercept_c"),
     )
+
+
+@register(
+    "j_attribution_split",
+    oracle="""
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS vt, event_id AS view_id
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, epoch_us(ts) AS pt, event_id AS purchase_id,
+         CAST(ROUND(value*100) AS BIGINT) AS v100
+  FROM events WHERE event_type = 'purchase'),
+pr AS (
+  SELECT p.purchase_id, v.view_id, p.v100, v.vt
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND p.pt >= v.vt AND p.pt < v.vt + 604800000000),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY vt, view_id) AS rk,
+    COUNT(*) OVER (PARTITION BY purchase_id) AS n
+  FROM pr)
+SELECT purchase_id, view_id, CAST(n AS BIGINT) AS n_views,
+       CAST(v100 // n + CASE WHEN rk <= v100 % n THEN 1 ELSE 0 END
+            AS BIGINT) AS share_c
+FROM r
+""",
+)
+def j_attribution_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (multi-touch) attribution with EXACT pennies — the
+    marketing-warehouse staple a float split gets wrong: each purchase's
+    value is divided across the user's views in the prior 7 days, base
+    share = v100 div n with the remainder pennies going to the EARLIEST
+    views (rank <= v100 mod n), so per-purchase shares sum to the
+    purchase value exactly — no lost or invented cents, ever. The time
+    band rides ``range_join_binned`` (bin-equi-join, no theta join, the
+    j_temporal_bucket_join strategy) and both window functions share one
+    purchase_id partitioning. Complements ``j_asof_purchase_view``
+    (last-touch = the as-of join) with the fractional model."""
+    from ..operators.asof import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    pairs = range_join_binned(v, p, ["user_id"], window_seconds=604800)
+    wr = Window.partitionBy("purchase_id").orderBy("l_ts", "view_id")
+    wn = Window.partitionBy("purchase_id")
+    r = pairs.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return r.select(
+        "purchase_id",
+        "view_id",
+        F.col("n").cast("bigint").alias("n_views"),
+        F.expr(
+            "CAST(v100 div n + IF(rk <= v100 % n, 1, 0) AS BIGINT)"
+        ).alias("share_c"),
+    )
