@@ -207,3 +207,15 @@ def test_gap_fill_no_self_join(spark, sf_dir):
     plan = _executed_plan(QUERIES["w_gap_fill_interpolate"].fn(spark, sf_dir))
     final = plan.split("== Initial Plan ==")[0]
     assert not JOIN_RE.search(final), final
+
+
+def test_ohlc_bars_single_exchange(spark, sf_dir):
+    # the docstring's load-bearing claim: both row_number windows AND the
+    # following groupBy cluster on (user_id, day), so the executed plan
+    # carries exactly ONE shuffle — a second Exchange means the aggregate
+    # stopped reusing the window's partitioning
+    from vector_search_spark.plans.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["w_ohlc_bars"].fn(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
