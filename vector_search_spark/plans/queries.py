@@ -9736,3 +9736,79 @@ def j_attribution_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(v100 div n + IF(rk <= v100 % n, 1, 0) AS BIGINT)"
         ).alias("share_c"),
     )
+
+
+@register(
+    "s_stream_ohlc",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         strftime(ts, '%Y-%m-%d') AS day,
+         CAST(ROUND(value*100) AS BIGINT) AS v100
+  FROM events),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id, day
+                       ORDER BY tus, event_id) AS rna,
+    ROW_NUMBER() OVER (PARTITION BY user_id, day
+                       ORDER BY tus DESC, event_id DESC) AS rnd
+  FROM e)
+SELECT user_id, day,
+       CAST(MAX(CASE WHEN rna = 1 THEN v100 END) AS BIGINT) AS open_c,
+       CAST(MAX(v100) AS BIGINT) AS high_c,
+       CAST(MIN(v100) AS BIGINT) AS low_c,
+       CAST(MAX(CASE WHEN rnd = 1 THEN v100 END) AS BIGINT) AS close_c,
+       COUNT(*) AS n_events,
+       CAST(SUM(v100) AS BIGINT) AS volume_c
+FROM r GROUP BY user_id, day
+""",
+)
+def s_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars computed by Structured Streaming — the canonical
+    tick-stream aggregation, REAL availableNow run: the event file
+    streams through a per-(1-day event-time window, user) aggregate
+    where open/close ride ``min_by``/``max_by`` on the (tus, event_id)
+    struct (integer ordering — deterministic, and safe HERE because both
+    sides of the comparison live in Spark; the ORACLE recomputes with
+    the portable rn=1 form, certifying the batch twin ``w_ohlc_bars``'s
+    values drop out of the streaming engine too). Complete-mode memory
+    sink drained with availableNow; day windows are epoch-aligned so
+    window.start dates equal the batch day strings."""
+    from ..streaming.windows import stream_events
+
+    _STATEFUL_RUN_COUNTER[0] += 1
+    name = f"stream_ohlc_{_STATEFUL_RUN_COUNTER[0]}"
+    src = stream_events(spark, f"{sf_dir}/events*.parquet")
+    e = src.select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    agg = e.groupBy(F.window("ts", "1 day").alias("w"), "user_id").agg(
+        F.min_by("v100", F.struct("tus", "event_id")).alias("open_c"),
+        F.max("v100").alias("high_c"),
+        F.min("v100").alias("low_c"),
+        F.max_by("v100", F.struct("tus", "event_id")).alias("close_c"),
+        F.count("*").alias("n_events"),
+        F.sum("v100").alias("volume_c"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "open_c",
+        "high_c",
+        "low_c",
+        "close_c",
+        "n_events",
+        "volume_c",
+    )
