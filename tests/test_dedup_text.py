@@ -410,3 +410,27 @@ def test_hamming64_banded_pairs_synthetic_distances(spark):
         if r["id_a"] == 0
     }
     assert got == {(0, 1): 1, (0, 2): 3}
+
+
+def test_hamming64_sign_extended_inputs_masked(spark):
+    """A producer that packs words as SIGN-EXTENDED 32-bit ints (real
+    pHash emitting signed ints) must get the same distances as one
+    emitting the unsigned values: the operator masks to the low 32 bits,
+    so xor across the sign boundary cannot inflate hamming by the upper
+    32 bits nor corrupt shiftright band keys."""
+    from vector_search_spark.operators.dedup import hamming64_banded_pairs
+
+    h = 0x8234_5678  # high bit set -> sign-extends to negative as int32
+    signed = h - (1 << 32)
+    assert signed < 0
+    rows = [
+        (0, h, 0x11),          # unsigned packing
+        (1, signed, 0x11),     # identical signature, sign-extended packing
+        (2, signed ^ 0x1, 0x11),  # hamming 1 from both of the above
+    ]
+    m = spark.createDataFrame(rows, "media_id long, h1 long, h2 long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming64_banded_pairs(m).collect()
+    }
+    assert got == {(0, 1): 0, (0, 2): 1, (1, 2): 1}

@@ -162,3 +162,39 @@ def test_attribution_shares_conserve_pennies(spark, sf_dir):
     )
     assert res.count() > 0
     assert bad.count() == 0
+
+
+def test_attribution_conserves_negative_values(spark, tmp_path):
+    """Refund/chargeback purchases (NEGATIVE value) must conserve pennies
+    too: the remainder rule is signed by the dividend, so -100 cents over
+    3 views splits -34/-33/-33, never -33/-33/-33 (which would invent a
+    cent). Regression test for the sign-aware remainder fix."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.plans.queries import QUERIES
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "view", 0.0),
+        (2, t0 + dt.timedelta(hours=1), 7, "view", 0.0),
+        (3, t0 + dt.timedelta(hours=2), 7, "view", 0.0),
+        (4, t0 + dt.timedelta(hours=3), 7, "purchase", -1.00),
+        (5, t0 + dt.timedelta(hours=4), 7, "purchase", 1.00),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    res = QUERIES["j_attribution_split"].fn(spark, str(tmp_path))
+    shares = {
+        (r["purchase_id"], r["view_id"]): r["share_c"] for r in res.collect()
+    }
+    assert shares == {
+        (4, 1): -34, (4, 2): -33, (4, 3): -33,
+        (5, 1): 34, (5, 2): 33, (5, 3): 33,
+    }

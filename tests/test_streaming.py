@@ -652,3 +652,25 @@ def test_cdc_apply_tombstone_ordering(spark, tmp_path):
     res = run_cdc_apply_availablenow(spark, in_dir, str(tmp_path / "work"))
     got = {r["user_id"]: (r["last_v100"], r["last_event_id"]) for r in res.collect()}
     assert got == {1: (1000, 1), 2: (700, 5)}
+
+    # Restart over the SAME work_dir: the durable checkpoint skips the
+    # already-committed batches, so the run must RECOVER the final state
+    # from disk instead of crashing on spark.read.parquet(None) — and a
+    # partially-committed restart (new file arrives) must fold the new
+    # batch into the RECOVERED predecessor, not restart from empty.
+    res2 = run_cdc_apply_availablenow(spark, in_dir, str(tmp_path / "work"))
+    got2 = {r["user_id"]: (r["last_v100"], r["last_event_id"]) for r in res2.collect()}
+    assert got2 == got
+
+    b3 = [(7, t(40), 2, "view", 8.00, "{}")]    # u2 newest upsert @40
+    part = str(tmp_path / "stage3")
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(part)
+    (f,) = glob.glob(os.path.join(part, "part-*.parquet"))
+    dst = os.path.join(in_dir, "c.parquet")
+    os.rename(f, dst)
+    os.utime(dst, (1_000_000_300,) * 2)
+    res3 = run_cdc_apply_availablenow(spark, in_dir, str(tmp_path / "work"))
+    got3 = {r["user_id"]: (r["last_v100"], r["last_event_id"]) for r in res3.collect()}
+    assert got3 == {1: (1000, 1), 2: (800, 7)}

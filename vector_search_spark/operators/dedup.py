@@ -1337,9 +1337,19 @@ def hamming64_banded_pairs(
     distance. The pHash/SimHash family's 64-bit twin of
     :func:`simhash_hamming_pairs`; banding is only sound for
     ``max_hamming <= 3`` with four bands (pigeonhole breaks at 4).
-    Returns (id_a < id_b, hamming)."""
+    Inputs are masked to the low 32 bits up front, so a producer that
+    packs its words as SIGN-EXTENDED 32-bit ints (e.g. a real pHash
+    emitting signed values) cannot corrupt distances: without the mask,
+    xor of a negative and a non-negative long sets the upper 32 bits
+    (inflating hamming by up to 32) and shiftright band keys
+    sign-extend. Returns (id_a < id_b, hamming)."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is only exhaustive for hamming <= 3")
+    m = m.select(
+        id_col,
+        F.col("h1").cast("long").bitwiseAND(0xFFFFFFFF).alias("h1"),
+        F.col("h2").cast("long").bitwiseAND(0xFFFFFFFF).alias("h2"),
+    )
     banded = m.select(
         id_col,
         "h1",

@@ -9694,7 +9694,8 @@ r AS (
     COUNT(*) OVER (PARTITION BY purchase_id) AS n
   FROM pr)
 SELECT purchase_id, view_id, CAST(n AS BIGINT) AS n_views,
-       CAST(v100 // n + CASE WHEN rk <= v100 % n THEN 1 ELSE 0 END
+       CAST(v100 // n + SIGN(v100 % n)
+            * CASE WHEN rk <= ABS(v100 % n) THEN 1 ELSE 0 END
             AS BIGINT) AS share_c
 FROM r
 """,
@@ -9704,8 +9705,11 @@ def j_attribution_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     marketing-warehouse staple a float split gets wrong: each purchase's
     value is divided across the user's views in the prior 7 days, base
     share = v100 div n with the remainder pennies going to the EARLIEST
-    views (rank <= v100 mod n), so per-purchase shares sum to the
-    purchase value exactly — no lost or invented cents, ever. The time
+    views (rank <= abs(v100 mod n), signed by the dividend so refunds /
+    chargebacks with NEGATIVE value conserve exactly too: div truncates
+    toward zero in both engines, so v100 = n*(v100 div n) + (v100 % n)
+    holds for any sign), and per-purchase shares sum to the purchase
+    value exactly — no lost or invented cents, ever. The time
     band rides ``range_join_binned`` (bin-equi-join, no theta join, the
     j_temporal_bucket_join strategy) and both window functions share one
     purchase_id partitioning. Complements ``j_asof_purchase_view``
@@ -9733,7 +9737,8 @@ def j_attribution_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         F.col("n").cast("bigint").alias("n_views"),
         F.expr(
-            "CAST(v100 div n + IF(rk <= v100 % n, 1, 0) AS BIGINT)"
+            "CAST(v100 div n + SIGN(v100 % n)"
+            " * IF(rk <= ABS(v100 % n), 1, 0) AS BIGINT)"
         ).alias("share_c"),
     )
 

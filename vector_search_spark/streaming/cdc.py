@@ -60,6 +60,23 @@ def make_cdc_batches(spark: SparkSession, events_path: str, out_dir: str) -> Non
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def _newest_state(work_dir: str, before: int | None = None) -> str | None:
+    """Newest COMMITTED ``state_v{n}`` dir under work_dir (committed =
+    has a ``_SUCCESS`` marker), optionally restricted to versions below
+    ``before`` so a replayed batch reads its predecessor, never itself."""
+    best, best_v = None, -1
+    for p in _glob.glob(os.path.join(work_dir, "state_v*")):
+        try:
+            v = int(os.path.basename(p)[len("state_v"):])
+        except ValueError:
+            continue
+        if before is not None and v >= before:
+            continue
+        if v > best_v and os.path.exists(os.path.join(p, "_SUCCESS")):
+            best, best_v = p, v
+    return best
+
+
 def run_cdc_apply_availablenow(
     spark: SparkSession, in_dir: str, work_dir: str
 ) -> DataFrame:
@@ -69,7 +86,17 @@ def run_cdc_apply_availablenow(
     Change semantics per event row: ``event_type='error'`` is a DELETE of
     the user key; anything else UPSERTs (user_id → value cents, change
     time = event time). Latest change by (tus, event_id) wins; tombstones
-    stay in state so ordering across batches never matters."""
+    stay in state so ordering across batches never matters.
+
+    Restart-safe: the durable checkpointLocation means a RERUN over the
+    same ``work_dir`` skips already-committed batches, so the first batch
+    this process sees recovers its predecessor state from the newest
+    committed ``state_v*`` on disk (version < batch_id — a replayed batch
+    never reads its own partial output). The per-batch write is
+    idempotent under foreachBatch replay: batch_id keys the output path
+    and mode=overwrite rewrites the same content from the same
+    predecessor. If every batch was already committed, no batch fires and
+    the final read recovers the newest state directly."""
     from .windows import stream_events
 
     state = {"path": None}
@@ -88,8 +115,11 @@ def run_cdc_apply_availablenow(
             .cast("bigint")
             .alias("is_del"),
         )
-        if state["path"] is not None:
-            b = spark.read.parquet(state["path"]).unionByName(b)
+        prev = state["path"]
+        if prev is None:
+            prev = _newest_state(work_dir, before=batch_id)
+        if prev is not None:
+            b = spark.read.parquet(prev).unionByName(b)
         nxt = (
             b.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -107,8 +137,11 @@ def run_cdc_apply_availablenow(
         .start()
     )
     q.awaitTermination()
+    final = state["path"] or _newest_state(work_dir)
+    if final is None:
+        raise RuntimeError(f"no CDC state committed under {work_dir}")
     return (
-        spark.read.parquet(state["path"])
+        spark.read.parquet(final)
         .filter(F.col("is_del") == 0)
         .select(
             "user_id",
