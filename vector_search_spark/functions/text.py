@@ -23,6 +23,9 @@ ColumnOrName = Column | str
 
 HASH_MOD = 1_000_000_007
 HASH_MIX = 2_654_435_761
+# Second, independent mix constant for the wide (two-stream) shingle-hash
+# composition — must stay < 2^31 so wh * HASH_MIX2 + wh' < 2^62 is exact.
+HASH_MIX2 = 1_779_033_703
 
 # Marker token sets for the heuristic language/domain classifier.
 LANG_MARKERS = {
@@ -144,8 +147,10 @@ def word_shingles(col: ColumnOrName, n: int = 3) -> Column:
 
 
 def word_shingle_hashes(col: ColumnOrName, n: int = 3) -> Column:
-    """Distinct hashes of n-word shingles, composed from per-WORD poly
-    hashes: ``h = ((wh_1 * MIX + wh_2) % MOD * MIX + wh_3) % MOD``.
+    """Distinct WIDE hashes of n-word shingles, composed from per-WORD
+    poly hashes as two parallel modular streams packed into one bigint:
+    ``lo = ((wh_1*MIX + wh_2) % MOD * MIX + wh_3) % MOD`` (same with
+    ``MIX2`` for ``hi``), result ``h = lo * MOD + hi``.
 
     Serves the same ROLE as ``poly_hash(word_shingles(...))`` — a distinct
     per-shingle fingerprint — but the VALUES differ (the old form folds the
@@ -153,14 +158,19 @@ def word_shingle_hashes(col: ColumnOrName, n: int = 3) -> Column:
     hashes), so the two are not interchangeable mid-pipeline. Each word's
     characters are folded ONCE instead of once per overlapping shingle —
     O(chars + shingles) vs O(shingles x shingle_len), ~3x fewer
-    interpreted lambda steps for n=3. Collision bound: the composed hash
-    lives in the ~30-bit ``HASH_MOD`` space, so a document with ~30k
-    distinct shingles has a birthday-collision expectation of ~0.4 merged
-    pairs — consumers count distinct composed hashes, not distinct
-    shingles (slight over-merge / over-flag bias, mirrored exactly by the
-    oracle so parity is unaffected). All intermediates stay below
-    ``HASH_MOD * HASH_MIX`` ~ 2.7e18 < 2^63, so the integer math is exact
-    and engine-portable (the DuckDB mirror is
+    interpreted lambda steps for n=3. Collision bound: the packed hash
+    lives in the ``MOD^2`` ~ 1e18 (~60-bit) space — a collision needs
+    BOTH independently-mixed streams to collide on the same tuple pair,
+    so even a 1e9-distinct-shingle corpus expects < 1 merged pair
+    (vs ~0.4 per 30k-shingle DOCUMENT in the old single-stream ~30-bit
+    form, which degraded shared-shingle counts with corpus size). The
+    residual collision source is two different WORDS colliding in
+    ``poly_hash``'s 30-bit space (both streams then agree by
+    construction) — vocabulary-birthday-bounded, ~5e-4 per distinct word
+    pair at a 1M-word vocabulary, and shared by every hash consumer. All
+    intermediates stay below ``HASH_MOD * HASH_MIX`` ~ 2.7e18 < 2^63 and
+    the pack below ``MOD^2 + MOD`` ~ 1e18 < 2^63, so the integer math is
+    exact and engine-portable (the DuckDB mirror is
     ``_DUCK_WORD_SHINGLE_HASHES3`` in plans/queries.py). Documents shorter
     than ``n`` words yield an empty set, matching ``word_shingles``.
 
@@ -175,14 +185,19 @@ def word_shingle_hashes(col: ColumnOrName, n: int = 3) -> Column:
 
     def compose(full):
         cnt = F.greatest(F.size(full) - (n - 1), F.lit(0))
-        acc = F.slice(full, 1, cnt)
+        lo = F.slice(full, 1, cnt)
+        hi = F.slice(full, 1, cnt)
         for j in range(1, n):
-            acc = F.zip_with(
-                acc,
-                F.slice(full, 1 + j, cnt),
+            nxt = F.slice(full, 1 + j, cnt)
+            lo = F.zip_with(
+                lo, nxt,
                 lambda a, b: (a * F.lit(HASH_MIX) + b) % F.lit(HASH_MOD),
             )
-        return acc
+            hi = F.zip_with(
+                hi, nxt,
+                lambda a, b: (a * F.lit(HASH_MIX2) + b) % F.lit(HASH_MOD),
+            )
+        return F.zip_with(lo, hi, lambda a, b: a * F.lit(HASH_MOD) + b)
 
     return F.array_distinct(
         F.element_at(F.transform(F.array(wk_expr), compose), 1)

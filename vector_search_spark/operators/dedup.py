@@ -1055,9 +1055,25 @@ _BLOOM_PRIME = 2_147_483_647  # 2^31 - 1
 
 
 def _bloom_pos_sql(col: str, i: int, m_bits: int) -> str:
-    """SQL text for the i-th bloom bit position of ``col`` (m_bits pow-2)."""
+    """SQL text for the i-th bloom bit position of ``col`` (m_bits pow-2).
+
+    Keys may be WIDE (up to ~2^60, e.g. the packed two-stream shingle
+    hashes), so the low 31 bits and the high bits are folded separately —
+    ``col * a`` alone would overflow int64 for wide keys, and truncating
+    to ``pmod(col, P)`` first would quotient the key space down to 2^31
+    (adding ~n/2^31 false-positive rate on large key sets). Bounds:
+    ``pmod(col,P) * a < 2^31 * 2e9 ~ 4.3e18`` and ``(col>>31) * b' <
+    2^32 * 1e9 ~ 4.3e18`` sum under 2^63 with headroom only because the
+    second multiplier is the (smaller) b constant of the NEXT param pair;
+    for legacy narrow keys (< 2^31) the high term is 0 and positions
+    equal the historical single-fold values."""
     a, b = _BLOOM_PARAMS[i]
-    return f"(pmod({col} * {a}L + {b}L, {_BLOOM_PRIME}L) & {m_bits - 1}L)"
+    a2 = _BLOOM_PARAMS[(i + 1) % len(_BLOOM_PARAMS)][1]
+    return (
+        f"(pmod(pmod({col}, {_BLOOM_PRIME}L) * {a}L "
+        f"+ shiftright({col}, 31) * {a2}L + {b}L, {_BLOOM_PRIME}L) "
+        f"& {m_bits - 1}L)"
+    )
 
 
 def bloom_build(

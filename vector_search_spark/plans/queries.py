@@ -739,14 +739,18 @@ def _duck_poly(expr: str, v: str = "x") -> str:
 
 
 _DUCK_TOKENS = "list_distinct(string_split(text, ' '))"
-# Composed 3-word shingle hashes over ws = string_split(text, ' ') —
+# Composed WIDE 3-word shingle hashes over ws = string_split(text, ' ') —
 # mirrors functions.text.word_shingle_hashes(col, 3): per-word poly hash,
-# then ((wh1 * MIX + wh2) % MOD * MIX + wh3) % MOD, distinct, empty under
-# 3 words. `wk` must be bound as list_transform(ws, w -> poly(w)).
+# two parallel streams lo/hi = ((wh1*MIXs + wh2) % MOD * MIXs + wh3) % MOD
+# with MIX=2654435761 / MIX2=1779033703, packed lo * MOD + hi (~60-bit
+# space), distinct, empty under 3 words. `wk` must be bound as
+# list_transform(ws, w -> poly(w)).
 _DUCK_WORD_SHINGLE_HASHES3 = (
     "list_distinct(list_transform(generate_series(1, greatest(len(wk) - 2, 0)), "
-    "i -> ((((wk[i] * 2654435761 + wk[i+1]) % 1000000007) * 2654435761) "
-    "+ wk[i+2]) % 1000000007))"
+    "i -> (((((wk[i] * 2654435761 + wk[i+1]) % 1000000007) * 2654435761) "
+    "+ wk[i+2]) % 1000000007) * 1000000007 "
+    "+ (((((wk[i] * 1779033703 + wk[i+1]) % 1000000007) * 1779033703) "
+    "+ wk[i+2]) % 1000000007)))"
 )
 # 3-word shingles over ws = string_split(text, ' ') — mirrors
 # functions.text.word_shingles(col, 3) exactly (empty set under 3 words).
