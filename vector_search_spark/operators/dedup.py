@@ -1147,6 +1147,92 @@ def bloom_member(col: str, m_bits: int, k: int):
 # ---------------------------------------------------------------------------
 
 
+def _shingle_sign_units(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    n_hashes: int,
+) -> DataFrame:
+    """Fused text → (id, sig, tk) in ONE Arrow crossing: shingle, portable
+    poly-hash, and MinHash permutation-min together. Bit-identical to
+    ``_unit_sets(hashed=True)`` followed by
+    ``_minhash_signatures_from_tokens(prehashed=True)`` (same string
+    dedup, same ``_poly_fold_batch`` hash with the non-ASCII exact
+    fallback, same per-seed min), but one mapInPandas stage instead of
+    two: each Python stage crossing costs ~0.25 s of fixed Arrow/worker
+    overhead regardless of row count (measured: identity mapInPandas over
+    a 1000-doc batch = 0.24 s, the shingle work itself = 0.02 s), and the
+    persisted-index serve path's latency was dominated by those
+    crossings, not by work. Rows with zero shingles are dropped (mirrors
+    ``filter(size(tk) > 0)``)."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from ..functions.text import HASH_MIX, HASH_MOD
+    from ..utils import fan_out
+
+    src = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    )
+    schema = StructType(
+        [
+            src.schema["id"],
+            StructField("sig", ArrayType(LongType())),
+            StructField("tk", ArrayType(LongType())),
+        ]
+    )
+    n = shingle_n
+    a = ((2 * np.arange(n_hashes, dtype=np.int64) + 1) * HASH_MIX) % HASH_MOD
+    b = np.arange(n_hashes, dtype=np.int64) * 40503 + 7
+
+    def compute(batches):
+        for pdf in batches:
+            out = []
+            for t in pdf["_text"]:
+                w = t.split(" ") if t is not None else []
+                if len(w) < n:
+                    out.append([])
+                else:
+                    out.append(
+                        list(
+                            dict.fromkeys(
+                                " ".join(w[i : i + n])
+                                for i in range(len(w) - n + 1)
+                            )
+                        )
+                    )
+            flat_str = [s for row in out for s in row]
+            flat = [s.encode("utf-8") for s in flat_str]
+            if flat:
+                h = _poly_fold_batch(flat, HASH_MOD, HASH_MIX)
+                for i, s in enumerate(flat):
+                    if any(c >= 128 for c in s):
+                        h[i] = _py_poly(flat_str[i], HASH_MOD, HASH_MIX)
+            else:
+                h = np.empty(0, dtype=np.int64)
+            keep, sigs, tks = [], [], []
+            off = 0
+            for j, row in enumerate(out):
+                cnt = len(row)
+                if cnt == 0:
+                    continue
+                hh = h[off : off + cnt]
+                off += cnt
+                # h*a < 1.02e18 < 2^63: exact in int64
+                sigs.append(
+                    ((hh[None, :] * a[:, None] + b[:, None]) % HASH_MOD).min(
+                        axis=1
+                    )
+                )
+                tks.append(hh)
+                keep.append(j)
+            yield pd.DataFrame(
+                {"id": pdf["id"].iloc[keep], "sig": sigs, "tk": tks}
+            )
+
+    return src.mapInPandas(compute, schema)
+
+
 def minhash_index_write(
     df: DataFrame,
     text_col: str,
@@ -1165,17 +1251,14 @@ def minhash_index_write(
     the corpus — the ingestion-time dedup shape: at 100 TB the index is
     the standing asset and each delivery probes it."""
     rows_per_band = n_hashes // bands
-    # checkpoint the unit sets: the bands write and the sets write are two
-    # separate actions — without this the Arrow shingle stage runs twice
-    # (measured 0.7s/pass at sf0.1)
-    t = (
-        _unit_sets(df, text_col, id_col, shingle_n, hashed=True)
-        .filter(F.size("tk") > 0)
-        .localCheckpoint(eager=True)
-    )
-    sig_src = _minhash_signatures_from_tokens(
-        t.select("id", "tk"), n_hashes, prehashed=True
-    )
+    # ONE fused Arrow pass (shingle + hash + sign), checkpointed: the
+    # bands write and the sets write are two separate actions — without
+    # the checkpoint the Python stage runs twice (measured 0.7s/pass at
+    # sf0.1)
+    t = _shingle_sign_units(
+        df, text_col, id_col, shingle_n, n_hashes
+    ).localCheckpoint(eager=True)
+    sig_src = t
     banded = sig_src.select(
         "id",
         F.explode(
@@ -1240,12 +1323,16 @@ def minhash_probe_pairs(
     idx_sets = spark.read.parquet(f"{path}/sets").select(
         F.col("id").alias("corpus_id"), F.col("tk").alias("tk_c")
     )
-    t = _unit_sets(batch, text_col, id_col, shingle_n, hashed=True).filter(
-        F.size("tk") > 0
-    )
-    sig_src = _minhash_signatures_from_tokens(
-        t.select("id", "tk"), n_hashes, prehashed=True
-    )
+    # ONE fused Arrow pass for the batch (shingle + hash + sign together:
+    # each extra Python stage crossing costs ~0.25 s fixed overhead), and
+    # a lazy checkpoint cutting the plan so the banding branch and the
+    # exact-Jaccard re-rank branch both read the materialized
+    # (id, sig, tk) relation instead of re-running the Python stage per
+    # consumer. The relation is delivery-sized (batch rows x (sig + hash
+    # set)), so the checkpoint write is noise next to the pass it saves.
+    sig_src = _shingle_sign_units(
+        batch, text_col, id_col, shingle_n, n_hashes
+    ).localCheckpoint(eager=False)
     b_banded = sig_src.select(
         "id",
         F.explode(
@@ -1278,7 +1365,8 @@ def minhash_probe_pairs(
     return (
         F.broadcast(cands).join(idx_sets, "corpus_id")
         .join(
-            F.broadcast(t.select(F.col("id").alias("new_id"), "tk")), "new_id"
+            F.broadcast(sig_src.select(F.col("id").alias("new_id"), "tk")),
+            "new_id",
         )
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)

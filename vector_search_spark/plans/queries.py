@@ -955,14 +955,35 @@ def d_minhash_persist_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole cross-set pipeline from scratch, certifying the persisted path
     equals the recompute. Jaccard is an exact small rational: truncated,
     not rounded (hazard class, CLAUDE.md)."""
-    from ..operators.dedup import minhash_index_write, minhash_probe_pairs
+    path = minhash_index_build(spark, sf_dir)
+    return minhash_index_serve(spark, sf_dir, path)
+
+
+def minhash_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """BUILD half of ``d_minhash_persist_incr`` — the once-per-corpus
+    batch job (write the banded LSH index + per-doc shingle sets to
+    scratch). Split out so bench.py can time build and serve separately:
+    the gate row composes build+serve unchanged, but the steady-state
+    number a deployment cares about is the serve half alone (VERDICT r6
+    item #2). Returns the index path."""
+    from ..operators.dedup import minhash_index_write
     from ..utils import pid_scratch
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    batch = docs.filter(F.col("doc_id") % 5 == 0)
     path = pid_scratch("mh_index", sf_dir)
     minhash_index_write(corpus, "text", "doc_id", path)
+    return path
+
+
+def minhash_index_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """SERVE half of ``d_minhash_persist_incr``: shingle/sign the
+    incoming batch at O(batch) cost and bucket-join it against the
+    on-disk band-partitioned index — corpus text is never re-read."""
+    from ..operators.dedup import minhash_probe_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
     pairs = minhash_probe_pairs(spark, path, batch, "text", "doc_id", 0.5)
     return pairs.select(
         "new_id",
@@ -2274,24 +2295,14 @@ def v_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     a once-per-corpus build job, and each query reads O(n_probe buckets)
     via partition pruning instead of re-assigning the corpus per session.
     """
-    import os
+    from ..operators.ann import ivf_knn, ivf_probe_index
 
-    from ..operators.ann import ivf_assign, ivf_build_index, ivf_knn, ivf_probe_index
-
-    emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
-    )
-    probes = _probes(emb, 3)
-    from ..utils import pid_scratch
-
-    path = pid_scratch("ivf_index", sf_dir)
+    emb, cents, probes = _ivf_fixture(spark, sf_dir)
     # one assignment pass total: checkpoint it, write THAT table as the
     # index, and serve the in-memory comparison from the same relation —
     # the certified claim (served == in-memory, parquet round-trip exact)
     # doesn't need the expensive assignment computed twice.
-    assigned = ivf_assign(emb, cents).localCheckpoint(eager=True)
-    ivf_build_index(emb, cents, path, assigned=assigned)
+    path, assigned = ivf_index_build(spark, sf_dir, return_assigned=True)
     served = ivf_probe_index(spark, path, cents, probes, k=10, n_probe=4).select(
         "probe_id", "vec_id", F.round("score", 6).alias("score")
     )
@@ -2316,6 +2327,47 @@ def v_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("m_vec").isNull(), 0).otherwise(1).cast("long").alias(
             "match_mem"
         ),
+    )
+
+
+def _ivf_fixture(spark: SparkSession, sf_dir: str):
+    """(emb, first-16 centroids, 3 probes) — the shared IVF fixture of
+    ``v_ivf_persist`` and its build/serve bench split."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return emb, cents, _probes(emb, 3)
+
+
+def ivf_index_build(
+    spark: SparkSession, sf_dir: str, return_assigned: bool = False
+):
+    """BUILD half of ``v_ivf_persist`` — assign the corpus and write the
+    centroid-partitioned parquet index (the once-per-corpus batch job).
+    Returns the index path; with ``return_assigned`` also the
+    checkpointed assignment relation so the gate row's in-memory
+    comparison reuses the single assignment pass."""
+    from ..operators.ann import ivf_assign, ivf_build_index
+    from ..utils import pid_scratch
+
+    emb, cents, _ = _ivf_fixture(spark, sf_dir)
+    path = pid_scratch("ivf_index", sf_dir)
+    assigned = ivf_assign(emb, cents).localCheckpoint(eager=True)
+    ivf_build_index(emb, cents, path, assigned=assigned)
+    return (path, assigned) if return_assigned else path
+
+
+def ivf_index_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """SERVE half of ``v_ivf_persist``: partition-pruned probe of the
+    on-disk index — the steady-state per-query path (reads O(n_probe
+    buckets), never re-assigns the corpus)."""
+    from ..operators.ann import ivf_probe_index
+
+    _, cents, probes = _ivf_fixture(spark, sf_dir)
+    return ivf_probe_index(spark, path, cents, probes, k=10, n_probe=4).select(
+        "probe_id", "vec_id", F.round("score", 6).alias("score")
     )
 
 
