@@ -674,3 +674,68 @@ def test_cdc_apply_tombstone_ordering(spark, tmp_path):
     res3 = run_cdc_apply_availablenow(spark, in_dir, str(tmp_path / "work"))
     got3 = {r["user_id"]: (r["last_v100"], r["last_event_id"]) for r in res3.collect()}
     assert got3 == {1: (1000, 1), 2: (800, 7)}
+
+
+def test_ann_server_serve_batch_single_plan(spark, sf_dir, tmp_path):
+    """The stable batched-serving surface (AnnIndexServer.serve_batch)
+    must answer a whole probe batch in ONE DataFrame plan: the number of
+    Spark JOBS it runs is a small constant INDEPENDENT of batch size (a
+    per-probe loop would schedule >= one job per probe and pay Spark's
+    measured ~0.5-1 s scheduling floor per query — tools/serve_latency.py).
+    Job counts come from job groups, so the pin is load-independent.
+    Values are certified against the in-memory IVF twin (same algorithm,
+    same index), probe-for-probe."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.ann import ivf_assign, ivf_knn
+    from vector_search_spark.sources.catalog import load_table
+    from vector_search_spark.streaming.serving import AnnIndexServer
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    server = AnnIndexServer.build(emb, cents, str(tmp_path / "ivf"), k=5)
+
+    def probes(n):
+        return emb.filter(F.col("vec_id") < n).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+
+    sc = spark.sparkContext
+
+    def jobs_for(group, df):
+        sc.setJobGroup(group, group)
+        try:
+            rows = df.collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return rows, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # warm both shapes once (broadcast machinery, parquet footers)
+    server.serve_batch(probes(1)).collect()
+    rows1, jobs1 = jobs_for("serve_one", server.serve_batch(probes(1)))
+    rows20, jobs20 = jobs_for("serve_twenty", server.serve_batch(probes(20)))
+    assert {r["probe_id"] for r in rows20} == set(range(20))
+    per_probe = {}
+    for r in rows20:
+        per_probe.setdefault(r["probe_id"], 0)
+        per_probe[r["probe_id"]] += 1
+    assert all(n == 5 for n in per_probe.values())
+    # ONE plan per batch: job count is a small constant, NOT O(probes) —
+    # and serving 20x the probes schedules no more jobs than serving 1.
+    assert jobs20 <= jobs1 + 1, (jobs1, jobs20)
+    assert jobs20 <= 6, jobs20
+
+    # value certification vs the in-memory twin over the same index data
+    assigned = ivf_assign(emb, cents)
+    mem = {
+        (r["probe_id"], r["vec_id"], round(r["score"], 6))
+        for r in ivf_knn(assigned, cents, probes(20), k=5).collect()
+    }
+    got = {
+        (r["probe_id"], r["vec_id"], round(r["score"], 6)) for r in rows20
+    }
+    assert got == mem
