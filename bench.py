@@ -83,6 +83,8 @@ HEADLINE = [
     "t_vocab_coverage",
     "w_time_weighted_avg",
     "w_gap_fill_interpolate",
+    # round-7 flagship additions
+    "v_knn_graph_build",
 ]
 
 

@@ -188,3 +188,103 @@ def test_ivf_pq_encode_matches_jvm_composition(spark, sf_dir):
     assert fused == {
         vid: (assign[vid], *codes[vid]) for vid in assign
     }
+
+
+def test_knn_graph_build_quality_and_shape(spark, sf_dir):
+    """Shape: per-node ranks are 1..m (m <= k), scores descend, no
+    self-edges. Quality, on the UNIFORM fixture (the no-structure worst
+    case for NN-descent — neighbors-of-neighbors carry no signal without
+    a manifold): average recall vs the exact top-k graph must clear 0.25
+    with the gate config (measured 0.37 at sf0.001; banding alone lands
+    ~0.3). The structured-data quality claim lives in
+    test_knn_graph_nn_descent_converges_on_clusters."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.functions.vector import cosine_sim
+    from vector_search_spark.operators.ann import knn_graph_build
+    from vector_search_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 6
+    g = knn_graph_build(
+        emb, k=k, n_planes=24, band_bits=6, rounds=2, seed=42, dim=64
+    )
+    rows = g.collect()
+    assert rows and all(r["src_id"] != r["nbr_id"] for r in rows)
+    per_node: dict = {}
+    for r in rows:
+        per_node.setdefault(r["src_id"], []).append((r["rank"], r["score"]))
+    for src, lst in per_node.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
+        scores = [s for _, s in lst]
+        assert scores == sorted(scores, reverse=True)
+        assert len(lst) <= k
+
+    a = emb.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("vb"))
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    exact = (
+        a.join(b, F.col("src_id") != F.col("nbr_id"))
+        .withColumn("cos", cosine_sim("va", "vb"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src_id", "nbr_id")
+        .collect()
+    )
+    want: dict = {}
+    for r in exact:
+        want.setdefault(r["src_id"], set()).add(r["nbr_id"])
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["src_id"], set()).add(r["nbr_id"])
+    recalls = [
+        len(got.get(s, set()) & nb) / len(nb) for s, nb in want.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.25, sum(recalls) / len(recalls)
+
+
+def test_knn_graph_nn_descent_converges_on_clusters(spark):
+    """On CLUSTERED embeddings (the data shape real corpora have) the
+    NN-descent rounds must actually converge the graph: banded candidates
+    alone give ~0.67 recall, round 1 ~0.93, round 2 ~0.99 (measured on
+    this seeded fixture) — floor the 2-round build at 0.9 and require it
+    to BEAT the 0-round build, certifying the refinement does the work."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.ann import knn_graph_build
+
+    rng = np.random.RandomState(7)
+    n, dim, ncl = 600, 64, 30
+    cents = rng.randn(ncl, dim)
+    X = np.stack([cents[i % ncl] + 0.35 * rng.randn(dim) for i in range(n)])
+    V = (X / np.linalg.norm(X, axis=1)[:, None]).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    k = 6
+    cos = (V.astype(np.float64) @ V.astype(np.float64).T)
+    nrm = np.linalg.norm(V.astype(np.float64), axis=1)
+    cos = cos / (nrm[:, None] * nrm[None, :])
+    np.fill_diagonal(cos, -2)
+    exact = {
+        i: set(np.lexsort((np.arange(n), -cos[i]))[:k]) for i in range(n)
+    }
+
+    def recall(rounds):
+        g = knn_graph_build(
+            emb, k=k, n_planes=24, band_bits=8, rounds=rounds, seed=42, dim=64
+        ).collect()
+        got: dict = {}
+        for r in g:
+            got.setdefault(r["src_id"], set()).add(r["nbr_id"])
+        return sum(
+            len(got.get(i, set()) & exact[i]) / k for i in range(n)
+        ) / n
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= 0.9, (r0, r2)
+    assert r2 > r0 + 0.1, (r0, r2)

