@@ -73,10 +73,22 @@ def replicate(df: DataFrame, table: str, n: int) -> DataFrame:
         for col in SHIFT_COLS[table]:
             c = c.withColumn(col, F.col(col) + i * stride)
         if table == "documents" and i > 0:
-            c = c.withColumn(
-                "text", F.regexp_replace("text", r"(\S+)", f"c{i}_$1")
-            ).withColumn("n_chars", F.length("text").cast("long"))
+            # source salted too: the blocked quadratic rows
+            # (d_jaccard_pairs etc.) key on (source, lang) — identical
+            # block keys across copies would make 10x data cost 100x
+            # (both engines); per-copy sources keep block sizes at base
+            # and the quadratic work linear, which is also the realistic
+            # delivery shape (new batches ARE new sources)
+            c = (
+                c.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"c{i}_$1")
+                )
+                .withColumn("n_chars", F.length("text").cast("long"))
+                .withColumn("source", F.concat(F.lit(f"c{i}_"), "source"))
+            )
         if table == "embeddings" and i > 0:
+            # label shifted for the same reason: embedding near-dup rows
+            # block on label
             pos = i % 64
             c = c.withColumn(
                 "embedding",
@@ -86,7 +98,7 @@ def replicate(df: DataFrame, table: str, n: int) -> DataFrame:
                         j == pos, (x + F.lit(0.003 * i)).cast("float")
                     ).otherwise(x),
                 ),
-            )
+            ).withColumn("label", F.col("label") + F.lit(i * 1000))
         copies.append(c)
     return reduce(DataFrame.unionByName, copies)
 

@@ -97,7 +97,13 @@ def main():
     from vector_search_spark.plans.queries import QUERIES
     from vector_search_spark.session import get_spark
 
-    spark = get_spark("parity", cpus=8)
+    import os
+
+    # default 8 matches the driver gate's resource profile; scaled-fixture
+    # sweeps (tools/make_scaled_fixtures.py at 10x) set this to 32
+    spark = get_spark(
+        "parity", cpus=int(os.environ.get("SPARK_GRAFT_PARITY_CPUS", "8"))
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
 
