@@ -5890,11 +5890,16 @@ def r_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # final GROUP BY is on s_NAME, mirroring TPC-H/the oracle exactly:
+    # grouping by supplier KEY is indistinguishable on data with unique
+    # names but diverges the moment two suppliers share one (caught by
+    # the 10x-replicated parity sweep, round 7 — copies duplicate names)
     return (
         per_order.groupBy("the_supp")
-        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("nw"))
         .join(F.broadcast(supp), F.col("the_supp") == supp.s_suppkey)
-        .select("s_name", "numwait")
+        .groupBy("s_name")
+        .agg(F.sum("nw").cast("long").alias("numwait"))
     )
 
 
