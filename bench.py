@@ -85,6 +85,7 @@ HEADLINE = [
     "w_gap_fill_interpolate",
     # round-7 flagship additions
     "v_knn_graph_build",
+    "t_bpe_train",
 ]
 
 

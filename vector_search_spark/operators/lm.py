@@ -151,3 +151,108 @@ def bm25_scaled_contrib(
     return s.select(
         doc_id, "term", F.round(contrib * 1e9, 0).cast("long").alias("ci")
     )
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """Learn the first ``k`` BPE merges from a corpus — TOKENIZER TRAINING
+    as a distributed job (Sennrich et al. 2016 semantics, exactly):
+
+    1. CORPUS STAGE (the 100 TB part): word-frequency table via one
+       map-side-combined groupBy — industrial BPE trains on the word-count
+       dictionary, never re-scanning raw text per round, so the corpus is
+       read ONCE and every round operates on the vocabulary-sized state.
+    2. Init: word → [chars..., '</w>'] symbol sequences.
+    3. Per round: adjacent-pair counts weighted by word frequency
+       (overlapping occurrences counted, textbook), argmax pair with
+       (count DESC, pair ASC) tie-break — a ONE-ROW driver scalar, the
+       r_q15 bounded-scalar pattern — then the merge applied to every
+       sequence left-to-right non-overlapping via an Arrow stage
+       (vocabulary-sized; checkpointed per round, iterative-loop rule).
+
+    Returns the learned merge table (rank, sym_a, sym_b, n) — n is the
+    pair's weighted count at selection time. The DuckDB oracle replays
+    every round in pure SQL: the left-to-right non-overlap rule is
+    relational because for sym_a != sym_b adjacent matches cannot
+    overlap, and for sym_a == sym_b greedy scan = keeping the odd
+    positions of each consecutive-match run (run-parity windows).
+    Reference counterpart: the tokenizer the reference's embedding
+    calls assume; north-star "token counting (BPE-ish)" taken to the
+    training side."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    spark = docs.sparkSession
+    wf = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    seqs = wf.select(
+        F.col("w").alias("wid"),
+        "cnt",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substr("w", i, F.lit(1)),
+            ),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    schema = StructType(
+        [
+            StructField("wid", StringType()),
+            StructField("cnt", LongType()),
+            StructField("syms", ArrayType(StringType())),
+        ]
+    )
+    merges = []
+    for r in range(k):
+        n1 = F.size("syms") - 1
+        pairs = seqs.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n1),
+                    F.slice("syms", 2, n1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, tot = best["a"], best["b"], int(best["total"])
+        merges.append((r + 1, a, b, tot))
+
+        def apply_merge(batches, a=a, b=b):
+            ab = a + b
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    L = list(syms)
+                    res, i = [], 0
+                    while i < len(L):
+                        if i + 1 < len(L) and L[i] == a and L[i + 1] == b:
+                            res.append(ab)
+                            i += 2
+                        else:
+                            res.append(L[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame(
+                    {"wid": pdf["wid"], "cnt": pdf["cnt"], "syms": out}
+                )
+
+        seqs = seqs.mapInPandas(apply_merge, schema).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        merges, "rank long, sym_a string, sym_b string, n long"
+    )

@@ -9342,6 +9342,75 @@ def d_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(k: int) -> str:
+    """DuckDB replay of ``operators.lm.bpe_train`` — every round exact.
+    Left-to-right non-overlapping merge application is relational: for
+    a != b adjacent matches cannot overlap (an overlap at p, p+1 forces
+    syms[p+1] = b = a); for a == b the greedy scan keeps the odd
+    positions of each consecutive run of match positions (run-parity:
+    run id = i - row_number, then odd row_number within the run)."""
+    parts = [
+        "WITH wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt"
+        " FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+        " WHERE length(w) > 0 GROUP BY w)",
+        "s0 AS MATERIALIZED (SELECT w AS wid, cnt, list_append(list_transform("
+        "generate_series(1, length(w)), i -> substr(w, i, 1)), '</w>') "
+        "AS syms FROM wf)",
+    ]
+    for r in range(k):
+        parts += [
+            f"p{r} AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b,"
+            f" SUM(cnt) AS total FROM (SELECT cnt, syms,"
+            f" unnest(generate_series(1, len(syms) - 1)) AS i FROM s{r})"
+            f" GROUP BY 1, 2)",
+            f"b{r} AS MATERIALIZED (SELECT a, b, total FROM p{r}"
+            f" ORDER BY total DESC, a ASC, b ASC LIMIT 1)",
+            f"e{r} AS MATERIALIZED (SELECT wid, cnt, i, syms[i] AS s,"
+            f" CASE WHEN i < len(syms) THEN syms[i+1] END AS nxt"
+            f" FROM (SELECT wid, cnt, syms,"
+            f" unnest(generate_series(1, len(syms))) AS i FROM s{r}))",
+            f"m{r} AS MATERIALIZED (SELECT *, (s = (SELECT a FROM b{r})"
+            f" AND nxt = (SELECT b FROM b{r})) AS ism FROM e{r})",
+            f"c{r} AS MATERIALIZED (SELECT wid, i, TRUE AS chosen FROM ("
+            f"SELECT wid, i, ROW_NUMBER() OVER (PARTITION BY wid, rid"
+            f" ORDER BY i) AS kk FROM (SELECT wid, i,"
+            f" i - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY i) AS rid"
+            f" FROM m{r} WHERE ism) rr) z"
+            f" WHERE (SELECT a FROM b{r}) <> (SELECT b FROM b{r})"
+            f" OR kk % 2 = 1)",
+            f"s{r + 1} AS MATERIALIZED (SELECT mm.wid AS wid, mm.cnt AS cnt, list("
+            f"CASE WHEN c.chosen THEN mm.s || mm.nxt ELSE mm.s END"
+            f" ORDER BY mm.i) AS syms"
+            f" FROM m{r} mm"
+            f" LEFT JOIN c{r} c ON c.wid = mm.wid AND c.i = mm.i"
+            f" LEFT JOIN c{r} cp ON cp.wid = mm.wid AND cp.i = mm.i - 1"
+            f" WHERE cp.chosen IS NULL GROUP BY mm.wid, mm.cnt)",
+        ]
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, a AS sym_a, b AS sym_b,"
+        f" CAST(total AS BIGINT) AS n FROM b{r}"
+        for r in range(k)
+    )
+    return ",\n".join(parts) + "\n" + sel
+
+
+@register("t_bpe_train", oracle=_bpe_oracle(8))
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING over the corpus — the first 8 learned
+    merges (``operators.lm.bpe_train``, exact Sennrich semantics): one
+    corpus scan builds the word-frequency dictionary (map-side-combined
+    groupBy — the 100 TB stage), then every round counts weighted
+    adjacent symbol pairs, picks the argmax (count DESC, pair ASC), and
+    applies the merge left-to-right non-overlapping to the
+    vocabulary-sized sequence state. The oracle replays all 8 rounds in
+    pure SQL (run-parity windows express the greedy scan), so learned
+    merges AND their counts must match exactly. Completes the text-
+    analysis family's token-counting rows with the training side."""
+    from ..operators.lm import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), "text", k=8)
+
+
 @register(
     "t_freq_spectrum",
     oracle="""
