@@ -250,8 +250,11 @@ def bpe_train(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
                     {"wid": pdf["wid"], "cnt": pdf["cnt"], "syms": out}
                 )
 
+        # lazy checkpoint: the apply stage materializes inside the NEXT
+        # round's argmax job (one job per round, not two); both consumers
+        # of the checkpointed state read the same materialization
         seqs = seqs.mapInPandas(apply_merge, schema).localCheckpoint(
-            eager=True
+            eager=False
         )
     return spark.createDataFrame(
         merges, "rank long, sym_a string, sym_b string, n long"
