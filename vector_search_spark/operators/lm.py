@@ -153,7 +153,12 @@ def bm25_scaled_contrib(
     )
 
 
-def bpe_train(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    return_state: bool = False,
+):
     """Learn the first ``k`` BPE merges from a corpus — TOKENIZER TRAINING
     as a distributed job (Sennrich et al. 2016 semantics, exactly):
 
@@ -256,6 +261,10 @@ def bpe_train(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
         seqs = seqs.mapInPandas(apply_merge, schema).localCheckpoint(
             eager=False
         )
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         merges, "rank long, sym_a string, sym_b string, n long"
     )
+    # return_state: the final sequence relation IS the trained tokenizer
+    # applied to every vocabulary word — the apply side (tokenizing a
+    # corpus) is a word join against it, never a re-scan of the rounds
+    return (out, seqs) if return_state else out

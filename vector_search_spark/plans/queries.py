@@ -9342,7 +9342,7 @@ def d_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(k: int) -> str:
+def _bpe_oracle(k: int, final: str | None = None) -> str:
     """DuckDB replay of ``operators.lm.bpe_train`` — every round exact.
     Left-to-right non-overlapping merge application is relational: for
     a != b adjacent matches cannot overlap (an overlap at p, p+1 forces
@@ -9386,7 +9386,7 @@ def _bpe_oracle(k: int) -> str:
             f" LEFT JOIN c{r} cp ON cp.wid = mm.wid AND cp.i = mm.i - 1"
             f" WHERE cp.chosen IS NULL GROUP BY mm.wid, mm.cnt)",
         ]
-    sel = "\nUNION ALL ".join(
+    sel = final or "\nUNION ALL ".join(
         f"SELECT CAST({r + 1} AS BIGINT) AS rank, a AS sym_a, b AS sym_b,"
         f" CAST(total AS BIGINT) AS n FROM b{r}"
         for r in range(k)
@@ -9409,6 +9409,40 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import bpe_train
 
     return bpe_train(_t(spark, sf_dir, "documents"), "text", k=8)
+
+
+@register(
+    "t_bpe_apply_tokens",
+    oracle=_bpe_oracle(
+        8,
+        final=(
+            "SELECT token AS token, CAST(SUM(cnt) AS BIGINT) AS n_occurrences"
+            " FROM (SELECT cnt, unnest(syms) AS token FROM s8)"
+            " GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT 20"
+        ),
+    ),
+)
+def t_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY side of the trained BPE tokenizer: the top-20 learned-token
+    frequencies over the corpus after the 8 merges of ``t_bpe_train``.
+    The final sequence state from training IS the tokenizer applied to
+    every vocabulary word (each word's symbol list), so corpus-level
+    token counts are one explode + word-frequency-weighted groupBy over
+    the vocabulary-sized state — tokenizing 100 TB never re-runs the
+    merge rounds per document. Oracle replays train + apply in one
+    chain, so token strings AND counts must match exactly."""
+    from ..operators.lm import bpe_train
+
+    _, seqs = bpe_train(
+        _t(spark, sf_dir, "documents"), "text", k=8, return_state=True
+    )
+    return (
+        seqs.select("cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )
 
 
 @register(
