@@ -1826,11 +1826,16 @@ def main() -> None:
         # raising band_bits with corpus size (documented; the SHUFFLE
         # structure — (band,key) equi-join + k-bounded adjacency joins —
         # is the scale-safe part being certified).
+        import os
+
         from vector_search_spark.operators.ann import knn_graph_build
+
+        bits = int(os.environ.get("SPARK_GRAFT_KNN_GRAPH_BITS", "6"))
 
         def run():
             return knn_graph_build(
-                src, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=64
+                src, k=6, n_planes=24, band_bits=bits, rounds=2, seed=42,
+                dim=64,
             ).count()
 
         return run
