@@ -88,14 +88,18 @@ def main():
         brute_t.append(time.perf_counter() - t0)
 
     # the Spark-native serving form: amortize the scheduling floor by
-    # batching probes into ONE plan (what s_streaming_knn_serve does per
-    # micro-batch). Per-query cost should fall 1-2 orders of magnitude.
+    # batching probes into ONE plan — measured through the SHIPPED API
+    # (streaming.serving.AnnIndexServer.serve_batch, which
+    # s_streaming_knn_serve's per-micro-batch form matches).
+    from vector_search_spark.streaming.serving import AnnIndexServer
+
+    server = AnnIndexServer(spark, path, cents, k=10)
     batch_probes = spark.createDataFrame(
         [(r["vec_id"], r["embedding"]) for r in probe_rows],
         "probe_id long, probe_vec array<float>",
     )
     t0 = time.perf_counter()
-    ivf_probe_index(spark, path, cents, batch_probes, k=10).collect()
+    server.serve_batch(batch_probes).collect()
     batch_s = time.perf_counter() - t0
 
     print(
