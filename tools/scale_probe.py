@@ -1840,6 +1840,18 @@ def main() -> None:
 
         return run
 
+    def bpe(src):
+        # t_bpe_train shape: the corpus stage (word-frequency groupBy) is
+        # the part that scales; the 8 merge rounds run on the
+        # vocabulary-sized state (salted copies grow vocab 10x, rounds
+        # stay cheap) — expect ~linear-or-better wall growth.
+        from vector_search_spark.operators.lm import bpe_train
+
+        def run():
+            return bpe_train(src, "text", k=8).count()
+
+        return run
+
     def centroid_drift(src):
         # v_centroid_drift shape: ONE conditional-aggregation pass, 18
         # longs per (label) group — the per-label shuffle is O(labels),
@@ -1993,6 +2005,7 @@ def main() -> None:
         ("percentiles", percentiles(docs), percentiles(docs_big)),
         ("hamming_knn", hamming_knn(emb), hamming_knn(emb_big)),
         ("knn_graph", knn_graph(emb), knn_graph(emb_big)),
+        ("bpe_train", bpe(docs), bpe(docs_big)),
         ("temporal_join", temporal_join(ev), temporal_join(ev_big)),
         ("dsir", dsir(docs), dsir(docs_big)),
         ("hll_union", hll_union(ev), hll_union(ev_big)),
