@@ -4214,6 +4214,73 @@ def pipe_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_oracle() -> str:
+    """DuckDB replay of the Count-Min build + probe — estimates are
+    deterministic (pinned universal-hash params), so VALUES cross-check,
+    not just error bounds."""
+    from ..operators.sketch import CMS_PARAMS, CMS_PRIME
+
+    def pos(a, b):
+        return f"((user_id * {a} + {b}) % {CMS_PRIME}) & 1023"
+
+    build = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, {pos(a, b)} AS c FROM events"
+        for r, (a, b) in enumerate(CMS_PARAMS)
+    )
+    probe = "\n  UNION ALL ".join(
+        f"SELECT user_id, exact_n, {r} AS r, {pos(a, b)} AS c FROM exact"
+        for r, (a, b) in enumerate(CMS_PARAMS)
+    )
+    return f"""
+WITH pos AS MATERIALIZED (
+  {build}),
+cells AS MATERIALIZED (
+  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n FROM pos GROUP BY r, c),
+exact AS MATERIALIZED (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events
+  GROUP BY user_id ORDER BY exact_n DESC, user_id ASC LIMIT 10),
+ppos AS (
+  {probe}),
+est AS (
+  SELECT p.user_id, p.exact_n, MIN(COALESCE(cl.n, 0)) AS cms_n
+  FROM ppos p LEFT JOIN cells cl ON cl.r = p.r AND cl.c = p.c
+  GROUP BY p.user_id, p.exact_n)
+SELECT user_id, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+       CAST(cms_n - exact_n AS BIGINT) AS over_n
+FROM est
+"""
+
+
+@register("a_cms_heavy_hitters", oracle=_cms_oracle())
+def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters — the mergeable COUNT sketch next
+    to ``a_hll_sketch_union``'s cardinality sketch: build 4×1024 cell
+    sums over event user_ids (one explode + map-side-combined groupBy —
+    the whole sketch is a 4096-row relation at ANY corpus size, and SUM
+    merges shards/days), then point-estimate the top-10 exact heavy
+    hitters via min-over-rows against the broadcast cell table. Pinned
+    universal-hash params make the estimates deterministic, so the
+    oracle checks the estimated VALUES and the (always ≥ 0) overcount —
+    not just an error bound."""
+    from ..operators.sketch import cms_cells, cms_estimate
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cells = cms_cells(ev, "user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = cms_estimate(cells, exact.select("user_id"), "user_id")
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("over_n"),
+    )
+
+
 @register(
     "a_hll_sketch_union",
     oracle="""
