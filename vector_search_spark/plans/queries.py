@@ -4340,6 +4340,161 @@ def a_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_quantile_sketch",
+    oracle="""
+WITH ev AS MATERIALIZED (
+  SELECT date_trunc('week', ts) AS wk,
+         date_trunc('day', ts) AS day,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events),
+daily AS (
+  SELECT wk, day, cents // 1000 AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2, 3),
+hist AS (
+  SELECT wk, bucket, CAST(SUM(n) AS BIGINT) AS n
+  FROM daily GROUP BY 1, 2),
+h2 AS (
+  SELECT wk, bucket, n,
+         SUM(n) OVER (PARTITION BY wk ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY wk) AS tot
+  FROM hist),
+est AS (
+  SELECT wk, MAX(tot) AS n,
+         (MIN(CASE WHEN cum >= (tot + 1) // 2 THEN bucket END) + 1)
+           * 1000 - 1 AS p50_est,
+         (MIN(CASE WHEN cum >= (9 * tot + 9) // 10 THEN bucket END) + 1)
+           * 1000 - 1 AS p90_est,
+         (MIN(CASE WHEN cum >= (99 * tot + 99) // 100 THEN bucket END) + 1)
+           * 1000 - 1 AS p99_est
+  FROM h2 GROUP BY wk),
+e2 AS (
+  SELECT wk, cents,
+         ROW_NUMBER() OVER (PARTITION BY wk ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY wk) AS tot
+  FROM ev),
+exact AS (
+  SELECT wk,
+         MIN(CASE WHEN rn = (tot + 1) // 2 THEN cents END) AS p50_exact,
+         MIN(CASE WHEN rn = (9 * tot + 9) // 10 THEN cents END) AS p90_exact,
+         MIN(CASE WHEN rn = (99 * tot + 99) // 100 THEN cents END)
+           AS p99_exact
+  FROM e2 GROUP BY wk)
+SELECT STRFTIME(est.wk, '%Y-%m-%d') AS week,
+       CAST(n AS BIGINT) AS n,
+       CAST(p50_est AS BIGINT) AS p50_est,
+       CAST(p90_est AS BIGINT) AS p90_est,
+       CAST(p99_est AS BIGINT) AS p99_est,
+       CAST(p50_exact AS BIGINT) AS p50_exact,
+       CAST(p90_exact AS BIGINT) AS p90_exact,
+       CAST(p99_exact AS BIGINT) AS p99_exact,
+       CAST(p99_est - p99_exact AS BIGINT) AS err99
+FROM est JOIN exact USING (wk)
+""",
+)
+def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch — completes the mergeable-sketch trio
+    next to ``a_hll_sketch_union`` (cardinality) and
+    ``a_cms_heavy_hitters`` (counts): per-DAY fixed-width bucket
+    histograms over event values (cents-space, $10 buckets — the
+    materialized daily sketch table) are SUM-merged per week, and
+    p50/p90/p99 are read off the merged histogram as the upper edge of
+    the bucket holding rank ceil(q*n). Cells are plain sums, so any
+    rollup (week/month/all-time) composes from O(buckets) rows —
+    exactly what exact percentiles lack at 100 TB, where the raw-value
+    sort is the thing you cannot afford. The exact rank-quantile twin
+    (one window sort, feasible at fixture scale) rides along so the
+    sketch's error is a checked VALUE: ``err99`` is provably in
+    [0, bucket_width) and the oracle recomputes it. All arithmetic is
+    integer (FLOOR cents quantize, DIV ranks) — no float boundary
+    hazards at any scale. Rank convention: smallest r with r >= q*n
+    (lower quantile-disc), computed as ceil via (q_num*n + q_den-1)
+    DIV q_den entirely in BIGINT space; 0.9*n in a double would round
+    unpredictably at exact multiples, DIV cannot.
+
+    Reference parity: the reference has no sketch surface (it delegates
+    aggregation to MariaDB, camp_vec_rcmn.py); this is north-star
+    extension like the HLL/CMS rows."""
+    width = 1000  # bucket width in cents ($10)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("week", "ts").alias("wk"),
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    daily = ev.groupBy(
+        "wk", "day", F.expr(f"cents DIV {width}").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+    hist = daily.groupBy("wk", "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    wk_cum = (
+        Window.partitionBy("wk")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h2 = hist.select(
+        "wk",
+        "bucket",
+        F.sum("n").over(wk_cum).alias("cum"),
+        F.sum("n").over(Window.partitionBy("wk")).alias("tot"),
+    )
+
+    def _est(rank_expr: str, alias: str):
+        return (
+            (
+                F.min(
+                    F.when(F.expr(f"cum >= {rank_expr}"), F.col("bucket"))
+                )
+                + 1
+            )
+            * width
+            - 1
+        ).cast("long").alias(alias)
+
+    est = h2.groupBy("wk").agg(
+        F.max("tot").cast("long").alias("n"),
+        _est("(tot + 1) DIV 2", "p50_est"),
+        _est("(9 * tot + 9) DIV 10", "p90_est"),
+        _est("(99 * tot + 99) DIV 100", "p99_est"),
+    )
+    e2 = ev.select(
+        "wk",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("wk").orderBy("cents"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("wk")).alias("tot"),
+    )
+
+    def _exact(rank_expr: str, alias: str):
+        return (
+            F.min(F.when(F.expr(f"rn = {rank_expr}"), F.col("cents")))
+            .cast("long")
+            .alias(alias)
+        )
+
+    exact = e2.groupBy("wk").agg(
+        _exact("(tot + 1) DIV 2", "p50_exact"),
+        _exact("(9 * tot + 9) DIV 10", "p90_exact"),
+        _exact("(99 * tot + 99) DIV 100", "p99_exact"),
+    )
+    return est.join(F.broadcast(exact), "wk").select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        "n",
+        "p50_est",
+        "p90_est",
+        "p99_est",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        (F.col("p99_est") - F.col("p99_exact")).cast("long").alias("err99"),
+    )
+
+
+@register(
     "t_entropy_score",
     oracle="""
 WITH ch AS (
