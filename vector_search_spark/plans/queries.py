@@ -4494,6 +4494,126 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(rounds: int) -> str:
+    """Replay every power-iteration round in chained MATERIALIZED CTEs
+    (each referenced once — linear, but MATERIALIZED per the DuckDB
+    CTE-inlining lesson). All arithmetic is BIGINT: ranks live in ppb
+    units, contributions truncate via //, damping is (85*S)//100."""
+    tele = "(15000000000 // (100 * n))"
+    parts = [
+        """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS MATERIALIZED (
+  SELECT cust AS src, supp AS dst FROM pairs
+  UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
+deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+r0 AS MATERIALIZED (
+  SELECT src, CAST(1000000000 // n AS BIGINT) AS rank FROM deg, nn)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT e.dst AS src,
+         CAST({tele} + (85 * SUM(r.rank // d.outdeg)) // 100 AS BIGINT)
+           AS rank
+  FROM edges e
+  JOIN r{t - 1} r ON e.src = r.src
+  JOIN deg d ON e.src = d.src
+  CROSS JOIN nn
+  GROUP BY e.dst, n)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT src AS node, CAST(rank AS BIGINT) AS rank_ppb
+FROM r{rounds}
+ORDER BY rank_ppb DESC, node ASC LIMIT 20
+"""
+    )
+
+
+@register("a_graph_pagerank", oracle=_pagerank_oracle(6))
+def a_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 6 power-iteration rounds) over the
+    customer↔supplier trade graph — the web-graph centrality class
+    (Common-Crawl page-quality weighting for training-data curation)
+    the registry lacked next to label-propagation (`d_dup_clusters`).
+    The whole iteration runs in exact BIGINT ppb space so every round
+    replays identically in both engines: r0 = 1e9 DIV N, contribution
+    = rank DIV outdeg (truncating), update = TELE + (85·S) DIV 100
+    with TELE = 15e9 DIV (100·N) — a float damping factor would drift
+    engines apart by round 2; integer DIV cannot. The bipartite edge
+    set is symmetrized (both directions), so every node has in-edges
+    and no dangling-mass term is needed.
+
+    Scale shape: edges build is one equi-join + distinct; each round
+    is one join (rank side is node-cardinality — AQE picks broadcast
+    at fixture scale, deliberately un-hinted so it stays SMJ-capable
+    when nodes outgrow a broadcast, the bigram-model precedent) + one
+    map-side-combined groupBy on dst. Round count is fixed (6), not
+    data-dependent, and per-round state is O(nodes), never O(edges²).
+    The N-node count is the one driver scalar (bounded: a LONG), the
+    documented scalar-agg boundary class.
+
+    Reference parity: no graph surface in the reference; north-star
+    extension like the sketch trio."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("supp").alias("src"), F.col("cust").alias("dst")
+            )
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    # edges+deg feed all 6 rounds of ONE final job; checkpoint once at the
+    # cross-round cut so the lineitem join isn't re-derived per round (the
+    # in-job ReusedExchange lesson covers identical subtrees, but the
+    # 6 round plans nest — one eager cut keeps the analyzer flat too)
+    ed = (
+        edges.join(deg, "src")
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()
+    tele = 15 * 10**9 // (100 * n_nodes)
+    r0 = 10**9 // n_nodes
+    ranks = deg.select("src", F.lit(r0).cast("long").alias("rank"))
+    for _ in range(6):
+        ranks = (
+            ed.join(ranks, "src")
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(tele)
+                    + F.expr("85 * SUM(rank DIV outdeg) DIV 100")
+                )
+                .cast("long")
+                .alias("rank")
+            )
+            .withColumnRenamed("dst", "src")
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("src"))
+        .limit(20)
+        .select(F.col("src").alias("node"), F.col("rank").alias("rank_ppb"))
+    )
+
+
 @register(
     "t_entropy_score",
     oracle="""
