@@ -198,3 +198,35 @@ def test_attribution_conserves_negative_values(spark, tmp_path):
         (4, 1): -34, (4, 2): -33, (4, 3): -33,
         (5, 1): 34, (5, 2): 33, (5, 3): 33,
     }
+
+
+def test_quantile_sketch_error_bounded_by_bucket_width(spark, sf_dir):
+    """The mergeable-histogram quantile estimate is the upper edge of the
+    bucket holding rank ceil(q*n), so est - exact must land in
+    [0, bucket_width) for EVERY quantile and week — the sketch's whole
+    contract. (Parity checks the values; this pins the guarantee.)"""
+    from vector_search_spark.plans.queries import QUERIES
+
+    rows = QUERIES["a_quantile_sketch"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for q in ("p50", "p90", "p99"):
+            err = r[f"{q}_est"] - r[f"{q}_exact"]
+            assert 0 <= err < 1000, (r["week"], q, err)
+        assert r["err99"] == r["p99_est"] - r["p99_exact"]
+
+
+def test_pagerank_ranks_bounded_and_ordered(spark, sf_dir):
+    """Integer-space PageRank invariants on the top-20: ranks strictly
+    positive, no node above total mass (1e9 ppb), ordering is
+    (rank DESC, node ASC), and nodes are distinct. Truncating DIV only
+    ever LOSES mass, so no rank can exceed the initial total."""
+    from vector_search_spark.plans.queries import QUERIES
+
+    rows = QUERIES["a_graph_pagerank"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert len({r["node"] for r in rows}) == 20
+    for prev, cur in zip(rows, rows[1:]):
+        assert (prev["rank_ppb"], cur["node"]) > (cur["rank_ppb"], prev["node"])
+    for r in rows:
+        assert 0 < r["rank_ppb"] < 10**9
