@@ -219,3 +219,22 @@ def test_ohlc_bars_single_exchange(spark, sf_dir):
     plan = _executed_plan(QUERIES["w_ohlc_bars"].fn(spark, sf_dir))
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1, final
+
+
+def test_zorder_skipping_prunes_z_prefix_partitions(spark, sf_dir):
+    # the z-order layout's contract: the zp superset range must reach the
+    # scan as a PartitionFilter (directory pruning), not a post-scan
+    # re-filter, and it must actually prune (box zp-range [2,3] out of
+    # the ~27 directories the fixture's z domain produces)
+    from vector_search_spark.plans.queries import QUERIES
+
+    df = QUERIES["pipe_zorder_skipping"].fn(spark, sf_dir)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "zp" in m.group(1), plan
+    assert not re.search(r"Filter [^\n]*zp", plan), plan
+    # the z row-group-skip predicate must reach the scan as a DataFilter
+    # (and thence parquet PushedFilters, where the within-partition sort
+    # makes min/max stats selective) — toString truncates PushedFilters,
+    # so pin the untruncated DataFilters prefix
+    assert re.search(r"DataFilters: \[[^\]]*\(z#\d+L? >= 128\)", plan), plan

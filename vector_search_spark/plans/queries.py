@@ -3862,6 +3862,113 @@ def pipe_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_expr(x: str, y: str, bits: int, div: str) -> str:
+    """Bit-interleave z-value as pure integer arithmetic, identical in
+    Spark SQL (div='DIV') and DuckDB (div='//'). Monotone in each
+    coordinate, so z(box_lo) <= z(p) <= z(box_hi) for every p in an
+    axis-aligned box — the property the superset range rewrite needs."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({y} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_val(x: int, y: int, bits: int = 9) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+# box: day-of-year second week (8..15, power-of-2 aligned) x value band
+# [$0, $160) (cents DIV 1000 in 0..15) — z in [il(8,0), il(15,15)]
+_Z_X0, _Z_X1, _Z_Y0, _Z_Y1 = 8, 15, 0, 15
+_Z_LO = _zorder_val(_Z_X0, _Z_Y0)
+_Z_HI = _zorder_val(_Z_X1, _Z_Y1)
+_ZP_W = 64  # z-prefix partition width
+
+
+@register(
+    "pipe_zorder_skipping",
+    oracle=f"""
+SELECT event_type AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+WHERE dayofyear(ts) BETWEEN {_Z_X0} AND {_Z_X1}
+  AND CAST(FLOOR(value * 100) AS BIGINT) // 1000
+        BETWEEN {_Z_Y0} AND {_Z_Y1}
+GROUP BY event_type
+""",
+)
+def pipe_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout + two-dimensional data
+    skipping — the multi-column half of the storage-layout story next
+    to ``pipe_partition_prune``'s single-column day partitioning:
+    interleaving the bits of (day-of-year, value-band) clusters rows so
+    an axis-aligned box on EITHER OR BOTH dimensions maps to a narrow
+    z range (z is monotone per coordinate, so
+    [z(box_lo), z(box_hi)] is a provable superset of the box). The
+    layout writes once partitioned by the z PREFIX (z DIV 64 — the
+    file-granularity skip unit, what Delta/Iceberg z-ordering does with
+    file stats) and sorted by z within partitions (the row-group-stats
+    skip unit). The box query then pushes three predicate layers:
+    zp range (directory pruning, PartitionFilters — pinned in
+    tests/test_plan_shapes.py: 27 dirs -> 2 at fixture scale), z range
+    (parquet row-group min/max skipping on the sorted column), and the
+    exact box (correctness). The oracle computes the box aggregate from
+    the RAW table with no z anywhere, certifying the rewrite is
+    lossless. All z arithmetic is shared-source integer bit
+    composition (`_zorder_expr`), identical in both engines.
+
+    At 100 TB: partitionBy(day) cannot also cluster by value; z-order
+    gives both dimensions sub-linear reads from ONE layout, and the
+    write is a single repartition+sort — the standard lakehouse
+    OPTIMIZE ZORDER shape. Reference has no storage layout surface;
+    north-star extension."""
+    from ..utils import pid_scratch
+
+    zex = _zorder_expr("doy", "yb", 9, "DIV")
+    path = pid_scratch("zorder_events", sf_dir)
+    base = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.dayofyear("ts").cast("long").alias("doy"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("yb", F.expr("cents DIV 1000"))
+        .withColumn("z", F.expr(zex).cast("long"))
+        .withColumn("zp", F.expr(f"{zex} DIV {_ZP_W}").cast("long"))
+    )
+    (
+        base.repartition("zp")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .partitionBy("zp")
+        .parquet(path)
+    )
+    part = spark.read.parquet(path)
+    return (
+        part.filter(
+            (F.col("zp") >= _Z_LO // _ZP_W)
+            & (F.col("zp") <= _Z_HI // _ZP_W)
+            & (F.col("z") >= _Z_LO)
+            & (F.col("z") <= _Z_HI)
+            & F.col("doy").between(_Z_X0, _Z_X1)
+            & F.col("yb").between(_Z_Y0, _Z_Y1)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
 @register(
     "r_decimal_exact_sum",
     oracle="""
