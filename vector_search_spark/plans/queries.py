@@ -10547,3 +10547,50 @@ def s_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "volume_c",
     )
+
+
+@register("s_stream_cms_update", oracle=_cms_oracle())
+def s_stream_cms_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min maintenance — the payoff of sketch
+    mergeability made executable: because CMS cells are plain sums, the
+    streaming build is the SAME ``cms_cells`` aggregate the batch row
+    uses (one explode + groupBy), run as a Structured Streaming
+    complete-mode aggregate whose state is bounded at depth×width =
+    4 096 cells NO MATTER how long the stream runs — the property that
+    makes per-key exact counting (unbounded state) unnecessary at
+    100 TB/day event volumes. Real availableNow run through the file
+    source; the serve side then point-estimates the exact top-10 heavy
+    hitters against the STREAMED cell table, and the oracle is
+    byte-identical to ``a_cms_heavy_hitters``'s — certifying the
+    streaming path reproduces the batch sketch cell-for-cell (the
+    batch≡stream twin pattern of ``s_stream_ohlc``)."""
+    from ..operators.sketch import cms_cells, cms_estimate
+    from ..streaming.windows import stream_events
+
+    _STATEFUL_RUN_COUNTER[0] += 1
+    name = f"stream_cms_{_STATEFUL_RUN_COUNTER[0]}"
+    src = stream_events(spark, f"{sf_dir}/events*.parquet").select("user_id")
+    q = (
+        cms_cells(src, "user_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cells = spark.table(name)
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = cms_estimate(cells, exact.select("user_id"), "user_id")
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("over_n"),
+    )
