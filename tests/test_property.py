@@ -230,3 +230,24 @@ def test_pagerank_ranks_bounded_and_ordered(spark, sf_dir):
         assert (prev["rank_ppb"], cur["node"]) > (cur["rank_ppb"], prev["node"])
     for r in rows:
         assert 0 < r["rank_ppb"] < 10**9
+
+
+def test_floordiv_identity_matches_python_floor_division(spark):
+    """The integer floor-div identity used by a_quantile_sketch and
+    pipe_zorder_skipping (`a DIV b - IF(a % b < 0, 1, 0)`, b > 0) must
+    equal Python's // (= DuckDB's //) across the sign boundary — Spark's
+    bare DIV truncates toward zero and diverges on negative dividends,
+    which is exactly the latent-parity class the fix closed."""
+    from pyspark.sql import functions as F
+
+    vals = list(range(-2005, 2006, 7)) + [-1000, -999, -1, 0, 1, 999, 1000]
+    df = spark.createDataFrame([(v,) for v in vals], "a BIGINT")
+    got = {
+        r["a"]: r["fd"]
+        for r in df.select(
+            "a",
+            F.expr("a DIV 1000 - IF(a % 1000 < 0, 1, 0)").alias("fd"),
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == v // 1000, (v, got[v], v // 1000)

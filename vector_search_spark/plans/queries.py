@@ -3863,10 +3863,15 @@ def pipe_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_expr(x: str, y: str, bits: int, div: str) -> str:
-    """Bit-interleave z-value as pure integer arithmetic, identical in
-    Spark SQL (div='DIV') and DuckDB (div='//'). Monotone in each
-    coordinate, so z(box_lo) <= z(p) <= z(box_hi) for every p in an
-    axis-aligned box — the property the superset range rewrite needs."""
+    """Bit-interleave z-value as pure integer arithmetic. CONTRACT: both
+    coordinates must be NON-NEGATIVE (and < 2^bits) — for negative
+    operands Spark's DIV truncates toward zero while DuckDB's // floors,
+    so the two generated forms diverge and the bit decomposition itself
+    is meaningless; callers must floor-quantize coordinates into >= 0
+    range first (pipe_zorder_skipping's yb does). Within that domain the
+    expression is engine-identical and monotone in each coordinate, so
+    z(box_lo) <= z(p) <= z(box_hi) for every p in an axis-aligned box —
+    the property the superset range rewrite needs."""
     terms = []
     for i in range(bits):
         terms.append(f"(({x} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
@@ -3940,7 +3945,13 @@ def pipe_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dayofyear("ts").cast("long").alias("doy"),
             F.floor(F.col("value") * 100).cast("long").alias("cents"),
         )
-        .withColumn("yb", F.expr("cents DIV 1000"))
+        # floor-div (not DIV) so a negative-cents row lands in yb=-1 and
+        # is excluded by the box on BOTH engines (DIV would map
+        # cents in [-999,-1] to yb=0 and pass the Spark-side filter
+        # while the oracle's flooring // excludes it)
+        .withColumn(
+            "yb", F.expr("cents DIV 1000 - IF(cents % 1000 < 0, 1, 0)")
+        )
         .withColumn("z", F.expr(zex).cast("long"))
         .withColumn("zp", F.expr(f"{zex} DIV {_ZP_W}").cast("long"))
     )
@@ -4531,8 +4542,17 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
+    # FLOOR division, not DIV: Spark DIV truncates toward zero while the
+    # oracle's // floors — they disagree on negative cents (a fixture
+    # regeneration with values in (-10,0) would split engines AND widen
+    # bucket 0 to 2000 cents, breaking the err99 < width contract). The
+    # b>0 identity a_floordiv_b = a DIV b - (a % b < 0) keeps it integer.
     daily = ev.groupBy(
-        "wk", "day", F.expr(f"cents DIV {width}").alias("bucket")
+        "wk",
+        "day",
+        F.expr(
+            f"cents DIV {width} - IF(cents % {width} < 0, 1, 0)"
+        ).alias("bucket"),
     ).agg(F.count("*").cast("long").alias("n"))
     hist = daily.groupBy("wk", "bucket").agg(
         F.sum("n").cast("long").alias("n")
@@ -4678,6 +4698,12 @@ def a_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # checkpoint EDGES first so the lineitem⋈orders pairs join computes
+    # exactly ONCE: deg, the deg.count() job, the ed build, and the r0
+    # ranks subtree all re-derive it otherwise (cross-JOB recompute —
+    # ReusedExchange only shares within one job, the pipe_dedup_twolevel
+    # lesson). Everything downstream reads the checkpointed 2|pairs|-row
+    # relation instead.
     edges = (
         pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
         .unionByName(
@@ -4685,12 +4711,13 @@ def a_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("supp").alias("src"), F.col("cust").alias("dst")
             )
         )
+        .coalesce(8)
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
-    # edges+deg feed all 6 rounds of ONE final job; checkpoint once at the
-    # cross-round cut so the lineitem join isn't re-derived per round (the
-    # in-job ReusedExchange lesson covers identical subtrees, but the
-    # 6 round plans nest — one eager cut keeps the analyzer flat too)
+    # second cut at the cross-round boundary: ed feeds all 6 round joins
+    # of the final job — checkpointing it makes each round a scan, not a
+    # (re-executed, non-exchange) join subtree
     ed = (
         edges.join(deg, "src")
         .coalesce(8)
