@@ -4621,6 +4621,123 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Welch t-test formula text, shared verbatim between the Spark F.expr
+# and the DuckDB oracle so both engines evaluate the IDENTICAL
+# explicitly-ordered double expression over the same exact BIGINT
+# moments (the v_pq_adc_knn parenthesized-chain precedent); FLOOR-ppm
+# truncation of an identical double is boundary-stable (CLAUDE rule).
+_AB_VA = (
+    "((CAST(ss_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))"
+    " / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))"
+)
+_AB_VB = (
+    "((CAST(ss_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))"
+    " / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))"
+)
+_AB_T = (
+    "(((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    " - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))"
+    f" / SQRT(({_AB_VA} / CAST(n_a AS DOUBLE))"
+    f" + ({_AB_VB} / CAST(n_b AS DOUBLE))))"
+)
+
+
+@register(
+    "a_ab_welch_ttest",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id % 2 AS variant,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events),
+m AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM ev GROUP BY variant),
+w AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN variant = 0 THEN s END) AS s_a,
+         MAX(CASE WHEN variant = 1 THEN s END) AS s_b,
+         MAX(CASE WHEN variant = 0 THEN ss END) AS ss_a,
+         MAX(CASE WHEN variant = 1 THEN ss END) AS ss_b
+  FROM m),
+t AS (
+  SELECT n_a, n_b,
+         CAST(FLOOR((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * 1000000)
+              AS BIGINT) AS mean_a_ppm,
+         CAST(FLOOR((CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000)
+              AS BIGINT) AS mean_b_ppm,
+         CAST(FLOOR({_AB_VA}) AS BIGINT) AS var_a_c2,
+         CAST(FLOOR({_AB_VB}) AS BIGINT) AS var_b_c2,
+         CAST(FLOOR({_AB_T} * 1000000) AS BIGINT) AS t_ppm
+  FROM w)
+SELECT n_a, n_b, mean_a_ppm, mean_b_ppm, var_a_c2, var_b_c2, t_ppm,
+       CAST(CASE WHEN t_ppm >= 1960000 OR t_ppm <= -1960000
+                 THEN 1 ELSE 0 END AS BIGINT) AS sig
+FROM t
+""",
+)
+def a_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experimentation readout — deterministic hash-bucketed
+    assignment (user_id parity: the reproducible traffic split every
+    experiment platform uses) + Welch's unequal-variance t-test computed
+    ENTIRELY from mergeable exact integer moments (n, Σc, Σc²) — one
+    map-side-combined groupBy regardless of corpus size, the same
+    partials-compose property as the sketch trio, so the readout costs
+    one scan at any scale and per-variant moments can roll up across
+    shards/days. The double-precision tail (means, variances, t) is ONE
+    shared formula string evaluated by both engines over identical
+    BIGINTs, then FLOOR-truncated (ppm / cents²) — boundary-stable
+    because both engines floor the same IEEE double, incl. the correctly
+    rounded SQRT. Significance flag is derived from the already-floored
+    t_ppm so it is integer-deterministic. Σc² stays in BIGINT up to
+    ~1000× this fixture (3e18 < 2^63); beyond that widen the moment to
+    DECIMAL(38,0), same plan shape."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    m = ev.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    w = m.agg(
+        *[
+            F.max(F.when(F.col("variant") == v, F.col(col)))
+            .cast("long")
+            .alias(f"{col}_{tag}")
+            for v, tag in ((0, "a"), (1, "b"))
+            for col in ("n", "s", "ss")
+        ]
+    )
+    t = w.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(FLOOR((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("mean_a_ppm"),
+        F.expr(
+            "CAST(FLOOR((CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("mean_b_ppm"),
+        F.expr(f"CAST(FLOOR({_AB_VA}) AS BIGINT)").alias("var_a_c2"),
+        F.expr(f"CAST(FLOOR({_AB_VB}) AS BIGINT)").alias("var_b_c2"),
+        F.expr(f"CAST(FLOOR({_AB_T} * 1000000) AS BIGINT)").alias("t_ppm"),
+    )
+    return t.select(
+        "*",
+        F.when(
+            (F.col("t_ppm") >= 1960000) | (F.col("t_ppm") <= -1960000), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("sig"),
+    )
+
+
 def _pagerank_oracle(rounds: int) -> str:
     """Replay every power-iteration round in chained MATERIALIZED CTEs
     (each referenced once — linear, but MATERIALIZED per the DuckDB
