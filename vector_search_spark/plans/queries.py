@@ -4621,6 +4621,102 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w_cusum_changepoint",
+    oracle="""
+WITH ev AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events),
+d AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_d,
+         CAST(SUM(c) AS BIGINT) AS s_d
+  FROM ev GROUP BY day),
+g AS (
+  SELECT CAST(SUM(n_d) AS BIGINT) AS nn, CAST(SUM(s_d) AS BIGINT) AS ss
+  FROM d),
+cu AS (
+  SELECT day, n_d,
+         CAST(SUM(s_d * nn - n_d * ss)
+              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cusum
+  FROM d CROSS JOIN g)
+SELECT day, n_d, cusum,
+       CAST(CASE WHEN ABS(cusum) = (SELECT MAX(ABS(cusum)) FROM cu)
+                 AND day = (SELECT MIN(day) FROM cu c2
+                            WHERE ABS(c2.cusum) =
+                                  (SELECT MAX(ABS(cusum)) FROM cu))
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+FROM cu
+""",
+)
+def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event-value series —
+    the drift monitor a training-data pipeline runs on every ingest
+    metric (mean doc quality, mean token count, dedup rate): the
+    cumulative sum of per-day deviations from the global mean peaks at
+    the most likely change-point. Computed ENTIRELY in exact BIGINT by
+    clearing denominators — the deviation term is s_d·N − n_d·S
+    (= n_d·N·(mean_d − mean) scaled by the integer N), so the cumsum,
+    the peak, and the argmax are integer-deterministic in both engines
+    with zero float anywhere (|terms| < 2^55 even at 100× this
+    fixture). One map-side-combined daily rollup + a 1-row global
+    broadcast + a window over the day-cardinality relation — O(days)
+    state, scan-bound cost, same shape at any corpus size. Peak flag
+    tie-breaks to the earliest day."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    d = ev.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_d"),
+        F.sum("c").cast("long").alias("s_d"),
+    )
+    g = d.agg(
+        F.sum("n_d").cast("long").alias("nn"),
+        F.sum("s_d").cast("long").alias("ss"),
+    )
+    wday = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cu = (
+        d.crossJoin(F.broadcast(g))
+        .withColumn(
+            "cusum",
+            F.sum(
+                F.col("s_d") * F.col("nn") - F.col("n_d") * F.col("ss")
+            )
+            .over(wday)
+            .cast("long"),
+        )
+        .select("day", "n_d", "cusum")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    peak = (
+        cu.withColumn("mx", F.max(F.abs(F.col("cusum"))).over(wall))
+        .withColumn(
+            "first_peak_day",
+            F.min(
+                F.when(F.abs(F.col("cusum")) == F.col("mx"), F.col("day"))
+            ).over(wall),
+        )
+        .select(
+            "day",
+            "n_d",
+            "cusum",
+            F.when(
+                (F.abs(F.col("cusum")) == F.col("mx"))
+                & (F.col("day") == F.col("first_peak_day")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("is_peak"),
+        )
+    )
+    return peak
+
+
 # Welch t-test formula text, shared verbatim between the Spark F.expr
 # and the DuckDB oracle so both engines evaluate the IDENTICAL
 # explicitly-ordered double expression over the same exact BIGINT
