@@ -251,3 +251,44 @@ def test_floordiv_identity_matches_python_floor_division(spark):
     }
     for v in vals:
         assert got[v] == v // 1000, (v, got[v], v // 1000)
+
+
+def test_cusum_telescopes_to_zero(spark, sf_dir):
+    """The CUSUM invariant: deviations s_d*N - n_d*S sum over ALL days to
+    S*N - N*S = 0 exactly — any nonzero final cumsum means the moments
+    and the window disagree about the data (the canary for a partial
+    scan, a lost day, or overflow)."""
+    from vector_search_spark.plans.queries import QUERIES
+
+    rows = QUERIES["w_cusum_changepoint"].fn(spark, sf_dir).collect()
+    assert rows
+    last = max(rows, key=lambda r: r["day"])
+    assert last["cusum"] == 0, last
+    assert sum(r["is_peak"] for r in rows) == 1
+
+
+def test_welch_ttest_matches_independent_numpy(spark, sf_dir):
+    """Recompute Welch's t from the raw fixture with numpy float64 and
+    require agreement with the row's FLOOR-ppm output to 1 ulp of the
+    flooring — an independent implementation check that the shared
+    formula string actually encodes Welch and not something
+    parity-consistent but wrong on both engines."""
+    import numpy as np
+
+    from vector_search_spark.plans.queries import QUERIES
+    from vector_search_spark.sources.catalog import load_table
+
+    (row,) = QUERIES["a_ab_welch_ttest"].fn(spark, sf_dir).collect()
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .toPandas()
+    )
+    c = np.floor(pdf["value"].to_numpy() * 100).astype(np.int64)
+    v = (pdf["user_id"].to_numpy() % 2).astype(np.int64)
+    a, b = c[v == 0], c[v == 1]
+    va = a.var(ddof=1)
+    vb = b.var(ddof=1)
+    t = (a.mean() - b.mean()) / np.sqrt(va / len(a) + vb / len(b))
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["t_ppm"] - np.floor(t * 1e6)) <= 1, (row["t_ppm"], t)
