@@ -7491,6 +7491,84 @@ def t_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_inverted_index_search",
+    oracle="""
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS term
+  FROM documents),
+top2 AS MATERIALIZED (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS df FROM tok GROUP BY term)
+  ORDER BY df DESC, term ASC LIMIT 2),
+hits AS (
+  SELECT doc_id FROM tok JOIN top2 USING (term)
+  GROUP BY doc_id HAVING COUNT(*) = 2)
+SELECT d.lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def t_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BUILD + AND-query serve — the posting-list index
+    family (the text-search sibling of the persisted LSH/IVF vector
+    indexes): distinct (term, doc_id) postings are written ONCE
+    partitioned by a 16-way term-hash bucket (the shard key a search
+    index uses), and a conjunctive two-term query reads ONLY the probe
+    terms' buckets (partition pruning; inside a bucket the term filter
+    rides parquet min/max) and intersects posting lists via one
+    count==k groupBy — never touching raw text at serve time. Probe
+    terms are the two highest-df tokens (deterministic df DESC, term
+    ASC tie-break; the 2-row driver collect is the t_bm25_topk
+    bounded-boundary precedent). The oracle recomputes the conjunction
+    from the raw corpus with the identical space-split tokenization —
+    certifying the index round-trip loses no posting. At 100 TB the
+    build is one explode+distinct shuffle; serve is O(df of probe
+    terms), the whole point of the structure."""
+    from ..utils import pid_scratch
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    probe = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(16)).cast("long")
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(2)
+        .collect()
+    )
+    terms = [r["term"] for r in probe]
+    buckets = sorted({r["bucket"] for r in probe})
+    idx = tok.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(16)).cast("long")
+    )
+    path = pid_scratch("inv_index", sf_dir)
+    (
+        idx.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    part = spark.read.parquet(path)
+    hits = (
+        part.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") == 2)
+    )
+    return (
+        hits.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+@register(
     "t_lm_bigram_score",
     oracle="""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
