@@ -238,3 +238,16 @@ def test_zorder_skipping_prunes_z_prefix_partitions(spark, sf_dir):
     # makes min/max stats selective) — toString truncates PushedFilters,
     # so pin the untruncated DataFilters prefix
     assert re.search(r"DataFilters: \[[^\]]*\(z#\d+L? >= 128\)", plan), plan
+
+
+def test_inverted_index_serve_prunes_term_buckets(spark, sf_dir):
+    # the posting-list index's contract: the conjunctive serve must read
+    # only the probe terms' hash-bucket directories — the bucket IN (...)
+    # predicate has to land in PartitionFilters, not a post-scan Filter
+    from vector_search_spark.plans.queries import QUERIES
+
+    df = QUERIES["t_inverted_index_search"].fn(spark, sf_dir)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+    assert m and "IN" in m.group(1), plan
+    assert not re.search(r"Filter [^\n]*bucket", plan), plan
