@@ -248,6 +248,9 @@ def test_inverted_index_serve_prunes_term_buckets(spark, sf_dir):
 
     df = QUERIES["t_inverted_index_search"].fn(spark, sf_dir)
     plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    # don't assert the literal 'IN' spelling: when both probe terms hash
+    # to one bucket, OptimizeIn rewrites `bucket IN (b)` to `bucket = b`
+    # — pruning still happens, only the operator text changes
     m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
-    assert m and "IN" in m.group(1), plan
+    assert m, plan
     assert not re.search(r"Filter [^\n]*bucket", plan), plan

@@ -4628,14 +4628,14 @@ WITH ev AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day,
          CAST(FLOOR(value * 100) AS BIGINT) AS c
   FROM events),
-d AS (
-  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_d,
+d AS MATERIALIZED (
+  SELECT day, CAST(COUNT(c) AS BIGINT) AS n_d,
          CAST(SUM(c) AS BIGINT) AS s_d
   FROM ev GROUP BY day),
-g AS (
+g AS MATERIALIZED (
   SELECT CAST(SUM(n_d) AS BIGINT) AS nn, CAST(SUM(s_d) AS BIGINT) AS ss
   FROM d),
-cu AS (
+cu AS MATERIALIZED (
   SELECT day, n_d,
          CAST(SUM(s_d * nn - n_d * ss)
               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
@@ -4668,8 +4668,10 @@ def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.floor(F.col("value") * 100).cast("long").alias("c"),
     )
+    # COUNT(c), not COUNT(*): null-valued events are not observations of
+    # the monitored metric (CLAUDE non-null rule)
     d = ev.groupBy("day").agg(
-        F.count("*").cast("long").alias("n_d"),
+        F.count("c").cast("long").alias("n_d"),
         F.sum("c").cast("long").alias("s_d"),
     )
     g = d.agg(
@@ -4733,8 +4735,12 @@ _AB_VB = (
 _AB_T = (
     "(((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
     " - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))"
-    f" / SQRT(({_AB_VA} / CAST(n_a AS DOUBLE))"
-    f" + ({_AB_VB} / CAST(n_b AS DOUBLE))))"
+    # GREATEST clamp: the moment formula can round to a tiny NEGATIVE
+    # double on (near-)constant variants, and DuckDB SQRT(negative)
+    # HARD-ERRORS (OutOfRangeException) where Spark returns NaN — the
+    # clamp keeps both engines on the same (NULL via /0) path
+    f" / SQRT(GREATEST(({_AB_VA} / CAST(n_a AS DOUBLE))"
+    f" + ({_AB_VB} / CAST(n_b AS DOUBLE)), 0.0)))"
 )
 
 
@@ -4746,7 +4752,7 @@ WITH ev AS (
          CAST(FLOOR(value * 100) AS BIGINT) AS c
   FROM events),
 m AS (
-  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+  SELECT variant, CAST(COUNT(c) AS BIGINT) AS n,
          CAST(SUM(c) AS BIGINT) AS s,
          CAST(SUM(c * c) AS BIGINT) AS ss
   FROM ev GROUP BY variant),
@@ -4794,8 +4800,12 @@ def a_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).alias("variant"),
         F.floor(F.col("value") * 100).cast("long").alias("c"),
     )
+    # COUNT(c), not COUNT(*): a null-valued event is not an observation —
+    # SUM skips it, so the denominator must too (CLAUDE non-null rule;
+    # parity can't catch the mismatch because the oracle would move in
+    # lockstep)
     m = ev.groupBy("variant").agg(
-        F.count("*").cast("long").alias("n"),
+        F.count("c").cast("long").alias("n"),
         F.sum("c").cast("long").alias("s"),
         F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
     )
