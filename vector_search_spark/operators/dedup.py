@@ -963,6 +963,67 @@ def span_gram_stats_hashed(
     )
 
 
+def span_merge_maximal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated REGIONS per document — the ExactSubstr output
+    shape (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): where ``span_gram_stats`` reports which n-grams are
+    duplicated, this reports the token intervals a pipeline would CUT.
+
+    Plan: (1) the standard span relation (id, position, xxhash64(gram));
+    (2) the cross-document duplicated-gram set via the same two-level
+    (gh, id)-then-gh aggregate as ``span_gram_stats_hashed`` (one shuffle
+    with map-side combine, no Expand); (3) a hint-free join back to
+    positions — AQE broadcasts when the duplicated set is small and is
+    free to sort-merge when the duplicated mass grows; (4) gaps-and-
+    islands per document (island key = position − row_number over
+    positions), so runs of consecutive duplicated gram starts merge into
+    one maximal region covering tokens [min_pos, max_pos + n − 1].
+
+    Shuffle shape at 100 TB: every stage keys on either the 8-byte gram
+    hash or the document id — never the gram text, never a pair
+    expansion. Output is all-integer (no float parity hazard). Same
+    64-bit collision caveat as the hashed stats variant (~m²/2⁶⁵: a
+    collision could only ADD a spurious duplicated position).
+
+    Reference counterpart: substring-level dedup the reference
+    approximates with whole-row DISTINCT (camp_vec_save.py:6-40)."""
+    from pyspark.sql import Window
+
+    g = _span_grams(docs, text_col, id_col, n).select(
+        "id",
+        "i",
+        F.xxhash64(F.array_join(F.slice("toks", F.col("i"), n), " ")).alias("gh"),
+    )
+    per_doc = g.groupBy("gh", "id").agg(F.count("*").alias("occ"))
+    dup = (
+        per_doc.groupBy("gh")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    pos = g.join(dup, "gh").select("id", "i")
+    w = Window.partitionBy("id").orderBy("i")
+    isl = pos.withColumn("grp", F.col("i") - F.row_number().over(w))
+    return isl.groupBy("id", "grp").agg(
+        F.min("i").cast("long").alias("span_start"),
+        (F.max("i") + (n - 1)).cast("long").alias("span_end"),
+        (F.max("i") + (n - 1) - F.min("i") + 1).cast("long").alias("n_tokens"),
+        F.count("*").alias("n_grams"),
+    ).select(
+        F.col("id").alias("doc_id"),
+        "span_start",
+        "span_end",
+        "n_tokens",
+        "n_grams",
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,

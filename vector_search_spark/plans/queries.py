@@ -6762,6 +6762,85 @@ def r_incr_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_incr_join_refresh",
+    oracle="""
+SELECT c_mktsegment AS c_mktsegment,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+""",
+)
+def r_incr_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (the delta-join identity):
+    companion to ``r_incr_agg_refresh``, which maintains an aggregate —
+    this row maintains a JOIN view under inserts to BOTH sides.
+
+    (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+
+    ΔA = orders on/after 1996-01-01 (the new fact partition), ΔB =
+    customers with c_custkey % 7 == 0 (a simulated dimension backfill —
+    late-arriving customers whose historical orders were dangling until
+    now). Spark BUILDS the view the incremental way — the stored base
+    join plus the three delta terms, unioned then aggregated; the oracle
+    is the FULL recompute of the join. Parity certifies the IVM identity
+    end-to-end: the refresh never drifts from a from-scratch rebuild.
+    Cent sums are exact BIGINTs so the union aggregates bit-identically
+    at any split point.
+
+    At 100 TB the base term A⋈B is the already-materialized view (not
+    re-joined; re-derived here only so the gate row is self-contained),
+    the ΔA terms scan one day's partition, and the two ×ΔB terms
+    broadcast the small dimension delta against the fact table — the
+    expensive history-side term A⋈ΔB is a broadcast-join scan, never a
+    shuffle of A. Joins are hint-free: AQE broadcasts the post-filter
+    small sides. Reference counterpart: the nightly re-join in
+    seg_rcmn's audience refresh (camp_vec_rcmn.py:200-240), which
+    rebuilds the whole join each run."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    o_old = orders.filter(F.col("o_orderdate") < cut)
+    o_new = orders.filter(F.col("o_orderdate") >= cut)
+    c_old = cust.filter(F.col("c_custkey") % 7 != 0)
+    c_new = cust.filter(F.col("c_custkey") % 7 == 0)
+
+    def term(o, c):
+        return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            "c_mktsegment", "o_orderdate", "o_totalprice"
+        )
+
+    view = (
+        term(o_old, c_old)
+        .unionByName(term(o_new, c_old))
+        .unionByName(term(o_old, c_new))
+        .unionByName(term(o_new, c_new))
+    )
+    return (
+        view.groupBy(
+            "c_mktsegment",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents"),
+        )
+        .select(
+            "c_mktsegment",
+            "order_year",
+            "n_orders",
+            (F.col("cents").cast("double") / 100).alias("total_price"),
+        )
+    )
+
+
+@register(
     "w_conversion_funnel",
     oracle="""
 WITH s AS (
@@ -7455,6 +7534,39 @@ def d_span_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_gram_stats_hashed(
         _t(spark, sf_dir, "documents"), "text", "doc_id", 8
     )
+
+
+@register(
+    "d_span_merge_maximal",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+      FROM w, UNNEST(range(1, len(toks) - 6)) AS t(i)),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+p AS (SELECT g.doc_id, g.i FROM g JOIN d USING (gram)),
+isl AS (SELECT doc_id, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM p)
+SELECT doc_id AS doc_id,
+       CAST(MIN(i) AS BIGINT) AS span_start,
+       CAST(MAX(i) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(i) + 7 - MIN(i) + 1 AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def d_span_merge_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style maximal duplicated regions: every token interval
+    whose 8-gram starts are all duplicated in >= 2 distinct documents,
+    merged per document into maximal spans (gaps-and-islands) — the
+    intervals a training pipeline would CUT, completing the span family
+    (``d_span_dedup`` = which grams, this row = which regions). Spark
+    keys on xxhash64(gram) (the 100 TB shuffle shape); the oracle keys on
+    the gram string — identical output absent a 64-bit collision (same
+    adjudication as ``d_span_dedup_hash``). All-integer output."""
+    from ..operators.dedup import span_merge_maximal
+
+    return span_merge_maximal(_t(spark, sf_dir, "documents"), "text", "doc_id", 8)
 
 
 @register(
