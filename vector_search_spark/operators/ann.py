@@ -139,13 +139,17 @@ def knn_graph_build(
 
     # Signature + norm in ONE Arrow pass: the interpreted n_planes-dot
     # signature fold was the dominant cost of the whole build (measured
-    # ~2 s/2000 rows warm). The norm is bit-exact vs the l2_norm fold
-    # (64-element reduction < numpy's 128 pairwise block → sequential
-    # float64); the sign bits ride BLAS dots, which can disagree with a
-    # sequential fold only when |dot| is within ~1e-14 of 0 — the same
-    # tolerance the DuckDB oracle's native list_dot_product already
-    # carries vs the JVM fold (P(flip) ~ 1e-9 per corpus, and tri-scale
-    # parity validates the actual fixtures).
+    # ~2 s/2000 rows warm). Float contract (corrected round 7): numpy's
+    # reduction is SEQUENTIAL ONLY BELOW 8 elements — at n >= 8 pairwise
+    # summation uses 8-way unrolled partial sums, so the 64-element norm
+    # differs from the sequential JVM l2_norm fold in the LAST ULP on
+    # ~59% of fixture rows (measured, max 4.5e-16 relative; a Python
+    # sequential fold matches the JVM bit-for-bit). The divergence only
+    # reaches output through ulp-tolerant channels: the sign bits flip
+    # only when |dot| < ~1e-14 (P ~ 1e-9/corpus), and the cosine VALUES
+    # derived from these norms are FLOOR-quantized at 1e-6 downstream
+    # (flip needs cos within ~1e-16 of a boundary, P ~ 1e-10/row).
+    # Tri-scale + 10x parity is the empirical certificate.
     import pandas as _pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -400,16 +404,24 @@ def pq_encode(
     lowest id). ``codebook[s][c]`` is the ``sub_dim``-float codeword ``c``
     of subspace ``s``.
 
-    Two equivalent paths, bit-identical by construction (and cross-checked
-    in ``tests/test_ann.py``):
+    Two equivalent paths, code-identical in practice (cross-checked in
+    ``tests/test_ann.py``):
 
     - ``use_arrow=True`` (default): vectorized numpy over Arrow batches
       (``mapInPandas``). Per element the float64 ops are the same IEEE
-      subtract/multiply, and ``np.sum`` over an axis of length < 128 is a
-      sequential left-to-right loop (numpy's pairwise-summation block size)
-      — the identical op sequence as the JVM fold and DuckDB's
-      ``list_sum``. ``np.argmin`` takes the first minimum, matching the
-      ``ORDER BY d ASC, cid ASC`` tie-break. This is the hot path: the
+      subtract/multiply; the ``np.sum`` reduction over ``sub_dim``
+      elements is NOT the sequential JVM/DuckDB fold (numpy is
+      sequential only below 8 elements — above that, 8-way unrolled
+      pairwise partial sums), so per-codeword distances can differ in
+      the last ulp (~1e-16 relative, measured). The OUTPUT is immune:
+      only the ``np.argmin`` code id survives, and an ulp flip requires
+      two codewords' distances to tie within ~1e-15 — never observed
+      (the cross-check test compares full code maps, and tri-scale +
+      10x parity certify the fixtures). ``np.argmin`` takes the first
+      minimum, matching the ``ORDER BY d ASC, cid ASC`` tie-break.
+      New-row rule: never expose a raw numpy-fold VALUE for exact
+      comparison — keep value folds JVM-side or floor-quantize.
+      This is the hot path: the
       interpreted higher-order-function encode costs ~ms/row, the numpy
       one ~µs/row (measured 1.7 s -> 0.36 s on 2 000 x 64 at sf0.1).
     - ``use_arrow=False``: pure-JVM expression (slice + zip_with +
@@ -496,15 +508,16 @@ def ivf_pq_encode(
     touches only rows in the probed centroid buckets and never decodes.
 
     ``centroids[cid]`` is the full-dim centroid vector (cids sorted).
-    Float contract: cosine = dot / (sqrt(dot_aa) * sqrt(dot_bb)) with
-    sequential float64 folds — numpy reduces an axis shorter than its
-    pairwise block (128) left-to-right, so the values are bit-identical
-    to functions.vector.cosine_sim's JVM fold and to DuckDB's
-    list_cosine_similarity on the same doubles, and ``np.argmax`` takes
-    the first (lowest-cid) maximum, matching ``ORDER BY cos DESC, cid``.
-    PQ code semantics are exactly :func:`pq_encode`'s (cross-checked
-    against the JVM fold in tests).
-    """
+    Float contract: cosine = dot / (sqrt(dot_aa) * sqrt(dot_bb)) in
+    float64; the numpy reductions are ulp-close to (NOT bit-identical
+    with — numpy is sequential only below 8 elements) the JVM fold and
+    DuckDB's list folds. Only the ``np.argmax`` centroid id and argmin
+    codes survive to output, so a divergence requires two candidates
+    within ~1e-15 of each other — never observed, certified by the
+    JVM-composition cross-check test plus tri-scale + 10x parity.
+    ``np.argmax`` takes the first (lowest-cid) maximum, matching
+    ``ORDER BY cos DESC, cid``. PQ code semantics are exactly
+    :func:`pq_encode`'s."""
     import numpy as _np
 
     cids = sorted(centroids)

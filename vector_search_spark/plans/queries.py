@@ -3287,9 +3287,11 @@ def v_knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank → per-node top-6 adjacency → TWO NN-descent
     neighbors-of-neighbors rounds, each exactly re-ranked. The batch half
     of HNSW-class indexes (VERDICT r6 missing #4); the oracle replays
-    every stage exactly (seeded planes, bit-identical cosine fold,
-    truncated output), so graph EDGES — not just counts — must match
-    across engines. Quality floors live in tests/test_ann.py (clustered
+    every stage (seeded planes, same cosine formula, FLOOR-truncated
+    output — the truncation is what absorbs the ulp-level numpy-norm vs
+    DuckDB-fold divergence, see the sig-stage contract in operators/
+    ann.py), so graph EDGES — not just counts — must match across
+    engines. Quality floors live in tests/test_ann.py (clustered
     data: recall ≥ 0.9 measured 0.99; the uniform fixture is the
     no-structure worst case)."""
     from ..operators.ann import knn_graph_build
@@ -8905,12 +8907,14 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str):
     codes: codebooks and probe ADC tables are driver-collected O(1)
     scalars baked in as literals (broadcast by construction), so scoring
     is 4 array lookups + 3 adds per row with no joins and no shuffle
-    until the per-probe top-10. Floats: encode distances are the same
-    IEEE op sequence on both engines (sequential float64 sum over
-    sub_dim < numpy's pairwise block — see pq_encode), and the table
-    dots + 4-term ADC sum are explicitly-ordered folds mirrored in the
-    oracle, so ranking compares identical doubles; only the output
-    rounds."""
+    until the per-probe top-10. Floats: encode distances reach output
+    only as argmin CODES (numpy's fold is ulp-close to, not
+    bit-identical with, the sequential engines' fold — see pq_encode's
+    corrected contract; a flip needs two codewords within ~1e-15), and
+    the table dots + 4-term ADC sum — the actual compared VALUES — are
+    driver-side Python sequential folds baked in as literals with an
+    explicitly-ordered ((t0+t1)+t2)+t3 chain mirrored in the oracle, so
+    ranking compares identical doubles; only the output rounds."""
     from ..utils import fan_out
 
     emb = _t(spark, sf_dir, "embeddings").select(
