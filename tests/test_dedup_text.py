@@ -434,3 +434,42 @@ def test_hamming64_sign_extended_inputs_masked(spark):
         for r in hamming64_banded_pairs(m).collect()
     }
     assert got == {(0, 1): 0, (0, 2): 1, (1, 2): 1}
+
+
+def test_span_merge_maximal_regions(spark):
+    """Constructed corpus with a known shared passage: two docs share a
+    10-word run (n=4 grams → duplicated gram starts 3..9 in doc 1,
+    1..7 in doc 2) and a separate 4-word run; unique text yields no
+    regions. Verifies island merging (adjacent duplicated gram starts
+    coalesce into ONE maximal region), the span_end = last_start+n-1
+    arithmetic, and that sub-n-gram overlaps (< 4 shared words) are
+    invisible."""
+    from vector_search_spark.operators.dedup import span_merge_maximal
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tail4 = "onefish twofish redfish bluefish"
+    rows = [
+        (1, f"aa bb {shared} cc dd"),            # shared run at tokens 3..12
+        (2, f"{shared} xx yy zz"),               # shared run at tokens 1..10
+        (3, f"pp qq rr {tail4} ss"),             # tail4 at tokens 4..7
+        (4, f"{tail4} t1 t2 t3 t4"),             # tail4 at tokens 1..4
+        (5, "utterly unrelated words with alpha beta only"),  # < n shared
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.doc_id, r.span_start): r
+        for r in span_merge_maximal(docs, "text", "doc_id", n=4).collect()
+    }
+    # doc 1: grams starting 3..9 duplicated -> one region tokens 3..12
+    r1 = out[(1, 3)]
+    assert (r1.span_end, r1.n_tokens, r1.n_grams) == (12, 10, 7)
+    # doc 2: grams starting 1..7 -> region tokens 1..10
+    r2 = out[(2, 1)]
+    assert (r2.span_end, r2.n_tokens, r2.n_grams) == (10, 10, 7)
+    # docs 3/4: exactly one shared 4-gram each (tail4)
+    r3 = out[(3, 4)]
+    assert (r3.span_end, r3.n_tokens, r3.n_grams) == (7, 4, 1)
+    r4 = out[(4, 1)]
+    assert (r4.span_end, r4.n_tokens, r4.n_grams) == (4, 4, 1)
+    # no other regions anywhere (doc 5's 2-word overlap is sub-gram)
+    assert len(out) == 4
