@@ -2780,10 +2780,15 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches k*N tiny rows, never the corpus). The oracle value-pins the
     'non-SQL-expressible' loop by UNROLLING all 5 steps into joined
     argmax CTEs. Floats: relevance comes from the same JVM fold both
-    branches (computed once, carried as a column), candidate-pair
-    cosines are sequential numpy float64 folds == DuckDB's
-    list_cosine_similarity, the 0.7/0.3 arithmetic is mirrored verbatim,
-    and every argmax ties to the lowest vec_id."""
+    branches (computed once, carried as a column); candidate-pair
+    cosines are numpy float64 folds, which are ulp-CLOSE to (not
+    bit-identical with — numpy sums pairwise above 8 elements, see
+    CLAUDE.md) DuckDB's list_cosine_similarity, so the 0.7/0.3 score
+    can differ in the last ulp across engines. That reaches output
+    through the greedy argmax (flip needs a ~1e-15 score tie; ids
+    break exact ties) and ROUND(score, 6) (boundary-flip P ~
+    1e-10/row) — certified empirically by tri-scale + 10x parity;
+    every argmax ties to the lowest vec_id."""
     from ..functions.vector import cosine_sim
 
     emb = _t(spark, sf_dir, "embeddings").select(
