@@ -292,3 +292,56 @@ def test_welch_ttest_matches_independent_numpy(spark, sf_dir):
     t = (a.mean() - b.mean()) / np.sqrt(va / len(a) + vb / len(b))
     assert row["n_a"] == len(a) and row["n_b"] == len(b)
     assert abs(row["t_ppm"] - np.floor(t * 1e6)) <= 1, (row["t_ppm"], t)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_span_merge_maximal_matches_bruteforce(spark, texts):
+    """span_merge_maximal == a per-doc brute-force reference: flag every
+    n-gram start whose gram occurs in >= 2 distinct docs, merge adjacent
+    starts into islands, region = [min_start, max_start + n - 1]. Also
+    pins the structural invariants: regions within a doc are disjoint and
+    sorted, n_grams == number of merged starts, n_tokens == span length."""
+    from vector_search_spark.operators.dedup import span_merge_maximal
+
+    n = 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens, r.n_grams)
+        for r in span_merge_maximal(df, "text", "doc_id", n=n).collect()
+    )
+
+    # brute force in python
+    grams: dict[tuple, set] = {}
+    toks = {i: t.split() for i, t in rows}
+    for i, ws in toks.items():
+        for p in range(len(ws) - n + 1):
+            grams.setdefault(tuple(ws[p:p + n]), set()).add(i)
+    want = []
+    for i, ws in toks.items():
+        dup_starts = [
+            p + 1  # 1-based
+            for p in range(len(ws) - n + 1)
+            if len(grams[tuple(ws[p:p + n])]) >= 2
+        ]
+        run: list[int] = []
+        for p in dup_starts + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                s, e = run[0], run[-1] + n - 1
+                want.append((i, s, e, e - s + 1, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    assert got == sorted(want)
+    # islands' gram-START runs are disjoint with a gap (>= 2 apart);
+    # token REGIONS may still abut/overlap by up to n-2 tokens when a
+    # single non-duplicated gram separates two duplicated runs — that
+    # is correct ExactSubstr semantics, so no token-disjointness pin.
+    by_doc: dict[int, list] = {}
+    for d, s, e, ntok, ngr in got:
+        assert e == s + ntok - 1 and ngr == ntok - n + 1
+        by_doc.setdefault(d, []).append((s, e))
+    for spans in by_doc.values():
+        for (s1, _), (s2, _) in zip(spans, spans[1:]):
+            assert s2 >= s1 + 2  # a merged run would otherwise join them
