@@ -4726,6 +4726,80 @@ def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak
 
 
+@register(
+    "w_ewma_smooth",
+    oracle="""
+WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+d AS (SELECT day, CAST(SUM(c) AS BIGINT) AS s_d,
+             CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num
+      FROM e GROUP BY 1),
+contrib AS (SELECT d.day_num + k AS day_num,
+                   d.s_d * (1::BIGINT << (15 - k)) AS wv
+            FROM d, UNNEST(range(0, 16)) AS u(k)),
+j AS (SELECT d.day, c.wv FROM d JOIN contrib c USING (day_num))
+SELECT day AS day, CAST(SUM(wv) AS BIGINT) AS ewma_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(wv) AS DOUBLE) / 65536 AS ewma_cents
+FROM j GROUP BY day
+""",
+)
+def w_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the daily value series (α = 1/2, 16-day
+    lookback) — the time-series smoother between the TWA/gap-fill
+    interpolators and the CUSUM drift detector, entirely in exact
+    BIGINT: each day's smoothed value is Σ_(k=0..15) s_(d-k) · 2^(15-k)
+    (binary decay weights as integer shifts; missing calendar days
+    contribute nothing, exactly as an EWMA over a sparse series
+    should). The 16-term lookback is an equi-join: each past day
+    cross-joins 16 literal offsets to (day_num + k, s_d << (15-k)),
+    so no RANGE frame or interval window exists (interval-typed RANGE
+    frames differ across engines — the w_range_frame_sum lesson;
+    integer day_num + equi-join sidesteps it entirely). The display
+    column divides the BIGINT by 2^16 — power-of-two division of a
+    < 2^53 integer is exact in IEEE double on both engines. Scale:
+    the corpus pays one map-side-combined daily rollup; the smoothing
+    runs on the O(days) relation with a broadcast 16-row offsets side
+    — the same any-corpus-size shape as the other monitoring rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    d = (
+        ev.groupBy("day")
+        .agg(F.sum("c").cast("long").alias("s_d"))
+        .withColumn(
+            "day_num",
+            F.datediff(
+                F.col("day").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+    )
+    offs = spark.range(16).select(F.col("id").cast("long").alias("k"))
+    contrib = (
+        d.select(F.col("day_num").alias("past_num"), "s_d")
+        .crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("past_num") + F.col("k")).alias("day_num"),
+            F.expr("s_d * shiftleft(1L, cast(15 - k as int))").alias("wv"),
+        )
+    )
+    return (
+        d.join(contrib, "day_num")
+        .groupBy("day")
+        .agg(
+            F.sum("wv").cast("long").alias("ewma_scaled"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+        .select(
+            "day",
+            "ewma_scaled",
+            "n_terms",
+            (F.col("ewma_scaled").cast("double") / (1 << 16)).alias("ewma_cents"),
+        )
+    )
+
+
 # Welch t-test formula text, shared verbatim between the Spark F.expr
 # and the DuckDB oracle so both engines evaluate the IDENTICAL
 # explicitly-ordered double expression over the same exact BIGINT
@@ -7574,6 +7648,111 @@ def d_span_merge_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import span_merge_maximal
 
     return span_merge_maximal(_t(spark, sf_dir, "documents"), "text", "doc_id", 8)
+
+
+_RAKE_STOP = ["the", "and", "of", "a", "in", "to", "is", "on", "for", "with"]
+
+
+@register(
+    "t_rake_keywords",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, i AS pos, toks[i] AS w
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       UNNEST(range(1, len(toks) + 1)) AS u(i)
+),
+nt AS (SELECT * FROM t WHERE w NOT IN ({", ".join(f"'{s}'" for s in _RAKE_STOP)})),
+isl AS (SELECT doc_id, source, pos, w,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM nt),
+phr AS (SELECT doc_id, source, g,
+               array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+               COUNT(*) AS plen
+        FROM isl GROUP BY 1, 2, 3
+        HAVING COUNT(*) <= 4),
+wstat AS (
+  SELECT i.source, i.w,
+         COUNT(*) AS freq, SUM(p.plen) AS deg,
+         SUM(p.plen) * 1000000 // COUNT(*) AS score_ppm
+  FROM isl i JOIN phr p ON p.doc_id = i.doc_id AND p.g = i.g
+  GROUP BY 1, 2),
+pinst AS (SELECT DISTINCT source, phrase FROM phr),
+pwords AS (SELECT source, phrase, u.w
+           FROM pinst, UNNEST(string_split(phrase, ' ')) AS u(w)),
+ps AS (
+  SELECT pw.source, pw.phrase,
+         CAST(SUM(ws.score_ppm) AS BIGINT) AS score_ppm
+  FROM pwords pw
+  JOIN wstat ws ON ws.source = pw.source AND ws.w = pw.w
+  GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY score_ppm DESC, phrase ASC) AS rn FROM ps)
+SELECT source AS source, phrase AS phrase, score_ppm AS score_ppm,
+       CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 3
+""",
+)
+def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) per source — the
+    corpus-enrichment op that tags documents with salient phrases:
+    candidate phrases are maximal stopword-free token runs (gaps-and-
+    islands on token position, capped at 4 words), word scores are
+    degree/freq over the phrase corpus (degree = Σ lengths of phrases
+    containing the word), and a phrase scores the sum of its words.
+    All-integer cross-engine contract: word score is FLOOR'd into ppm
+    space with integer DIV (non-negative, so Spark ``div`` == DuckDB
+    ``//``) and phrase scores are BIGINT sums of those ppm — no float
+    exists anywhere. Top-3 per source, phrase ASC tie-break. Shuffle
+    shape: one token explode keyed by doc (the islands window), then
+    everything runs on the phrase/word relations — corpus-linear, no
+    pair expansion; the wstat join broadcasts at fixture scale and is
+    hint-free for vocabulary growth. Reference counterpart: the keyword
+    extraction stage L1 (nl_targeting.py:8-41), generalized from one
+    LLM call per query to a corpus-wide distributed pass."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).filter(~F.col("w").isin(_RAKE_STOP))
+    wisl = Window.partitionBy("doc_id").orderBy("pos")
+    ph = tok.withColumn("isl", F.col("pos") - F.row_number().over(wisl))
+    phrases = (
+        ph.groupBy("doc_id", "source", "isl")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("pw"))
+        .select(
+            "doc_id",
+            "source",
+            F.transform("pw", lambda s: s["w"]).alias("words"),
+        )
+        .withColumn("plen", F.size("words").cast("long"))
+        .filter(F.col("plen") <= 4)
+    )
+    wstat = (
+        phrases.select("source", "plen", F.explode("words").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .withColumn("score_ppm", F.expr("deg * 1000000 div freq"))
+    )
+    pinst = phrases.select(
+        "source", F.array_join("words", " ").alias("phrase"), "words"
+    ).distinct()
+    ps = (
+        pinst.select("source", "phrase", F.explode("words").alias("w"))
+        .join(wstat, ["source", "w"])
+        .groupBy("source", "phrase")
+        .agg(F.sum("score_ppm").cast("long").alias("score_ppm"))
+    )
+    wtop = Window.partitionBy("source").orderBy(
+        F.desc("score_ppm"), F.asc("phrase")
+    )
+    return (
+        ps.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "source", "phrase", "score_ppm", F.col("rn").cast("long").alias("rank")
+        )
+    )
 
 
 @register(
