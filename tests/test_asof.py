@@ -135,3 +135,105 @@ def test_asof_matches_pandas_merge_asof(spark):
         for r in got_df.collect()
     }
     assert got == want
+
+
+def test_asof_nearest_semantics(spark):
+    """asof_join_nearest contract: nearest direction wins, ties go to
+    prev, equal-instant is a gap-0 prev match, and gaps beyond tolerance
+    on BOTH sides drop the row (inner)."""
+    from vector_search_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 10:00:00")),  # prev@9:50 (600s) vs next@10:05 (300s) -> next
+            (2, 1, _ts("2024-01-01 12:00:00")),  # only next@12:20 within tol -> next
+            (3, 2, _ts("2024-01-01 10:00:00")),  # tie: 9:55 vs 10:05 (300s each) -> prev
+            (4, 2, _ts("2024-01-01 18:00:00")),  # nothing within 30min -> dropped
+            (5, 3, _ts("2024-01-01 10:00:00")),  # equal instant -> prev, gap 0
+        ],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:50:00"), 1.0),
+            (1, _ts("2024-01-01 10:05:00"), 2.0),
+            (1, _ts("2024-01-01 12:20:00"), 3.0),
+            (2, _ts("2024-01-01 09:55:00"), 4.0),
+            (2, _ts("2024-01-01 10:05:00"), 5.0),
+            (3, _ts("2024-01-01 10:00:00"), 6.0),
+        ],
+        "k long, ts timestamp, px double",
+    )
+    out = {
+        r.lid: (r.dir, r.gap_us, r.matched_px)
+        for r in asof_join_nearest(
+            left, right, ["k"], right_cols=["px"], tolerance_us=1_800_000_000
+        ).collect()
+    }
+    assert out == {
+        1: ("next", 300_000_000, 2.0),
+        2: ("next", 1_200_000_000, 3.0),
+        3: ("prev", 300_000_000, 4.0),
+        5: ("prev", 0, 6.0),
+    }
+
+
+def test_asof_nearest_property_vs_pandas(spark):
+    """Random fixture vs pandas merge_asof(direction='nearest') — the
+    published semantics this operator reimplements. Timestamps are drawn
+    on a grid coarse enough that exact before/after ties cannot occur
+    across sides (pandas' tie rule is unspecified; ours is pinned by the
+    semantic test above)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(77)
+    base = 1_700_000_000_000_000
+    # left on even 2s grid, right on odd 1s offsets -> |gap| never ties
+    left_rows = [
+        (i, rng.randint(1, 5), base + rng.randint(0, 500) * 2_000_000)
+        for i in range(120)
+    ]
+    right_rows = [
+        (k, base + off * 2_000_000 + 1_000_000, float(k) * 10 + off)
+        for k in range(1, 6)
+        for off in rng.sample(range(500), 60)
+    ]
+    tol = 9_000_000  # 9s
+
+    lpdf = pd.DataFrame(left_rows, columns=["lid", "k", "tus"]).sort_values("tus")
+    rpdf = pd.DataFrame(right_rows, columns=["k", "tus", "px"]).sort_values("tus")
+    for df in (lpdf, rpdf):
+        df["ts"] = pd.to_datetime(df["tus"], unit="us")
+    want_pdf = pd.merge_asof(
+        lpdf,
+        rpdf[["k", "ts", "px"]],
+        on="ts",
+        by="k",
+        direction="nearest",
+        tolerance=pd.Timedelta(microseconds=tol),
+    )
+    want = {
+        int(r.lid): round(float(r.px), 9)
+        for r in want_pdf.itertuples()
+        if not pd.isna(r.px)
+    }
+
+    from vector_search_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(i, k, datetime.utcfromtimestamp(t / 1e6)) for i, k, t in left_rows],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, datetime.utcfromtimestamp(t / 1e6), px) for k, t, px in right_rows],
+        "k long, ts timestamp, px double",
+    )
+    got = {
+        int(r.lid): round(r.matched_px, 9)
+        for r in asof_join_nearest(
+            left, right, ["k"], right_cols=["px"], tolerance_us=tol
+        ).collect()
+    }
+    assert got == want

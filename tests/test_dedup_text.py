@@ -473,3 +473,42 @@ def test_span_merge_maximal_regions(spark):
     assert (r4.span_end, r4.n_tokens, r4.n_grams) == (4, 4, 1)
     # no other regions anywhere (doc 5's 2-word overlap is sub-gram)
     assert len(out) == 4
+
+
+def test_winnow_fingerprints_guarantee_and_sampling(spark):
+    """Winnowing contract (Schleimer et al. 2003): (a) any shared token
+    run of length >= w + k - 1 yields >= 1 SHARED fingerprint between the
+    two docs; (b) fingerprints are a strict sample of the gram hashes
+    (each fingerprint IS some gram's hash); (c) docs shorter than
+    w + k - 1 tokens yield an empty set.  k=3, w=4 -> guarantee at 6
+    shared tokens."""
+    from vector_search_spark.functions.text import (
+        winnow_fingerprints,
+        word_shingle_hashes,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # exactly w + k - 1 = 6
+    rows = [
+        (1, f"aa bb cc {shared} dd ee"),
+        (2, f"{shared} xx yy zz ww vv"),
+        (3, "one two three four five"),  # 5 tokens < 6 -> empty
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (set(r.fp), set(r.gh))
+        for r in docs.select(
+            "doc_id",
+            winnow_fingerprints("text", 3, 4).alias("fp"),
+            word_shingle_hashes("text", 3).alias("gh"),
+        ).collect()
+    }
+    fp1, gh1 = out[1]
+    fp2, gh2 = out[2]
+    # (a) the 6-token shared run forces a common selected fingerprint
+    assert fp1 & fp2, "guarantee violated: no shared fingerprint"
+    # (b) every fingerprint is one of the doc's own gram hashes
+    assert fp1 <= gh1 and fp2 <= gh2
+    # strict sampling: fewer fingerprints than grams on these docs
+    assert len(fp1) < len(gh1)
+    # (c) short doc -> empty fingerprint set
+    assert out[3][0] == set()

@@ -204,6 +204,55 @@ def word_shingle_hashes(col: ColumnOrName, n: int = 3) -> Column:
     )
 
 
+def winnow_fingerprints(col: ColumnOrName, k: int = 3, w: int = 4) -> Column:
+    """Robust-winnowing fingerprint set (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): positional wide ``k``-gram hashes (same two-stream
+    composition as ``word_shingle_hashes`` but KEEPING positions), then
+    one fingerprint per sliding window of ``w`` consecutive gram hashes —
+    the window MINIMUM — distinct per document. Guarantee: any shared
+    token run of length >= ``w + k - 1`` contributes at least one shared
+    fingerprint (the shared windows select the same minimum), while only
+    ~``2/(w+1)`` of grams are kept — sampling WITH a detection guarantee,
+    unlike 0-mod-p fingerprinting. Value-set winnowing (distinct selected
+    hash VALUES, not positions) — the dedup-relevant form.
+
+    All arithmetic is the exact engine-portable integer hash space, so the
+    selected minima are bit-identical in the DuckDB oracle. Both array
+    stages bind their input via the 1-element-array ``transform`` trick
+    (a lambda referencing an outer non-trivial expression re-evaluates it
+    per element — see ``word_shingle_hashes``). Windows shorter than ``w``
+    (docs under ``w + k - 1`` tokens) yield an empty set."""
+    wk_expr = F.transform(tokens(col), poly_hash)
+
+    def winnow(ghb: Column) -> Column:
+        wcnt = F.size(ghb) - (w - 1)
+        mins = F.transform(
+            F.sequence(F.lit(1), wcnt),
+            lambda j: F.array_min(F.slice(ghb, j, w)),
+        )
+        empty = F.slice(ghb, 1, 0)
+        return F.array_distinct(F.when(wcnt >= 1, mins).otherwise(empty))
+
+    def compose(full: Column) -> Column:
+        cnt = F.greatest(F.size(full) - (k - 1), F.lit(0))
+        lo = F.slice(full, 1, cnt)
+        hi = F.slice(full, 1, cnt)
+        for j in range(1, k):
+            nxt = F.slice(full, 1 + j, cnt)
+            lo = F.zip_with(
+                lo, nxt,
+                lambda a, b: (a * F.lit(HASH_MIX) + b) % F.lit(HASH_MOD),
+            )
+            hi = F.zip_with(
+                hi, nxt,
+                lambda a, b: (a * F.lit(HASH_MIX2) + b) % F.lit(HASH_MOD),
+            )
+        gh = F.zip_with(lo, hi, lambda a, b: a * F.lit(HASH_MOD) + b)
+        return F.element_at(F.transform(F.array(gh), winnow), 1)
+
+    return F.element_at(F.transform(F.array(wk_expr), compose), 1)
+
+
 def char_ngrams(col: ColumnOrName, n: int = 3) -> Column:
     """Character n-gram shingles."""
     s = _c(col)

@@ -90,6 +90,119 @@ def asof_join(
     return out
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest', tolerance=...)``): for each left row, the right row with the
+    smallest absolute timestamp gap within the same keys, optionally
+    bounded by ``tolerance_us`` microseconds; unmatched left rows drop
+    (inner). Tie (equal gap before and after) goes to the PREVIOUS row —
+    documented, engine-portable, and exercised by the equal-instant case
+    (gap 0 is always a backward match, so the forward stream can be
+    strictly-after).
+
+    Same union+window shape as ``asof_join`` — the backward carry and the
+    forward carry are two frames over ONE (key, ts) sort, so the whole
+    operator costs a single shuffle regardless of data size; no range
+    cross-join exists at any scale. Both directions' gaps are exact BIGINT
+    micros, so the nearest/tie decision replays identically in any engine.
+    Determinism precondition (shared with ``asof_join``): right-side
+    (keys, ts) must be unique — with duplicates, which payload is carried
+    is tie-broken arbitrarily by both engines.
+
+    Output: every left column plus ``matched_ts``, ``matched_<c>`` for the
+    requested right payloads, ``gap_us`` (BIGINT), and ``dir``
+    ('prev'/'next')."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    left_payload = [c for c in left.columns if c not in on and c != left_ts]
+
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *left_payload,
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = (
+        l.unionByName(r)
+        .select(
+            "*",
+            F.last("_rts", ignorenulls=True).over(wb).alias("_pts"),
+            *[
+                F.last(f"_r_{c}", ignorenulls=True).over(wb).alias(f"_p_{c}")
+                for c in right_cols
+            ],
+            F.first("_rts", ignorenulls=True).over(wf).alias("_nts"),
+            *[
+                F.first(f"_r_{c}", ignorenulls=True).over(wf).alias(f"_n_{c}")
+                for c in right_cols
+            ],
+        )
+        .filter(F.col("_side") == 1)
+    )
+    tus = F.unix_micros(F.col("_ts"))
+    gp = tus - F.unix_micros(F.col("_pts"))
+    gn = F.unix_micros(F.col("_nts")) - tus
+    if tolerance_us is not None:
+        gp = F.when(gp <= F.lit(int(tolerance_us)), gp)
+        gn = F.when(gn <= F.lit(int(tolerance_us)), gn)
+    sel = carried.withColumn("_gp", gp).withColumn("_gn", gn)
+    use_prev = F.col("_gp").isNotNull() & (
+        F.col("_gn").isNull() | (F.col("_gp") <= F.col("_gn"))
+    )
+    out = (
+        sel.filter(F.col("_gp").isNotNull() | F.col("_gn").isNotNull())
+        .select(
+            *on,
+            F.col("_ts").alias(left_ts),
+            *left_payload,
+            F.when(use_prev, F.col("_pts")).otherwise(F.col("_nts")).alias(
+                "matched_ts"
+            ),
+            *[
+                F.when(use_prev, F.col(f"_p_{c}"))
+                .otherwise(F.col(f"_n_{c}"))
+                .alias(f"matched_{c}")
+                for c in right_cols
+            ],
+            F.when(use_prev, F.col("_gp")).otherwise(F.col("_gn")).alias("gap_us"),
+            F.when(use_prev, F.lit("prev")).otherwise(F.lit("next")).alias("dir"),
+        )
+    )
+    return out
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

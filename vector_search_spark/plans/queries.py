@@ -5369,6 +5369,88 @@ def j_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_asof_nearest_tolerance",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT * FROM events WHERE event_type = 'click'),
+u AS (
+  SELECT user_id, ts AS uts, 1 AS side, event_id,
+         CAST(NULL AS TIMESTAMP) AS rts, CAST(NULL AS DOUBLE) AS rvalue
+  FROM p
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, ts, value FROM v),
+c AS (
+  SELECT *,
+    LAST_VALUE(rts IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY uts, side
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pts,
+    LAST_VALUE(rvalue IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY uts, side
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pval,
+    FIRST_VALUE(rts IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY uts, side
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nts,
+    FIRST_VALUE(rvalue IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY uts, side
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nval
+  FROM u),
+g AS (
+  SELECT event_id, user_id, uts,
+    CASE WHEN epoch_us(uts) - epoch_us(pts) <= 1800000000
+         THEN epoch_us(uts) - epoch_us(pts) END AS gp,
+    CASE WHEN epoch_us(nts) - epoch_us(uts) <= 1800000000
+         THEN epoch_us(nts) - epoch_us(uts) END AS gn,
+    pval, nval
+  FROM c WHERE side = 1),
+s AS (
+  SELECT *, gp IS NOT NULL AND (gn IS NULL OR gp <= gn) AS use_prev
+  FROM g WHERE gp IS NOT NULL OR gn IS NOT NULL)
+SELECT event_id AS event_id, user_id AS user_id,
+       STRFTIME(uts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE WHEN use_prev THEN gp ELSE gn END AS gap_us,
+       CASE WHEN use_prev THEN 'prev' ELSE 'next' END AS dir,
+       ROUND(CASE WHEN use_prev THEN pval ELSE nval END, 4) AS matched_value
+FROM s
+""",
+)
+def j_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with tolerance (pandas
+    ``merge_asof(direction='nearest', tolerance=30min)``): each purchase
+    matched to the user's temporally NEAREST click within 30 minutes,
+    either direction, ties to the previous click. Completes the as-of
+    family: ``j_asof_purchase_view`` = backward, this row = nearest —
+    the attribution variant ad pipelines actually use (a click just AFTER
+    the purchase event's logged timestamp is usually the same session).
+    One union + one (user, ts) sort carries both directions (two frames
+    over the same window spec — single shuffle, no range join); gaps are
+    exact BIGINT micros so the direction choice replays identically in
+    the oracle's IGNORE-NULLS window mirror. Determinism rests on
+    (user_id, ts) uniqueness per side, verified on all fixtures.
+    Reference counterpart: SURVEY §2 J-family extension (absent from both
+    Spark and the reference; table stakes for event analytics)."""
+    from ..operators.asof import asof_join_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    v = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    res = asof_join_nearest(
+        p, v, ["user_id"], right_cols=["value"], tolerance_us=1_800_000_000
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "gap_us",
+        "dir",
+        F.round("matched_value", 4).alias("matched_value"),
+    )
+
+
+@register(
     "j_range_join_binned",
     oracle="""
 WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
@@ -7648,6 +7730,79 @@ def d_span_merge_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import span_merge_maximal
 
     return span_merge_maximal(_t(spark, sf_dir, "documents"), "text", "doc_id", 8)
+
+
+@register(
+    "d_winnow_fingerprint_pairs",
+    oracle=f"""
+WITH ph AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> {_duck_poly("w", "p")}) AS wk
+  FROM documents),
+gh AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(wk) - 2, 0)),
+      i -> (((((wk[i] * 2654435761 + wk[i+1]) % 1000000007) * 2654435761)
+             + wk[i+2]) % 1000000007) * 1000000007
+         + (((((wk[i] * 1779033703 + wk[i+1]) % 1000000007) * 1779033703)
+             + wk[i+2]) % 1000000007)) AS gh
+  FROM ph),
+fp AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      generate_series(1, greatest(len(gh) - 3, 0)),
+      j -> list_min(gh[j:j+3])))) AS h
+  FROM gh),
+keep AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 50),
+p AS (SELECT f.doc_id, f.h FROM fp f JOIN keep USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+""",
+)
+def d_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-winnowing near-dup pairs (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS plagiarism-detection scheme): per-doc winnowed fingerprint
+    sets (window-of-4 minima over positional wide 3-gram hashes — see
+    functions.text.winnow_fingerprints), stop-fingerprints appearing in
+    > 50 docs dropped (the MOSS boilerplate filter, which also BOUNDS the
+    per-hash join group), then doc pairs sharing >= 2 fingerprints with
+    the shared count. Completes the fingerprint-dedup spectrum: exact
+    hash < winnowing (sampled WITH a >= w+k-1-token detection guarantee)
+    < MinHash (similarity estimate). Only ~2/(w+1) of grams survive
+    winnowing, so the posting self-join runs on a 40% sample of the gram
+    postings with per-key groups capped at 50 — corpus-linear shuffle,
+    bounded quadratic inside keys, the same shape the LSH rows probe at
+    100×. All-integer (portable hash space + counts): bit-exact parity.
+    Reference counterpart: dedup family (SURVEY §2 A5), extended per the
+    north star."""
+    from ..functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.explode(winnow_fingerprints("text", 3, 4)).alias("h")
+    )
+    keep = (
+        fp.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("h")
+    )
+    p = fp.join(keep, "h")
+    return (
+        p.alias("a")
+        .join(
+            p.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
 
 
 _RAKE_STOP = ["the", "and", "of", "a", "in", "to", "is", "on", "for", "with"]
