@@ -86,6 +86,8 @@ HEADLINE = [
     # round-7 flagship additions
     "v_knn_graph_build",
     "t_bpe_train",
+    "d_winnow_fingerprint_pairs",
+    "j_asof_nearest_tolerance",
 ]
 
 
@@ -170,23 +172,23 @@ def main() -> None:
     # from the official record (BENCH_r05.json parsed=null). The final line
     # must stay compact — timings only.
     print(json.dumps({"diagnostic": "loadavg_per_query", "loadavg": loadavg}))
+    # Per-query timings at 2 decimals: single-run noise is +-50% (min-of-3
+    # narrows it, not to ms), so 3dp was false precision — and the driver's
+    # tail capture budgets ~1800 chars for this line (64 rows at 2dp fit;
+    # at 3dp they would not).
     final = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "split": split,
         "sf": sf_val,
     }
     line = json.dumps(final, separators=(",", ":"))
-    if len(line) > 1800:
-        # Headline grew past the tail budget: drop precision first, then
-        # (never expected) fall back to total-only so the record stays valid.
-        final["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    if len(line) > 1900:
+        # Never expected: fall back to total-only so the record stays valid.
+        final.pop("queries")
         line = json.dumps(final, separators=(",", ":"))
-        if len(line) > 1900:
-            final.pop("queries")
-            line = json.dumps(final, separators=(",", ":"))
     print(line)
     spark.stop()
 
