@@ -176,11 +176,14 @@ def main() -> None:
     # narrows it, not to ms), so 3dp was false precision — and the driver's
     # tail capture budgets ~1800 chars for this line (64 rows at 2dp fit;
     # at 3dp they would not).
+    rounded = {k: round(v, 2) for k, v in timings.items()}
     final = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        # total computed from the SAME 2dp values published per query, so
+        # value == sum(queries) holds exactly for any record reader.
+        "value": round(sum(rounded.values()), 2),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": rounded,
         "split": split,
         "sf": sf_val,
     }

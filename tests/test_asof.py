@@ -190,13 +190,19 @@ def test_asof_nearest_property_vs_pandas(spark):
 
     rng = random.Random(77)
     base = 1_700_000_000_000_000
-    # left on even 2s grid, right on odd 1s offsets -> |gap| never ties
+    # left on the even-2s grid, right at +0.7s off that grid: a prev/next
+    # gap tie needs left = (o1+o2)*1e6 + 7e5 for integer right offsets
+    # o1, o2 — but every left is a multiple of 2e6 and the RHS is 7e5 mod
+    # 1e6, so equal gaps (and equal instants) are arithmetically
+    # impossible, not just unlikely. (With right at +1s, odd o1+o2 made
+    # ties possible — 8 occurred under this seed, silently leaning on
+    # pandas' unspecified tie rule.)
     left_rows = [
         (i, rng.randint(1, 5), base + rng.randint(0, 500) * 2_000_000)
         for i in range(120)
     ]
     right_rows = [
-        (k, base + off * 2_000_000 + 1_000_000, float(k) * 10 + off)
+        (k, base + off * 2_000_000 + 700_000, float(k) * 10 + off)
         for k in range(1, 6)
         for off in rng.sample(range(500), 60)
     ]

@@ -181,7 +181,20 @@ def word_shingle_hashes(col: ColumnOrName, n: int = 3) -> Column:
     per-shingle fold it was meant to replace). Shingle composition is then
     ``zip_with`` over shifted slices of the bound array — no per-element
     re-evaluation anywhere."""
-    wk_expr = F.transform(tokens(col), poly_hash)
+    return F.array_distinct(
+        _positional_gram_hashes(F.transform(tokens(col), poly_hash), n)
+    )
+
+
+def _positional_gram_hashes(wk_expr: Column, n: int) -> Column:
+    """POSITIONAL packed two-stream ``n``-gram hashes over a per-word
+    hash array expression (order-preserving, duplicates kept) — the ONE
+    definition of the engine-portability-critical composition that
+    ``word_shingle_hashes`` (distinct) and ``winnow_fingerprints``
+    (window minima) both consume; the DuckDB oracle strings mirror this
+    arithmetic char-for-char, so the composition must never fork.
+    ``wk_expr`` is bound once per row via the 1-element-array
+    ``transform`` trick (see ``word_shingle_hashes``)."""
 
     def compose(full):
         cnt = F.greatest(F.size(full) - (n - 1), F.lit(0))
@@ -199,9 +212,7 @@ def word_shingle_hashes(col: ColumnOrName, n: int = 3) -> Column:
             )
         return F.zip_with(lo, hi, lambda a, b: a * F.lit(HASH_MOD) + b)
 
-    return F.array_distinct(
-        F.element_at(F.transform(F.array(wk_expr), compose), 1)
-    )
+    return F.element_at(F.transform(F.array(wk_expr), compose), 1)
 
 
 def winnow_fingerprints(col: ColumnOrName, k: int = 3, w: int = 4) -> Column:
@@ -220,9 +231,10 @@ def winnow_fingerprints(col: ColumnOrName, k: int = 3, w: int = 4) -> Column:
     selected minima are bit-identical in the DuckDB oracle. Both array
     stages bind their input via the 1-element-array ``transform`` trick
     (a lambda referencing an outer non-trivial expression re-evaluates it
-    per element — see ``word_shingle_hashes``). Windows shorter than ``w``
-    (docs under ``w + k - 1`` tokens) yield an empty set."""
-    wk_expr = F.transform(tokens(col), poly_hash)
+    per element — see ``word_shingle_hashes``); the gram composition
+    itself is the shared ``_positional_gram_hashes`` (one definition,
+    mirrored by the oracles). Windows shorter than ``w`` (docs under
+    ``w + k - 1`` tokens) yield an empty set."""
 
     def winnow(ghb: Column) -> Column:
         wcnt = F.size(ghb) - (w - 1)
@@ -233,24 +245,8 @@ def winnow_fingerprints(col: ColumnOrName, k: int = 3, w: int = 4) -> Column:
         empty = F.slice(ghb, 1, 0)
         return F.array_distinct(F.when(wcnt >= 1, mins).otherwise(empty))
 
-    def compose(full: Column) -> Column:
-        cnt = F.greatest(F.size(full) - (k - 1), F.lit(0))
-        lo = F.slice(full, 1, cnt)
-        hi = F.slice(full, 1, cnt)
-        for j in range(1, k):
-            nxt = F.slice(full, 1 + j, cnt)
-            lo = F.zip_with(
-                lo, nxt,
-                lambda a, b: (a * F.lit(HASH_MIX) + b) % F.lit(HASH_MOD),
-            )
-            hi = F.zip_with(
-                hi, nxt,
-                lambda a, b: (a * F.lit(HASH_MIX2) + b) % F.lit(HASH_MOD),
-            )
-        gh = F.zip_with(lo, hi, lambda a, b: a * F.lit(HASH_MOD) + b)
-        return F.element_at(F.transform(F.array(gh), winnow), 1)
-
-    return F.element_at(F.transform(F.array(wk_expr), compose), 1)
+    gh = _positional_gram_hashes(F.transform(tokens(col), poly_hash), k)
+    return F.element_at(F.transform(F.array(gh), winnow), 1)
 
 
 def char_ngrams(col: ColumnOrName, n: int = 3) -> Column:

@@ -25,29 +25,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join(
+def _tag_union_sides(
     left: DataFrame,
     right: DataFrame,
     on: list[str],
-    left_ts: str = "ts",
-    right_ts: str = "ts",
-    right_cols: list[str] | None = None,
-    how: str = "inner",
-) -> DataFrame:
-    """Backward as-of join: for each left row, the right row with the
-    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` keys.
-
-    Output: every left column plus ``matched_<c>`` for each requested right
-    payload column and ``matched_ts``. ``how='left'`` keeps unmatched left
-    rows with nulls; ``'inner'`` drops them (ASOF JOIN default).
-    """
-    if how not in ("inner", "left"):
-        raise ValueError(f"asof_join how must be 'inner' or 'left', got {how!r}")
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None,
+) -> tuple[DataFrame, DataFrame, list[str], list[str]]:
+    """Shared union-tagging preamble for the as-of variants: left rows
+    tagged ``_side=1`` with null right-payload slots, right rows tagged
+    ``_side=0`` with null left-payload slots, both on a common ``_ts``.
+    One definition so the two as-of operators cannot diverge on the
+    tagging scheme. Returns (l, r, left_payload, right_cols)."""
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
     left_payload = [c for c in left.columns if c not in on and c != left_ts]
-
     l = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
@@ -66,6 +60,30 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
         F.col(right_ts).alias("_rts"),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    return l, r, left_payload, right_cols
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` keys.
+
+    Output: every left column plus ``matched_<c>`` for each requested right
+    payload column and ``matched_ts``. ``how='left'`` keeps unmatched left
+    rows with nulls; ``'inner'`` drops them (ASOF JOIN default).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join how must be 'inner' or 'left', got {how!r}")
+    l, r, left_payload, right_cols = _tag_union_sides(
+        left, right, on, left_ts, right_ts, right_cols
     )
     w = (
         Window.partitionBy(*on)
@@ -120,29 +138,8 @@ def asof_join_nearest(
     Output: every left column plus ``matched_ts``, ``matched_<c>`` for the
     requested right payloads, ``gap_us`` (BIGINT), and ``dir``
     ('prev'/'next')."""
-    right_cols = right_cols or [
-        c for c in right.columns if c not in on and c != right_ts
-    ]
-    left_payload = [c for c in left.columns if c not in on and c != left_ts]
-
-    l = left.select(
-        *on,
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
-        *left_payload,
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in right_cols
-        ],
-    )
-    r = right.select(
-        *on,
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        F.col(right_ts).alias("_rts"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    l, r, left_payload, right_cols = _tag_union_sides(
+        left, right, on, left_ts, right_ts, right_cols
     )
     wb = (
         Window.partitionBy(*on)
