@@ -22,3 +22,74 @@ def test_bpe_train_textbook_semantics(spark, tmp_path):
     # apply: 'bc' -> [bc, </w>]
     # round 3: (bc,</w>)x3 wins over the aa singles => (bc,</w>) n=3
     assert got == [(1, "a", "a", 5), (2, "b", "c", 3), (3, "bc", "</w>", 3)]
+
+
+def test_global_exclusive_cumsum_equals_single_window(spark):
+    """Two-level distributed prefix sum == the plain single-window form,
+    with block=4 forcing many blocks (offsets + within-block paths both
+    exercised), gapped/unsorted ids, and a zero value."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.packing import global_exclusive_cumsum
+
+    rng = random.Random(5)
+    ids = rng.sample(range(0, 500), 60)  # gapped, unsorted insert order
+    rows = [(i, rng.randint(0, 9)) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    got = {
+        r.doc_id: r.cum_before
+        for r in global_exclusive_cumsum(df, "doc_id", "tok", block=4).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.doc_id: r.cum
+        for r in df.select(
+            "doc_id", F.coalesce(F.sum("tok").over(w), F.lit(0)).alias("cum")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_invariants(spark):
+    """Every sequence except the last carries exactly ctx tokens; a doc
+    spanning a boundary splits with contiguous spans; per-doc spans sum
+    to the doc's token count; tok=0 docs vanish."""
+    from vector_search_spark.operators.packing import pack_sequences
+
+    rows = [(1, 6), (2, 3), (3, 0), (4, 10), (5, 2)]  # ctx=8: doc 4 splits 2x
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    out = pack_sequences(df, "doc_id", "tok", ctx=8).collect()
+    spans = {(r.seq_id, r.doc_id): (r.doc_tok_start, r.n_toks, r.is_split) for r in out}
+    # doc1 [0,6) seq0; doc2 [6,8)+... 6+3=9 -> splits at 8: seq0 gets 2, seq1 gets 1
+    assert spans[(0, 1)] == (0, 6, 0)
+    assert spans[(0, 2)] == (0, 2, 1)
+    assert spans[(1, 2)] == (2, 1, 1)
+    # doc4: cum_before=9 -> [9,19): seq1 tokens 9..16 (7), seq2 16..19 (3)
+    assert spans[(1, 4)] == (0, 7, 1)
+    assert spans[(2, 4)] == (7, 3, 1)
+    # doc5: cum_before=19 -> seq2, start_in_doc 0, 2 toks
+    assert spans[(2, 5)] == (0, 2, 0)
+    assert 3 not in {d for _, d in spans}  # tok=0 dropped
+    # per-seq totals: all ctx except last
+    import collections
+
+    per_seq = collections.Counter()
+    for (s, _), (_, n, _) in spans.items():
+        per_seq[s] += n
+    last = max(per_seq)
+    assert all(v == 8 for s, v in per_seq.items() if s != last)
+    assert per_seq[last] == 21 - 16
+    # per-doc span sums == tok and spans are contiguous from 0
+    per_doc = collections.defaultdict(list)
+    for (s, d), (st, n, _) in spans.items():
+        per_doc[d].append((s, st, n))
+    for d, tok in rows:
+        if tok == 0:
+            continue
+        sp = sorted(per_doc[d])
+        assert sp[0][1] == 0 and sum(n for _, _, n in sp) == tok
+        for (_, st0, n0), (_, st1, _) in zip(sp, sp[1:]):
+            assert st1 == st0 + n0

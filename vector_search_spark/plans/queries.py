@@ -1607,6 +1607,57 @@ def a_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_sequence_packing",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents),
+c AS (
+  SELECT doc_id, tok,
+         CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM d WHERE tok >= 1),
+e AS (
+  SELECT doc_id, tok, cum_before,
+         UNNEST(range(cum_before // 512,
+                      (cum_before + tok - 1) // 512 + 1)) AS seq_id
+  FROM c)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id AS doc_id,
+       CAST(GREATEST(seq_id * 512, cum_before) - cum_before AS BIGINT)
+         AS doc_tok_start,
+       CAST(LEAST((seq_id + 1) * 512, cum_before + tok)
+            - GREATEST(seq_id * 512, cum_before) AS BIGINT) AS n_toks,
+       CAST(CASE WHEN cum_before // 512 <> (cum_before + tok - 1) // 512
+            THEN 1 ELSE 0 END AS BIGINT) AS is_split
+FROM e
+""",
+)
+def t_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents stream (in doc_id order)
+    into fixed 512-token training sequences, SPLITTING documents at
+    sequence boundaries, emitting the (seq_id, doc_id, doc_tok_start,
+    n_toks, is_split) span map a pretraining data loader consumes — the
+    step between shard packing (`a_shard_packing`, which never splits)
+    and the batch loader. The global exclusive prefix sum is computed by
+    the two-level distributed rewrite (block partials → tiny offset
+    cumsum → within-block partitioned window — see
+    operators.packing.global_exclusive_cumsum): the ONLY un-partitioned
+    window runs over corpus/4096 block rows, never the corpus, while the
+    oracle uses the plain single-window SQL form — parity certifies the
+    distributed rewrite lossless, the same pattern as the z-order
+    superset rewrite. All-BIGINT; every sequence except the last sums to
+    exactly 512 tokens (invariant pinned in tests)."""
+    from ..operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+    return pack_sequences(d, "doc_id", "tok", ctx=512)
+
+
+@register(
     "t_fingerprint",
     oracle=f"""
 SELECT doc_id AS doc_id, {_duck_poly("text")} AS fingerprint
