@@ -88,6 +88,7 @@ HEADLINE = [
     "t_bpe_train",
     "d_winnow_fingerprint_pairs",
     "j_asof_nearest_tolerance",
+    "t_sequence_packing",
 ]
 
 
