@@ -93,3 +93,29 @@ def test_pack_sequences_invariants(spark):
         assert sp[0][1] == 0 and sum(n for _, _, n in sp) == tok
         for (_, st0, n0), (_, st1, _) in zip(sp, sp[1:]):
             assert st1 == st0 + n0
+
+
+def test_packing_guards(spark):
+    """Negative token counts are excluded BEFORE the prefix sum (cannot
+    shift later docs' positions), and the temp-column collision raises."""
+    import pytest
+
+    from vector_search_spark.operators.packing import (
+        global_exclusive_cumsum,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, -3), (3, 5)], "doc_id long, tok long"
+    )
+    out = {
+        (r.seq_id, r.doc_id): (r.doc_tok_start, r.n_toks)
+        for r in pack_sequences(df, "doc_id", "tok", ctx=8).collect()
+    }
+    # doc 3 starts at global position 5 (doc 2 fully excluded): seq0 gets
+    # tokens 5..8 (3 of them), seq1 gets the remaining 2
+    assert out == {(0, 1): (0, 5), (0, 3): (0, 3), (1, 3): (3, 2)}
+
+    clash = spark.createDataFrame([(1, 2, 9)], "doc_id long, tok long, _blk long")
+    with pytest.raises(ValueError, match="_blk"):
+        global_exclusive_cumsum(clash, "doc_id", "tok")

@@ -44,6 +44,12 @@ def global_exclusive_cumsum(
     (block partials → tiny offset cumsum → within-block window). Requires
     a non-negative integer ``order_col`` (block = order div block_size
     preserves order across blocks). Adds ``out_col`` (BIGINT)."""
+    clash = {"_blk", "_boff"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_exclusive_cumsum uses temp columns {sorted(clash)}; "
+            "rename them on the input first"
+        )
     blk = (F.col(order_col).cast("long") / F.lit(block)).cast("long")
     d = df.withColumn("_blk", blk)
     part = d.groupBy("_blk").agg(F.sum(val_col).cast("long").alias("_bsum"))
@@ -88,16 +94,22 @@ def pack_sequences(
 
     Work per doc is O(1 + spanned sequences); the explode is bounded by
     tok/ctx + 1, so total output is O(total_tokens / ctx + n_docs) —
-    corpus-linear, no global sort (see ``global_exclusive_cumsum``)."""
+    corpus-linear, no global sort (see ``global_exclusive_cumsum``).
+
+    tok < 1 rows are excluded BEFORE the prefix sum (they span no
+    sequence; a negative count entering ``cum_before`` would corrupt
+    every later doc's position, and ``F.sequence(first, last)`` with
+    last < first generates a DESCENDING range rather than an empty
+    one)."""
     c = global_exclusive_cumsum(
-        docs.select(id_col, tok_col), id_col, tok_col, "cum_before", block
+        docs.select(id_col, tok_col).filter(F.col(tok_col) >= 1),
+        id_col,
+        tok_col,
+        "cum_before",
+        block,
     )
     first = F.expr(f"cum_before div {ctx}")
     last = F.expr(f"(cum_before + {tok_col} - 1) div {ctx}")
-    # tok=0 docs span no sequence: drop them BEFORE the explode —
-    # F.sequence(first, last) with last < first auto-generates a
-    # DESCENDING range (it does not return empty like SQL range()).
-    c = c.filter(F.col(tok_col) >= 1)
     e = c.select(
         id_col,
         tok_col,
