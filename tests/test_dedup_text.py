@@ -512,3 +512,16 @@ def test_winnow_fingerprints_guarantee_and_sampling(spark):
     assert len(fp1) < len(gh1)
     # (c) short doc -> empty fingerprint set
     assert out[3][0] == set()
+
+
+def test_winnow_guarantee_zero_missed(spark, sf_dir):
+    """The winnowing theorem on real data: every doc pair sharing an
+    exact >= w+k-1 = 6-token run shares >= 1 winnowed fingerprint —
+    n_missed must be 0 (and the fixture must actually exercise the
+    claim: n_truth_pairs > 0)."""
+    from vector_search_spark.plans.queries import QUERIES
+
+    r = QUERIES["d_winnow_guarantee_eval"].fn(spark, sf_dir).first()
+    assert r.n_truth_pairs > 0
+    assert r.n_detected == r.n_truth_pairs
+    assert r.n_missed == 0
