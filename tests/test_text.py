@@ -119,3 +119,18 @@ def test_packing_guards(spark):
     clash = spark.createDataFrame([(1, 2, 9)], "doc_id long, tok long, _blk long")
     with pytest.raises(ValueError, match="_blk"):
         global_exclusive_cumsum(clash, "doc_id", "tok")
+
+
+def test_packing_param_guards(spark):
+    import pytest
+
+    from vector_search_spark.operators.packing import (
+        global_exclusive_cumsum,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "doc_id long, tok long")
+    with pytest.raises(ValueError, match="ctx"):
+        pack_sequences(df, "doc_id", "tok", ctx=0)
+    with pytest.raises(ValueError, match="block"):
+        global_exclusive_cumsum(df, "doc_id", "tok", block=0)

@@ -44,6 +44,8 @@ def global_exclusive_cumsum(
     (block partials → tiny offset cumsum → within-block window). Requires
     a non-negative integer ``order_col`` (block = order div block_size
     preserves order across blocks). Adds ``out_col`` (BIGINT)."""
+    if block < 1:
+        raise ValueError(f"block must be >= 1, got {block}")
     clash = {"_blk", "_boff"} & set(df.columns)
     if clash:
         raise ValueError(
@@ -101,6 +103,8 @@ def pack_sequences(
     every later doc's position, and ``F.sequence(first, last)`` with
     last < first generates a DESCENDING range rather than an empty
     one)."""
+    if ctx < 1:
+        raise ValueError(f"ctx must be >= 1, got {ctx}")
     c = global_exclusive_cumsum(
         docs.select(id_col, tok_col).filter(F.col(tok_col) >= 1),
         id_col,
