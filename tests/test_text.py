@@ -134,3 +134,50 @@ def test_packing_param_guards(spark):
         pack_sequences(df, "doc_id", "tok", ctx=0)
     with pytest.raises(ValueError, match="block"):
         global_exclusive_cumsum(df, "doc_id", "tok", block=0)
+
+
+def test_cumsum_wide_order_col_exact_block_assignment(spark):
+    """order_col values near 2^60: float division would misassign blocks
+    (2^53 rounding); the exact `div` must keep the two-level form equal to
+    the single-window form."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.packing import global_exclusive_cumsum
+
+    base = 1 << 59
+    # adjacent ids straddling block boundaries at the wide end
+    ids = [base + d for d in (0, 1, 4095, 4096, 4097, 8191, 8192)]
+    rows = [(i, 3) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    got = {
+        r.doc_id: r.cum_before
+        for r in global_exclusive_cumsum(df, "doc_id", "tok").collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.doc_id: r.cum
+        for r in df.select(
+            "doc_id", F.coalesce(F.sum("tok").over(w), F.lit(0)).alias("cum")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bpe_train_stops_when_no_pairs_remain(spark):
+    """A corpus whose every word collapses to a single symbol before k
+    rounds must return the merges learned so far, not IndexError; an
+    empty corpus returns zero merges."""
+    from vector_search_spark.operators.lm import bpe_train
+
+    # 'ab' -> [a, b, </w>]: round 1 merges (a,b), round 2 merges (ab,</w>),
+    # round 3 has no adjacent pairs left -> early stop with 2 merges
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = [
+        (r["rank"], r["sym_a"], r["sym_b"], r["n"])
+        for r in bpe_train(docs, "text", k=5).collect()
+    ]
+    assert got == [(1, "a", "b", 2), (2, "ab", "</w>", 2)]
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(empty, "text", k=2).count() == 0

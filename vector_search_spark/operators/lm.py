@@ -226,13 +226,18 @@ def bpe_train(
                 )
             ).alias("p"),
         )
-        best = (
+        top = (
             pairs.groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("total"))
             .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:
+            # empty corpus, or every word already collapsed to one symbol:
+            # no adjacent pairs remain — stop with the merges learned so far
+            break
+        best = top[0]
         a, b, tot = best["a"], best["b"], int(best["total"])
         merges.append((r + 1, a, b, tot))
 

@@ -42,8 +42,11 @@ def global_exclusive_cumsum(
     """Exclusive global running total of ``val_col`` in ``order_col``
     order, WITHOUT an un-partitioned window over the full data: two-level
     (block partials → tiny offset cumsum → within-block window). Requires
-    a non-negative integer ``order_col`` (block = order div block_size
-    preserves order across blocks). Adds ``out_col`` (BIGINT)."""
+    a non-negative integer ``order_col`` whose values are UNIQUE (the
+    within-block window orders by ``order_col`` alone, so duplicate keys
+    would make the exclusive sum nondeterministic among the duplicates);
+    block = order div block_size preserves order across blocks. Adds
+    ``out_col`` (BIGINT)."""
     if block < 1:
         raise ValueError(f"block must be >= 1, got {block}")
     clash = {"_blk", "_boff"} & set(df.columns)
@@ -52,7 +55,9 @@ def global_exclusive_cumsum(
             f"global_exclusive_cumsum uses temp columns {sorted(clash)}; "
             "rename them on the input first"
         )
-    blk = (F.col(order_col).cast("long") / F.lit(block)).cast("long")
+    # Exact integer division — `/` would route through double and can
+    # misassign blocks for order_col values at or above 2^53.
+    blk = F.expr(f"cast(`{order_col}` as bigint) div {block}")
     d = df.withColumn("_blk", blk)
     part = d.groupBy("_blk").agg(F.sum(val_col).cast("long").alias("_bsum"))
     woff = (
@@ -87,7 +92,9 @@ def pack_sequences(
     block: int = 4096,
 ) -> DataFrame:
     """Pack documents into fixed ``ctx``-token sequences in ``id_col``
-    order, splitting documents at sequence boundaries. Output one row per
+    order (``id_col`` values must be unique non-negative integers — see
+    ``global_exclusive_cumsum``), splitting documents at sequence
+    boundaries. Output one row per
     (sequence, document) span: ``seq_id``, ``id_col``, ``doc_tok_start``
     (offset of the span inside the document), ``n_toks`` (tokens of this
     doc in this sequence), ``is_split`` (1 if the doc crosses a

@@ -31,13 +31,16 @@ CMS_PARAMS = [
 
 
 def _cms_pos(key, a: int, b: int, width: int):
-    # key*a < 2^34 * 2^31 ~ 2^65?  key must stay < 2^32 for exactness:
-    # user ids (base and 10x-replicated fixtures) are < 2^27. Guarded by
-    # the registry row's key domain; a general caller should pre-hash
-    # wider keys down first.
-    return ((key * F.lit(a) + F.lit(b)) % F.lit(CMS_PRIME)).bitwiseAND(
-        width - 1
-    )
+    # Two-fold universal hash (the _bloom_pos_sql pattern): the low 31
+    # bits and the high bits are folded separately so NON-NEGATIVE keys up
+    # to ~2^60 stay exact — ``key * a`` alone overflows int64 past 2^32.
+    # For keys < 2^31 the high term is 0 and positions equal the
+    # historical single-fold values (the registry rows' user_id < 2^27
+    # domain — and their DuckDB oracle replay — are unchanged).
+    a2 = F.lit((a * 40_503) % CMS_PRIME)
+    lo = F.pmod(key, F.lit(CMS_PRIME)) * F.lit(a)
+    hi = F.shiftright(key, 31) * a2
+    return F.pmod(lo + hi + F.lit(b), F.lit(CMS_PRIME)).bitwiseAND(width - 1)
 
 
 def cms_cells(
