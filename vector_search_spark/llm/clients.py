@@ -33,11 +33,15 @@ class LLMClient(Protocol):
 
 
 class FakeEmbeddingClient:
-    """Deterministic 64-dim embeddings: per-dimension value derived from
-    md5(text + '#' + dim), L2-normalized. Same text → same vector, any
-    process, any partition order."""
+    """Deterministic embeddings (config.EMB_DIM wide by default):
+    per-dimension value derived from md5(text + '#' + dim),
+    L2-normalized. Same text → same vector, any process, any partition
+    order."""
 
-    def __init__(self, dim: int = 64):
+    def __init__(self, dim: int | None = None):
+        from ..config import EMB_DIM
+
+        dim = EMB_DIM if dim is None else dim
         self.dim = dim
 
     def _embed_one(self, text: str) -> list[float]:

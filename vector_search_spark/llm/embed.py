@@ -19,11 +19,11 @@ def embed_texts(
     text_col: str,
     out_col: str = "embedding",
     client: EmbeddingClient | None = None,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     from ..utils import fan_out
 
-    client = client or FakeEmbeddingClient(dim)
+    client = client or FakeEmbeddingClient(dim)  # dim=None -> config.EMB_DIM
     df = fan_out(df)
     # NB: build a fresh field list — StructType(df.schema.fields).add(...)
     # would append to the DataFrame's own cached schema object.

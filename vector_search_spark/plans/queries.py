@@ -21,6 +21,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..config import EMB_DIM
 from ..operators.knn import knn, multiprobe_fusion, threshold_search
 from ..sources.catalog import load_table
 
@@ -52,6 +53,11 @@ def oracle_sql() -> dict[str, str]:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+# PQ subspace width: 4 subspaces over the embedding width (16 at the
+# 64-dim fixture; 192 at SPARK_GRAFT_EMB_DIM=768)
+_PQ_SUB = EMB_DIM // 4
 
 
 def _probes(emb: DataFrame, n: int) -> DataFrame:
@@ -1719,7 +1725,7 @@ def _duck_embed_raw(txt: str) -> str:
     Bit-identical to the Python fake (hex→uint64 verified exact; division by
     a power of two commutes with the single float64 rounding)."""
     return (
-        f"list_transform(generate_series(0, 63), _ed -> "
+        f"list_transform(generate_series(0, {EMB_DIM - 1}), _ed -> "
         f"('0x' || substr(md5({txt} || '#' || _ed), 1, 16))::UINT64::DOUBLE "
         f"/ 9223372036854775808.0 - 1.0)"
     )
@@ -1730,7 +1736,7 @@ def _duck_cos(a: str, b: str) -> str:
     bit-identical to functions.vector.cosine_sim (same element order, same
     float64 accumulation, norms recomputed from the float32 arrays)."""
     return (
-        f"(list_sum(list_transform(generate_series(1, 64), "
+        f"(list_sum(list_transform(generate_series(1, len({a})), "
         f"_ck -> {a}[_ck]::DOUBLE * {b}[_ck]::DOUBLE)) / "
         f"(sqrt(list_sum(list_transform({a}, _cx -> _cx::DOUBLE * _cx::DOUBLE))) * "
         f"sqrt(list_sum(list_transform({b}, _cy -> _cy::DOUBLE * _cy::DOUBLE)))))"
@@ -2424,7 +2430,7 @@ def ivf_index_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
 
 @register(
     "v_ivf_pq_knn",
-    oracle="""
+    oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS ctid, v AS cv FROM e WHERE vec_id < 16),
 assign AS (
@@ -2434,14 +2440,14 @@ assign AS (
         ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.ctid ASC) AS rn
     FROM e CROSS JOIN cent) t WHERE rn = 1),
 cb AS (
-  SELECT s.sub, c.vec_id AS cwid, c.v[s.sub*16+1 : s.sub*16+16] AS cv
+  SELECT s.sub, c.vec_id AS cwid, c.v[s.sub*{_PQ_SUB}+1 : s.sub*{_PQ_SUB}+{_PQ_SUB}] AS cv
   FROM (SELECT unnest(generate_series(0, 3)) AS sub) s,
        (SELECT vec_id, v FROM e WHERE vec_id < 16) c),
 dists AS (
   SELECT e.vec_id, cb.sub, cb.cwid,
-         list_sum(list_transform(generate_series(1, 16),
-           i -> (e.v[cb.sub*16 + i] - cb.cv[i])
-              * (e.v[cb.sub*16 + i] - cb.cv[i]))) AS d
+         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+           i -> (e.v[cb.sub*{_PQ_SUB} + i] - cb.cv[i])
+              * (e.v[cb.sub*{_PQ_SUB} + i] - cb.cv[i]))) AS d
   FROM e CROSS JOIN cb),
 codes AS (
   SELECT vec_id, sub, cwid FROM (
@@ -2457,8 +2463,8 @@ pcent AS (
     FROM p CROSS JOIN cent) t WHERE rn <= 4),
 ptab AS (
   SELECT p.probe_id, cb.sub, cb.cwid,
-         list_sum(list_transform(generate_series(1, 16),
-           i -> p.pv[cb.sub*16 + i] * cb.cv[i])) AS pd
+         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+           i -> p.pv[cb.sub*{_PQ_SUB} + i] * cb.cv[i])) AS pd
   FROM p CROSS JOIN cb),
 scp AS (
   SELECT pt.probe_id, c.vec_id,
@@ -2510,7 +2516,7 @@ def v_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < 16).collect()
     }
     codebook = {
-        s: {c: aux[c][s * 16 : (s + 1) * 16] for c in sorted(aux)}
+        s: {c: aux[c][s * _PQ_SUB : (s + 1) * _PQ_SUB] for c in sorted(aux)}
         for s in range(4)
     }
     index = ivf_pq_encode(
@@ -2540,7 +2546,7 @@ def v_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ptab = {
         p: {
             s: [
-                sum(aux[p][s * 16 + i] * codebook[s][c][i] for i in range(16))
+                sum(aux[p][s * _PQ_SUB + i] * codebook[s][c][i] for i in range(_PQ_SUB))
                 for c in range(16)
             ]
             for s in range(4)
@@ -3241,10 +3247,38 @@ def v_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_ORACLE = """
+def _duck_lsh_sig(v: str, n_planes: int, seed: int) -> str:
+    """DuckDB SQL for the seeded ``lsh_signature`` bit-sum over ``v``
+    (DOUBLE[]) — same planes (``make_planes`` is numpy-seeded and
+    deterministic), same sign test. NB: DuckDB parses float literals in
+    a LIST context as DECIMAL(18,17), so the plane components can be 1
+    ulp off Spark's (measured, tests/test_dim_contracts.py) — tolerable
+    ONLY because this is a sign channel: a flipped bucket bit needs
+    |dot| ≲ 1e-13 · dim, and |dot| is O(1) gaussian. Never reuse this
+    literal-list pattern for value columns."""
+    from ..operators.ann import make_planes
+
+    terms = []
+    for i, p in enumerate(make_planes(n_planes, EMB_DIM, seed)):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({v}, {lit}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+
+def _lsh_oracle() -> str:
+    """DuckDB replay of ``hyperplane_lsh_knn`` (8 seeded planes at
+    EMB_DIM): identical bucket signatures on both sides, exact cosine
+    re-rank within buckets."""
+    sig = _duck_lsh_sig("v", 8, 42)
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id, v, ((CASE WHEN list_dot_product(v, [0.4967141530112327, -0.13826430117118466, 0.6476885381006925, 1.5230298564080254, -0.23415337472333597, -0.23413695694918055, 1.5792128155073915, 0.7674347291529088, -0.4694743859349521, 0.5425600435859647, -0.46341769281246226, -0.46572975357025687, 0.24196227156603412, -1.913280244657798, -1.7249178325130328, -0.5622875292409727, -1.0128311203344238, 0.3142473325952739, -0.9080240755212109, -1.4123037013352915, 1.465648768921554, -0.22577630048653566, 0.06752820468792384, -1.4247481862134568, -0.5443827245251827, 0.11092258970986608, -1.1509935774223028, 0.37569801834567196, -0.600638689918805, -0.2916937497932768, -0.6017066122293969, 1.8522781845089378, -0.013497224737933921, -1.0577109289559004, 0.822544912103189, -1.2208436499710222, 0.2088635950047554, -1.9596701238797756, -1.3281860488984305, 0.19686123586912352, 0.7384665799954104, 0.1713682811899705, -0.11564828238824053, -0.3011036955892888, -1.4785219903674274, -0.7198442083947086, -0.4606387709597875, 1.0571222262189157, 0.3436182895684614, -1.763040155362734, 0.324083969394795, -0.38508228041631654, -0.6769220003059587, 0.6116762888408679, 1.030999522495951, 0.9312801191161986, -0.8392175232226385, -0.3092123758512146, 0.33126343140356396, 0.9755451271223592, -0.47917423784528995, -0.18565897666381712, -1.1063349740060282, -1.1962066240806708]::DOUBLE[]) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.812525822394198, 1.356240028570823, -0.07201012158033385, 1.0035328978920242, 0.36163602504763415, -0.6451197546051243, 0.36139560550841393, 1.5380365664659692, -0.03582603910995154, 1.5646436558140062, -2.6197451040897444, 0.8219025043752238, 0.08704706823817122, -0.29900735046586746, 0.0917607765355023, -1.9875689146008928, -0.21967188783751193, 0.3571125715117464, 1.477894044741516, -0.5182702182736474, -0.8084936028931876, -0.5017570435845365, 0.9154021177020741, 0.32875110965968446, -0.5297602037670388, 0.5132674331133561, 0.09707754934804039, 0.9686449905328892, -0.7020530938773524, -0.3276621465977682, -0.39210815313215763, -1.4635149481321186, 0.29612027706457605, 0.26105527217988933, 0.00511345664246089, -0.23458713337514692, -1.4153707420504142, -0.42064532276535904, -0.3427145165267695, -0.8022772692216189, -0.16128571166600914, 0.4040508568145384, 1.8861859012105302, 0.17457781283183896, 0.25755039072276437, -0.07444591576616721, -1.9187712152990415, -0.026513875449216878, 0.06023020994102644, 2.463242112485286, -0.19236096478112252, 0.30154734233361247, -0.03471176970524331, -1.168678037619532, 1.1428228145150205, 0.7519330326867741, 0.7910319470430469, -0.9093874547947389, 1.4027943109360992, -1.4018510627922809, 0.5868570938002703, 2.1904556258099785, -0.9905363251306883, -0.5662977296027719]::DOUBLE[]) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.09965136508764122, -0.5034756541161992, -1.5506634310661327, 0.06856297480602733, -1.0623037137261049, 0.4735924306351816, -0.9194242342338032, 1.5499344050175394, -0.7832532923362371, -0.3220615162056756, 0.8135172173696698, -1.2308643164339552, 0.22745993460412942, 1.307142754282428, -1.6074832345612275, 0.1846338585323042, 0.25988279424842353, 0.7818228717773104, -1.236950710878082, -1.3204566130842763, 0.5219415656168976, 0.29698467323318606, 0.25049285034587654, 0.3464482094969757, -0.6800247215784908, 0.23225369716100355, 0.29307247329868125, -0.7143514180263678, 1.8657745111447566, 0.4738329209117875, -1.1913034972026486, 0.6565536086338297, -0.9746816702273214, 0.787084603742452, 1.158595579007404, -0.8206823183517105, 0.9633761292443218, 0.4127809269364983, 0.82206015999449, 1.8967929826539474, -0.2453881160028705, -0.7537361643574896, -0.8895144296255233, -0.8158102849654383, -0.0771017094141042, 0.3411519748166439, 0.27669079933001905, 0.8271832490360238, 0.01300189187790702, 1.4535340771573169, -0.2646568332379561, 2.720169166589619, 0.6256673477650062, -0.8571575564162826, -1.0708924980611123, 0.4824724152431853, -0.2234627853258509, 0.714000494092092, 0.47323762457354485, -0.07282891265687277, -0.846793718068405, -1.5148472246858646, -0.4465149520670211, 0.8563987943234723]::DOUBLE[]) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.21409374413020396, -1.245738778711988, 0.173180925851182, 0.3853173797288368, -0.883857436201133, 0.1537251059455279, 0.058208718445999896, -1.142970297830623, 0.3577873603482833, 0.5607845263682344, 1.083051243175277, 1.053802052034903, -1.377669367957091, -0.9378250399151228, 0.5150352672086598, 0.5137859509122088, 0.5150476863060479, 3.852731490654721, 0.570890510693167, 1.135565640180599, 0.9540017634932023, 0.651391251305798, -0.3152692446403456, 0.7589692204932674, -0.7728252145375718, -0.23681860674000887, -0.48536354782910346, 0.08187413938632256, 2.3146585666735087, -1.867265192591748, 0.6862601903745135, -1.6127158711896517, -0.47193186578943347, 1.088950596967366, 0.06428001909546277, -1.0777447779293061, -0.7153037092599682, 0.6795977489346758, -0.7303666317171367, 0.21645858958197486, 0.045571839903813784, -0.6516003476058171, 2.1439440893253257, 0.6339190223180112, -2.025142586657607, 0.18645431476942764, -0.661786464768388, 0.852433334796224, -0.7925207384327007, -0.11473644146689901, 0.5049872789804571, 0.8657551941701215, -1.2002964070557762, -0.3345012358409484, -0.4749453111609562, -0.6533292325737119, 1.7654542402810969, 0.40498171096095553, -1.2608839543350452, 0.9178619470547761, 2.1221561970126332, 1.0324652605511468, -1.5193699659540134, -0.48423407286625136]::DOUBLE[]) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_dot_product(v, [1.2669111491866227, -0.7076694656187807, 0.44381942814622843, 0.7746340534293368, -0.926930471578083, -0.05952535606180008, -3.2412673400690726, -1.0243876413342898, -0.2525681513931603, -1.2477831819648495, 1.6324113039316352, -1.4301413779606327, -0.44004448669698376, 0.13074057728609134, 1.4412732890661155, -1.4358621511794394, 1.1631637521549596, 0.010233061019587049, -0.9815086510479509, 0.46210347426327075, 0.19905969557347003, -0.6002168771587947, 0.06980208499001891, -0.3853135968617602, 0.11351734525124804, 0.6621306745210467, 1.586016816145352, -1.237815498826849, 2.1330333746562666, -1.9520877995225019, -0.15178509503558332, 0.5883172064845765, 0.28099186773503265, -0.6226995198205938, -0.20812225035727522, -0.4930009346588328, -0.5893647569442115, 0.8496020970210246, 0.35701548596504734, -0.6929095952606542, 0.8995998754332507, 0.30729952087660933, 0.8128621188389601, 0.6296288419236122, -0.8289950109220723, -0.5601810401969696, 0.7472936051232618, 0.6103702654334648, -0.020901593964148132, 0.117327383308782, 1.277664895788425, -0.5915713888358299, 0.5470973811700379, -0.20219265243389406, -0.2176812032272203, 1.09877685198719, 0.8254163489880298, 0.8135096360006385, 1.305478807154329, 0.02100384163275905, 0.6819529712949639, -0.31026675659345604, 0.3241663524884421, -0.13014305436768459]::DOUBLE[]) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.09699596499271819, 0.5951570254369136, -0.8182206832334725, 2.0923872756854602, -1.006017381499702, -1.2141886127877322, 1.1581108735000678, 0.7916626939629359, 0.6241198170521551, 0.6283455092642799, -0.012246772846914623, -0.8972543714858315, 0.07580455819372633, -0.6771617115121117, 0.9751197334177512, -0.14705738150213865, -0.8254971967925115, -0.32138584165299344, 0.41293145427562433, -0.5637245528039747, -0.8222203955664315, 0.2436872114919123, 0.24496657110872277, -0.5069431753711298, -0.4710383056183228, 0.2320499373576363, -1.4480843414973241, -1.4074637743765552, -0.718444221252436, -0.21344715171184725, 0.3109075655980046, 1.475356216949552, 0.8576596232020194, -0.1599385299634271, -0.01901620790268883, -1.0025293646378088, -0.01851313599238993, -0.2886586389201383, 0.3227185603380895, -0.827230943552323, 0.5193465142411723, 1.5327389130025777, -0.1087601484568576, 0.40171172209894146, 0.6901439917111125, -0.40122047188583626, 0.22409248181041677, 0.01259240078179486, 0.09767609854883172, -0.7730097838554665, 0.024510174258942714, 0.49799829124544975, 1.4511436077950417, 0.9592708260852069, 2.1531824575115563, -0.7673475628880495, 0.8723206367206782, 0.18334200573835174, 2.1898029332176723, -0.8082982853551515, -0.8397218421807761, -0.5993926454440222, -2.123895724309807, -0.525755021680761]::DOUBLE[]) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-0.759132661553698, 0.15039378647620763, 0.34175597577715944, 1.8761708392158862, 0.9504238381860503, -0.5769036556624031, -0.898414671348358, 0.4919191715065057, -1.3202332070206422, 1.8314587658543537, 1.179440120721287, -0.4691756521047048, -1.7131345290908775, 1.3538723741654128, -0.11453984525261789, 1.2378163119734618, -1.594427658794367, -0.5993750229537729, 0.005243699718183166, 0.046980593764742055, -0.45006547147924364, 0.6228499323474987, -1.0676204293825944, -0.1423794850212935, 0.12029563171189886, 0.514438834058749, 0.7116148780888898, -1.1246420918378692, -1.5341141707356223, 1.277676821898509, 0.33231401197959165, -0.7484865365565536, 1.551151975522523, 0.11567463429285867, 1.1792971840638264, 0.06751848141010895, 2.060747924881987, 1.7553408424432044, -0.2489641484790735, 0.9715709509543554, 0.6453759495851475, 1.3686315575323487, -0.9649234605801045, 0.6860514599984393, 1.0584244868495878, -1.7587394864231143, -1.183258512665775, -2.0392321777601006, -0.26940683444455776, 0.7175422557959623, 1.502357052096028, 0.07409478041977519, 1.6286155455712918, -1.3801014582148914, -1.7033824393551547, -0.05554769889661878, 0.3840654489393073, -0.03269474809409311, -2.0674421000398766, -0.08912003951278841, -1.3044695005048532, 0.6696725488300385, 0.36659824609684827, -0.9398797863273552]::DOUBLE[]) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-0.5138669173366935, -1.0592135218889516, -0.06267909727317188, 0.9551423205012383, -0.9857260463355437, 0.5040465155178444, -0.5302576183724408, -0.7928728322623442, -0.10703035995455783, -1.035242322419374, -0.553649305347182, -1.1978778925888485, 1.9647251329163893, 0.03526355197172861, -0.6997255079925856, 0.213979910734222, -0.11232804969082982, -0.22096959953322298, 0.6141667000434252, 0.7575077100473051, -0.5305011476105275, -0.57581824064468, -0.275051697151644, -2.301921164735585, -1.5151910621985523, 1.3668742674445247, 1.6449677135012837, -0.24903603955637832, 0.5765569630557664, 0.3112501545435361, 3.0788808084552377, 1.1195749114345768, -0.12791759148076653, -0.9555404406004258, -1.6064463202575725, 0.2034636358672231, -0.7563507452843033, -1.4222537095976742, -0.6465728842425266, -1.081548003614395, 1.6871416350725648, 0.8816397569494505, -0.007972641316617372, 1.4799441388900259, 0.0773683076476183, -0.8612842013282637, 1.5231240772696573, 0.5389100436846587, -1.0372461543264564, -0.1903386780836082, -0.8756182533847572, -1.382799730964336, 0.9261775475316414, 1.9094166404701305, -1.3985675738191412, 0.5629692366905709, -0.6506425691218269, -0.48712538376469605, -0.5923939242388692, -0.863990769679816, 0.04852162794482699, -0.8309501164110378, 0.2704568257798388, -0.05023810944913695]::DOUBLE[]) > 0 THEN 128 ELSE 0 END)) AS sig FROM e),
-p AS (SELECT vec_id AS probe_id, v AS pv, ((CASE WHEN list_dot_product(v, [0.4967141530112327, -0.13826430117118466, 0.6476885381006925, 1.5230298564080254, -0.23415337472333597, -0.23413695694918055, 1.5792128155073915, 0.7674347291529088, -0.4694743859349521, 0.5425600435859647, -0.46341769281246226, -0.46572975357025687, 0.24196227156603412, -1.913280244657798, -1.7249178325130328, -0.5622875292409727, -1.0128311203344238, 0.3142473325952739, -0.9080240755212109, -1.4123037013352915, 1.465648768921554, -0.22577630048653566, 0.06752820468792384, -1.4247481862134568, -0.5443827245251827, 0.11092258970986608, -1.1509935774223028, 0.37569801834567196, -0.600638689918805, -0.2916937497932768, -0.6017066122293969, 1.8522781845089378, -0.013497224737933921, -1.0577109289559004, 0.822544912103189, -1.2208436499710222, 0.2088635950047554, -1.9596701238797756, -1.3281860488984305, 0.19686123586912352, 0.7384665799954104, 0.1713682811899705, -0.11564828238824053, -0.3011036955892888, -1.4785219903674274, -0.7198442083947086, -0.4606387709597875, 1.0571222262189157, 0.3436182895684614, -1.763040155362734, 0.324083969394795, -0.38508228041631654, -0.6769220003059587, 0.6116762888408679, 1.030999522495951, 0.9312801191161986, -0.8392175232226385, -0.3092123758512146, 0.33126343140356396, 0.9755451271223592, -0.47917423784528995, -0.18565897666381712, -1.1063349740060282, -1.1962066240806708]::DOUBLE[]) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.812525822394198, 1.356240028570823, -0.07201012158033385, 1.0035328978920242, 0.36163602504763415, -0.6451197546051243, 0.36139560550841393, 1.5380365664659692, -0.03582603910995154, 1.5646436558140062, -2.6197451040897444, 0.8219025043752238, 0.08704706823817122, -0.29900735046586746, 0.0917607765355023, -1.9875689146008928, -0.21967188783751193, 0.3571125715117464, 1.477894044741516, -0.5182702182736474, -0.8084936028931876, -0.5017570435845365, 0.9154021177020741, 0.32875110965968446, -0.5297602037670388, 0.5132674331133561, 0.09707754934804039, 0.9686449905328892, -0.7020530938773524, -0.3276621465977682, -0.39210815313215763, -1.4635149481321186, 0.29612027706457605, 0.26105527217988933, 0.00511345664246089, -0.23458713337514692, -1.4153707420504142, -0.42064532276535904, -0.3427145165267695, -0.8022772692216189, -0.16128571166600914, 0.4040508568145384, 1.8861859012105302, 0.17457781283183896, 0.25755039072276437, -0.07444591576616721, -1.9187712152990415, -0.026513875449216878, 0.06023020994102644, 2.463242112485286, -0.19236096478112252, 0.30154734233361247, -0.03471176970524331, -1.168678037619532, 1.1428228145150205, 0.7519330326867741, 0.7910319470430469, -0.9093874547947389, 1.4027943109360992, -1.4018510627922809, 0.5868570938002703, 2.1904556258099785, -0.9905363251306883, -0.5662977296027719]::DOUBLE[]) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.09965136508764122, -0.5034756541161992, -1.5506634310661327, 0.06856297480602733, -1.0623037137261049, 0.4735924306351816, -0.9194242342338032, 1.5499344050175394, -0.7832532923362371, -0.3220615162056756, 0.8135172173696698, -1.2308643164339552, 0.22745993460412942, 1.307142754282428, -1.6074832345612275, 0.1846338585323042, 0.25988279424842353, 0.7818228717773104, -1.236950710878082, -1.3204566130842763, 0.5219415656168976, 0.29698467323318606, 0.25049285034587654, 0.3464482094969757, -0.6800247215784908, 0.23225369716100355, 0.29307247329868125, -0.7143514180263678, 1.8657745111447566, 0.4738329209117875, -1.1913034972026486, 0.6565536086338297, -0.9746816702273214, 0.787084603742452, 1.158595579007404, -0.8206823183517105, 0.9633761292443218, 0.4127809269364983, 0.82206015999449, 1.8967929826539474, -0.2453881160028705, -0.7537361643574896, -0.8895144296255233, -0.8158102849654383, -0.0771017094141042, 0.3411519748166439, 0.27669079933001905, 0.8271832490360238, 0.01300189187790702, 1.4535340771573169, -0.2646568332379561, 2.720169166589619, 0.6256673477650062, -0.8571575564162826, -1.0708924980611123, 0.4824724152431853, -0.2234627853258509, 0.714000494092092, 0.47323762457354485, -0.07282891265687277, -0.846793718068405, -1.5148472246858646, -0.4465149520670211, 0.8563987943234723]::DOUBLE[]) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.21409374413020396, -1.245738778711988, 0.173180925851182, 0.3853173797288368, -0.883857436201133, 0.1537251059455279, 0.058208718445999896, -1.142970297830623, 0.3577873603482833, 0.5607845263682344, 1.083051243175277, 1.053802052034903, -1.377669367957091, -0.9378250399151228, 0.5150352672086598, 0.5137859509122088, 0.5150476863060479, 3.852731490654721, 0.570890510693167, 1.135565640180599, 0.9540017634932023, 0.651391251305798, -0.3152692446403456, 0.7589692204932674, -0.7728252145375718, -0.23681860674000887, -0.48536354782910346, 0.08187413938632256, 2.3146585666735087, -1.867265192591748, 0.6862601903745135, -1.6127158711896517, -0.47193186578943347, 1.088950596967366, 0.06428001909546277, -1.0777447779293061, -0.7153037092599682, 0.6795977489346758, -0.7303666317171367, 0.21645858958197486, 0.045571839903813784, -0.6516003476058171, 2.1439440893253257, 0.6339190223180112, -2.025142586657607, 0.18645431476942764, -0.661786464768388, 0.852433334796224, -0.7925207384327007, -0.11473644146689901, 0.5049872789804571, 0.8657551941701215, -1.2002964070557762, -0.3345012358409484, -0.4749453111609562, -0.6533292325737119, 1.7654542402810969, 0.40498171096095553, -1.2608839543350452, 0.9178619470547761, 2.1221561970126332, 1.0324652605511468, -1.5193699659540134, -0.48423407286625136]::DOUBLE[]) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_dot_product(v, [1.2669111491866227, -0.7076694656187807, 0.44381942814622843, 0.7746340534293368, -0.926930471578083, -0.05952535606180008, -3.2412673400690726, -1.0243876413342898, -0.2525681513931603, -1.2477831819648495, 1.6324113039316352, -1.4301413779606327, -0.44004448669698376, 0.13074057728609134, 1.4412732890661155, -1.4358621511794394, 1.1631637521549596, 0.010233061019587049, -0.9815086510479509, 0.46210347426327075, 0.19905969557347003, -0.6002168771587947, 0.06980208499001891, -0.3853135968617602, 0.11351734525124804, 0.6621306745210467, 1.586016816145352, -1.237815498826849, 2.1330333746562666, -1.9520877995225019, -0.15178509503558332, 0.5883172064845765, 0.28099186773503265, -0.6226995198205938, -0.20812225035727522, -0.4930009346588328, -0.5893647569442115, 0.8496020970210246, 0.35701548596504734, -0.6929095952606542, 0.8995998754332507, 0.30729952087660933, 0.8128621188389601, 0.6296288419236122, -0.8289950109220723, -0.5601810401969696, 0.7472936051232618, 0.6103702654334648, -0.020901593964148132, 0.117327383308782, 1.277664895788425, -0.5915713888358299, 0.5470973811700379, -0.20219265243389406, -0.2176812032272203, 1.09877685198719, 0.8254163489880298, 0.8135096360006385, 1.305478807154329, 0.02100384163275905, 0.6819529712949639, -0.31026675659345604, 0.3241663524884421, -0.13014305436768459]::DOUBLE[]) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.09699596499271819, 0.5951570254369136, -0.8182206832334725, 2.0923872756854602, -1.006017381499702, -1.2141886127877322, 1.1581108735000678, 0.7916626939629359, 0.6241198170521551, 0.6283455092642799, -0.012246772846914623, -0.8972543714858315, 0.07580455819372633, -0.6771617115121117, 0.9751197334177512, -0.14705738150213865, -0.8254971967925115, -0.32138584165299344, 0.41293145427562433, -0.5637245528039747, -0.8222203955664315, 0.2436872114919123, 0.24496657110872277, -0.5069431753711298, -0.4710383056183228, 0.2320499373576363, -1.4480843414973241, -1.4074637743765552, -0.718444221252436, -0.21344715171184725, 0.3109075655980046, 1.475356216949552, 0.8576596232020194, -0.1599385299634271, -0.01901620790268883, -1.0025293646378088, -0.01851313599238993, -0.2886586389201383, 0.3227185603380895, -0.827230943552323, 0.5193465142411723, 1.5327389130025777, -0.1087601484568576, 0.40171172209894146, 0.6901439917111125, -0.40122047188583626, 0.22409248181041677, 0.01259240078179486, 0.09767609854883172, -0.7730097838554665, 0.024510174258942714, 0.49799829124544975, 1.4511436077950417, 0.9592708260852069, 2.1531824575115563, -0.7673475628880495, 0.8723206367206782, 0.18334200573835174, 2.1898029332176723, -0.8082982853551515, -0.8397218421807761, -0.5993926454440222, -2.123895724309807, -0.525755021680761]::DOUBLE[]) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-0.759132661553698, 0.15039378647620763, 0.34175597577715944, 1.8761708392158862, 0.9504238381860503, -0.5769036556624031, -0.898414671348358, 0.4919191715065057, -1.3202332070206422, 1.8314587658543537, 1.179440120721287, -0.4691756521047048, -1.7131345290908775, 1.3538723741654128, -0.11453984525261789, 1.2378163119734618, -1.594427658794367, -0.5993750229537729, 0.005243699718183166, 0.046980593764742055, -0.45006547147924364, 0.6228499323474987, -1.0676204293825944, -0.1423794850212935, 0.12029563171189886, 0.514438834058749, 0.7116148780888898, -1.1246420918378692, -1.5341141707356223, 1.277676821898509, 0.33231401197959165, -0.7484865365565536, 1.551151975522523, 0.11567463429285867, 1.1792971840638264, 0.06751848141010895, 2.060747924881987, 1.7553408424432044, -0.2489641484790735, 0.9715709509543554, 0.6453759495851475, 1.3686315575323487, -0.9649234605801045, 0.6860514599984393, 1.0584244868495878, -1.7587394864231143, -1.183258512665775, -2.0392321777601006, -0.26940683444455776, 0.7175422557959623, 1.502357052096028, 0.07409478041977519, 1.6286155455712918, -1.3801014582148914, -1.7033824393551547, -0.05554769889661878, 0.3840654489393073, -0.03269474809409311, -2.0674421000398766, -0.08912003951278841, -1.3044695005048532, 0.6696725488300385, 0.36659824609684827, -0.9398797863273552]::DOUBLE[]) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-0.5138669173366935, -1.0592135218889516, -0.06267909727317188, 0.9551423205012383, -0.9857260463355437, 0.5040465155178444, -0.5302576183724408, -0.7928728322623442, -0.10703035995455783, -1.035242322419374, -0.553649305347182, -1.1978778925888485, 1.9647251329163893, 0.03526355197172861, -0.6997255079925856, 0.213979910734222, -0.11232804969082982, -0.22096959953322298, 0.6141667000434252, 0.7575077100473051, -0.5305011476105275, -0.57581824064468, -0.275051697151644, -2.301921164735585, -1.5151910621985523, 1.3668742674445247, 1.6449677135012837, -0.24903603955637832, 0.5765569630557664, 0.3112501545435361, 3.0788808084552377, 1.1195749114345768, -0.12791759148076653, -0.9555404406004258, -1.6064463202575725, 0.2034636358672231, -0.7563507452843033, -1.4222537095976742, -0.6465728842425266, -1.081548003614395, 1.6871416350725648, 0.8816397569494505, -0.007972641316617372, 1.4799441388900259, 0.0773683076476183, -0.8612842013282637, 1.5231240772696573, 0.5389100436846587, -1.0372461543264564, -0.1903386780836082, -0.8756182533847572, -1.382799730964336, 0.9261775475316414, 1.9094166404701305, -1.3985675738191412, 0.5629692366905709, -0.6506425691218269, -0.48712538376469605, -0.5923939242388692, -0.863990769679816, 0.04852162794482699, -0.8309501164110378, 0.2704568257798388, -0.05023810944913695]::DOUBLE[]) > 0 THEN 128 ELSE 0 END)) AS sig FROM e WHERE vec_id < 3),
+c AS (SELECT vec_id, v, {sig} AS sig FROM e),
+p AS (SELECT vec_id AS probe_id, v AS pv, {sig} AS sig FROM e
+      WHERE vec_id < 3),
 cands AS (
   SELECT p.probe_id, c.vec_id, list_cosine_similarity(c.v, p.pv) AS score
   FROM c JOIN p ON c.sig = p.sig)
@@ -3257,37 +3291,24 @@ WHERE rn <= 10
 """
 
 
-@register("v_lsh_hyperplane_knn", oracle=_LSH_ORACLE)
+
+@register("v_lsh_hyperplane_knn", oracle=_lsh_oracle())
 def v_lsh_hyperplane_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate KNN (bucket equi-join + exact
     re-rank); seeded planes make the bucketing oracle-checkable."""
     from ..operators.ann import hyperplane_lsh_knn
 
     emb = _t(spark, sf_dir, "embeddings")
-    res = hyperplane_lsh_knn(emb, _probes(emb, 3), k=10, n_planes=8, seed=42, dim=64)
+    res = hyperplane_lsh_knn(
+        emb, _probes(emb, 3), k=10, n_planes=8, seed=42, dim=EMB_DIM
+    )
     return res.select("probe_id", "vec_id", F.round("score", 6).alias("score"))
 
 
-def _duck_lsh_sig(v: str, n_planes: int, seed: int) -> str:
-    """DuckDB SQL for the seeded ``lsh_signature`` bit-sum over ``v``
-    (DOUBLE[]) — same planes (``make_planes`` is numpy-seeded and
-    deterministic), same sign test. ``repr`` floats round-trip exactly,
-    so both engines dot against bit-identical plane literals."""
-    from ..operators.ann import make_planes
-
-    terms = []
-    for i, p in enumerate(make_planes(n_planes, 64, seed)):
-        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
-        terms.append(
-            f"(CASE WHEN list_dot_product({v}, {lit}) > 0"
-            f" THEN {1 << i} ELSE 0 END)"
-        )
-    return "(" + " + ".join(terms) + ")"
-
-
-def _knn_graph_oracle(k: int, n_planes: int, band_bits: int, rounds: int) -> str:
-    """DuckDB replay of ``knn_graph_build`` — every stage exact: seeded
-    planes, banding, cosine re-rank, per-round NN-descent expansion."""
+def _knn_graph_parts(k: int, n_planes: int, band_bits: int, rounds: int) -> list[str]:
+    """Shared CTE chain replaying ``knn_graph_build`` up to the ranked
+    adjacency relation ``r`` — used by both the build-row oracle (final
+    edge list) and the serve-row oracle (beam search over the edges)."""
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
     score = "SELECT ia, ib, {cos} AS cos FROM {src} JOIN e ea ON ea.id = {src}.ia JOIN e eb ON eb.id = {src}.ib"
@@ -3326,14 +3347,87 @@ def _knn_graph_oracle(k: int, n_planes: int, band_bits: int, rounds: int) -> str
                 f"ca{r + 1} AS (SELECT ia, ib FROM ca{r}"
                 f" UNION SELECT ia, ib FROM ex{r})"
             )
-    final = (
+    parts.append(
         f"r AS (SELECT src, nbr, cos, ROW_NUMBER() OVER (PARTITION BY src"
-        f" ORDER BY cos DESC, nbr ASC) AS rn FROM sym{rounds})\n"
+        f" ORDER BY cos DESC, nbr ASC) AS rn FROM sym{rounds})"
+    )
+    return parts
+
+
+def _knn_graph_oracle(k: int, n_planes: int, band_bits: int, rounds: int) -> str:
+    """DuckDB replay of ``knn_graph_build`` — every stage exact: seeded
+    planes, banding, cosine re-rank, per-round NN-descent expansion."""
+    parts = _knn_graph_parts(k, n_planes, band_bits, rounds)
+    final = (
         f"SELECT src AS src_id, nbr AS nbr_id, CAST(rn AS BIGINT) AS rank,\n"
         f"       FLOOR(cos * 1000000) / 1000000 AS score\n"
         f"FROM r WHERE rn <= {k}"
     )
-    return ",\n".join(parts) + ",\n" + final
+    return ",\n".join(parts) + "\n" + final
+
+
+def _knn_graph_serve_oracle(
+    k: int,
+    n_planes: int,
+    band_bits: int,
+    rounds: int,
+    serve_k: int,
+    beam: int,
+    serve_rounds: int,
+    n_probes: int,
+) -> str:
+    """DuckDB replay of ``knn_graph_serve`` over the replayed graph:
+    entry = the ``beam`` lowest node ids, then ``serve_rounds`` unrolled
+    beam-search rounds (frontier ⋈ adjacency → anti-join scored → exact
+    cosine re-rank → top-``beam``), final per-probe top-``serve_k``.
+    Multiply-referenced CTEs are AS MATERIALIZED (the t_bpe_train rule —
+    DuckDB inlines plain CTEs per reference, exponential over rounds)."""
+    parts = _knn_graph_parts(k, n_planes, band_bits, rounds)
+    parts.append(
+        f"gadj AS MATERIALIZED (SELECT src, nbr FROM r WHERE rn <= {k})"
+    )
+    parts.append(
+        f"ent AS (SELECT DISTINCT src AS id FROM gadj ORDER BY id LIMIT {beam})"
+    )
+    parts.append(
+        f"pq AS (SELECT id AS pid, v AS pv FROM e WHERE id < {n_probes})"
+    )
+    parts.append(
+        "gs0 AS MATERIALIZED (SELECT pq.pid, ent.id, "
+        + _duck_cos("ev.v", "pq.pv")
+        + " AS cos FROM pq CROSS JOIN ent JOIN e ev ON ev.id = ent.id)"
+    )
+    for r in range(1, serve_rounds + 1):
+        parts.append(
+            f"beam{r} AS MATERIALIZED (SELECT pid, id FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY pid"
+            f" ORDER BY cos DESC, id ASC) AS rn FROM gs{r - 1}) t"
+            f" WHERE rn <= {beam})"
+        )
+        parts.append(
+            f"fresh{r} AS MATERIALIZED (SELECT DISTINCT b.pid, g.nbr AS id"
+            f" FROM beam{r} b JOIN gadj g ON g.src = b.id"
+            f" WHERE NOT EXISTS (SELECT 1 FROM gs{r - 1} s"
+            f" WHERE s.pid = b.pid AND s.id = g.nbr))"
+        )
+        parts.append(
+            f"new{r} AS (SELECT f.pid, f.id, "
+            + _duck_cos("ev.v", "pq.pv")
+            + f" AS cos FROM fresh{r} f JOIN e ev ON ev.id = f.id"
+            f" JOIN pq ON pq.pid = f.pid)"
+        )
+        parts.append(
+            f"gs{r} AS MATERIALIZED (SELECT * FROM gs{r - 1}"
+            f" UNION ALL SELECT * FROM new{r})"
+        )
+    final = (
+        f"SELECT pid AS probe_id, id AS vec_id, CAST(rn AS BIGINT) AS rank,\n"
+        f"       FLOOR(cos * 1000000) / 1000000 AS score\n"
+        f"FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid"
+        f" ORDER BY cos DESC, id ASC) AS rn FROM gs{serve_rounds}) z\n"
+        f"WHERE rn <= {serve_k}"
+    )
+    return ",\n".join(parts) + "\n" + final
 
 
 @register("v_knn_graph_build", oracle=_knn_graph_oracle(6, 24, 6, 2))
@@ -3354,7 +3448,35 @@ def v_knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_graph_build(
-        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=64
+        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM
+    )
+
+
+@register(
+    "v_knn_graph_serve",
+    oracle=_knn_graph_serve_oracle(6, 24, 6, 2, 10, 8, 2, 3),
+)
+def v_knn_graph_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-traversal ANN serve (``operators.ann.knn_graph_serve``) over
+    the round-7 k-NN graph — the missing serve half of the HNSW-class
+    story (VERDICT r7 item #2): build the graph (same params as
+    ``v_knn_graph_build``), then run 3 probes through 2 batched
+    beam-search rounds (beam 8, entry = 8 lowest node ids) in ONE plan.
+    The oracle replays the whole chain — graph edges AND every beam
+    round — so beam membership, the score-once anti-join, and the final
+    top-10 are value-exact across engines (cosines recompute norms
+    JVM-side: the sequential fold is bit-identical to DuckDB's list_sum;
+    only the output FLOOR-quantizes). Reference counterpart:
+    BASELINE.json's "indexes built in Spark batch mode" north star,
+    serve side."""
+    from ..operators.ann import knn_graph_build, knn_graph_serve
+
+    emb = _t(spark, sf_dir, "embeddings")
+    graph = knn_graph_build(
+        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM
+    )
+    return knn_graph_serve(
+        graph, emb, _probes(emb, 3), k=10, beam=8, rounds=2
     )
 
 
@@ -7269,15 +7391,15 @@ def t_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v_centroid_outliers",
-    oracle="""
+    oracle=f"""
 WITH dim AS (
   SELECT label, g.i AS i, AVG(embedding[g.i]::DOUBLE) AS m
-  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+  FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) g
   GROUP BY label, g.i),
 cent AS (SELECT label, list(m ORDER BY i) AS c FROM dim GROUP BY label),
 sc AS (
   SELECT e.vec_id, e.label,
-         (list_sum(list_transform(generate_series(1, 64),
+         (list_sum(list_transform(generate_series(1, {EMB_DIM}),
              _k -> e.embedding[_k]::DOUBLE * c.c[_k]))
           / (sqrt(list_sum(list_transform(e.embedding,
                _x -> _x::DOUBLE * _x::DOUBLE)))
@@ -7625,7 +7747,7 @@ def r_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v_quantized_knn",
-    oracle="""
+    oracle=f"""
 WITH mx AS (SELECT MAX(list_max(list_transform(embedding::DOUBLE[], x -> ABS(x)))) AS m
             FROM embeddings),
 q AS (SELECT vec_id,
@@ -7634,7 +7756,7 @@ q AS (SELECT vec_id,
       FROM embeddings, mx),
 p AS (SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id < 3),
 d AS (SELECT p.probe_id, q.vec_id,
-             (SELECT SUM(q.qv[i] * p.pv[i]) FROM UNNEST(range(1, 65)) t(i)) AS qdot
+             (SELECT SUM(q.qv[i] * p.pv[i]) FROM UNNEST(range(1, {EMB_DIM + 1})) t(i)) AS qdot
       FROM q CROSS JOIN p),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
                                    ORDER BY qdot DESC, vec_id ASC) AS rn
@@ -9343,17 +9465,17 @@ def t_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared oracle CTE prefix for the PQ family: build codes, probe tables,
 # and per-(probe, vec) ADC scores — v_pq_adc_knn and v_pq_refine_knn
 # append different serve-stage selects.
-_PQ_ADC_CTES = """
+_PQ_ADC_CTES = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cb AS (
-  SELECT s.sub, c.vec_id AS cid, c.v[s.sub*16+1 : s.sub*16+16] AS cv
+  SELECT s.sub, c.vec_id AS cid, c.v[s.sub*{_PQ_SUB}+1 : s.sub*{_PQ_SUB}+{_PQ_SUB}] AS cv
   FROM (SELECT unnest(generate_series(0, 3)) AS sub) s,
        (SELECT vec_id, v FROM e WHERE vec_id < 16) c),
 dists AS (
   SELECT e.vec_id, cb.sub, cb.cid,
-         list_sum(list_transform(generate_series(1, 16),
-           i -> (e.v[cb.sub*16 + i] - cb.cv[i])
-              * (e.v[cb.sub*16 + i] - cb.cv[i]))) AS d
+         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+           i -> (e.v[cb.sub*{_PQ_SUB} + i] - cb.cv[i])
+              * (e.v[cb.sub*{_PQ_SUB} + i] - cb.cv[i]))) AS d
   FROM e CROSS JOIN cb),
 codes AS (
   SELECT vec_id, sub, cid FROM (
@@ -9363,8 +9485,8 @@ codes AS (
 p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 3),
 ptab AS (
   SELECT p.probe_id, cb.sub, cb.cid,
-         list_sum(list_transform(generate_series(1, 16),
-           i -> p.pv[cb.sub*16 + i] * cb.cv[i])) AS pd
+         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+           i -> p.pv[cb.sub*{_PQ_SUB} + i] * cb.cv[i])) AS pd
   FROM p CROSS JOIN cb),
 scp AS (
   SELECT pt.probe_id, c.vec_id,
@@ -9416,7 +9538,7 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str):
         for r in emb.filter(F.col("vec_id") < 16).collect()
     }
     codebook = {
-        s: {c: aux[c][s * 16 : (s + 1) * 16] for c in sorted(aux)}
+        s: {c: aux[c][s * _PQ_SUB : (s + 1) * _PQ_SUB] for c in sorted(aux)}
         for s in range(4)
     }
 
@@ -9442,8 +9564,8 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str):
         p: {
             s: [
                 sum(
-                    aux[p][s * 16 + i] * codebook[s][c][i]
-                    for i in range(16)
+                    aux[p][s * _PQ_SUB + i] * codebook[s][c][i]
+                    for i in range(_PQ_SUB)
                 )
                 for c in range(16)
             ]
