@@ -288,3 +288,53 @@ def test_knn_graph_nn_descent_converges_on_clusters(spark):
     r0, r2 = recall(0), recall(2)
     assert r2 >= 0.9, (r0, r2)
     assert r2 > r0 + 0.1, (r0, r2)
+
+
+def test_auto_band_bits_scaling():
+    from vector_search_spark.operators.ann import auto_band_bits
+
+    # bucket-size invariant: n / 2^bits stays <= target (within the clamp)
+    for n in (100, 2_000, 20_000, 60_000, 600_000):
+        bits = auto_band_bits(n, target_bucket=8)
+        assert n / (1 << bits) <= 8.0 + 1e-9
+    assert auto_band_bits(1) == 4          # clamp floor
+    assert auto_band_bits(10**12) == 20    # clamp ceiling
+    # monotone non-decreasing in n
+    seq = [auto_band_bits(n) for n in (10, 100, 1000, 10**4, 10**6, 10**9)]
+    assert seq == sorted(seq)
+
+
+def test_knn_graph_build_auto_knob(spark, sf_dir):
+    """band_bits=None derives the band width from the corpus count and
+    still produces a well-formed, high-recall graph on clustered data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.ann import knn_graph_build
+
+    rng = np.random.RandomState(11)
+    n, dim, ncl = 400, 64, 20
+    cents = rng.randn(ncl, dim)
+    X = np.stack([cents[i % ncl] + 0.3 * rng.randn(dim) for i in range(n)])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    k = 5
+    g = knn_graph_build(emb, k=k, rounds=2, seed=42, dim=dim)  # AUTO bands
+    rows = g.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.src_id, []).append(r)
+    assert len(per_src) >= n * 0.95  # nearly every node has edges
+    assert all(len(v) <= k for v in per_src.values())
+    # recall vs exact top-k on a sample
+    sims = X @ X.T
+    hits = tot = 0
+    for src in list(per_src)[:50]:
+        order = [j for j in np.argsort(-sims[src]) if j != src][:k]
+        got = {r.nbr_id for r in per_src[src]}
+        hits += len(got & set(order))
+        tot += k
+    assert hits / tot >= 0.85, f"auto-knob recall {hits/tot:.2f}"

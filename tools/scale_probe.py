@@ -1819,23 +1819,21 @@ def main() -> None:
 
     def knn_graph(src):
         # v_knn_graph_build shape: banded LSH candidate pairs + 2
-        # NN-descent rounds, each exactly re-ranked. Candidate volume per
-        # node is ~n/2^band_bits per band — at 10x the probe holds
-        # band_bits at the gate config, so the ratio includes the
-        # bucket-growth term a production build would tune away by
-        # raising band_bits with corpus size (documented; the SHUFFLE
-        # structure — (band,key) equi-join + k-bounded adjacency joins —
-        # is the scale-safe part being certified).
+        # NN-descent rounds, each exactly re-ranked. band_bits is AUTO
+        # (round 8): ceil(log2(n/target)) derived per corpus, so bucket
+        # sizes — and with them candidate volume per node — hold
+        # ~constant as copies grow; SPARK_GRAFT_KNN_GRAPH_BITS pins a
+        # fixed width to reproduce the old fixed-knob ratios.
         import os
 
         from vector_search_spark.operators.ann import knn_graph_build
 
-        bits = int(os.environ.get("SPARK_GRAFT_KNN_GRAPH_BITS", "6"))
+        env = os.environ.get("SPARK_GRAFT_KNN_GRAPH_BITS")
+        bits = int(env) if env else None
 
         def run():
             return knn_graph_build(
-                src, k=6, n_planes=24, band_bits=bits, rounds=2, seed=42,
-                dim=64,
+                src, k=6, band_bits=bits, rounds=2, seed=42, dim=64,
             ).count()
 
         return run
