@@ -16,19 +16,17 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# Rotated OUT round 8 for record headroom (CLAUDE.md: the final JSON line
+# was at 1786/1800 chars): r_q3_shipping_priority, r_q5_regional_volume,
+# r_q18_large_orders, j_groupwise_max, a_group_concat_ordered,
+# a_count_distinct_union, w_running_sum — all sub-second and stable since
+# rounds 1-2, all still oracle-gated in the registry and parity sweeps.
 HEADLINE = [
     "r_q1_pricing_summary",
-    "r_q3_shipping_priority",
-    "r_q5_regional_volume",
-    "r_q18_large_orders",
     "v_cosine_topk",
     "v_multiprobe_fusion",
     "v_knn_join_docs",
-    "j_groupwise_max",
-    "a_group_concat_ordered",
-    "a_count_distinct_union",
     "t_sweepline_dates",
-    "w_running_sum",
     "d_minhash_lsh_pairs",
     "d_jaccard_pairs",
     "d_simhash_groups",
@@ -167,6 +165,27 @@ def main() -> None:
             serve(spark, sf_dir, path).collect()
             best = min(best, time.perf_counter() - t0)
         split[key] = {"b": round(build_t, 2), "s": round(best, 2)}
+
+    # gr = k-NN-graph build / beam-search serve (v_knn_graph_serve's two
+    # halves, round 8): build once at the gate config, serve = min-of-3
+    # one-plan batches of 3 probes over the prebuilt graph.
+    from vector_search_spark.config import EMB_DIM
+    from vector_search_spark.operators.ann import knn_graph_build, knn_graph_serve
+    from vector_search_spark.plans.queries import _probes
+    from vector_search_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    graph = knn_graph_build(
+        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM
+    ).localCheckpoint(eager=True)
+    build_t = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        knn_graph_serve(graph, emb, _probes(emb, 3), k=10, beam=8, rounds=2).collect()
+        best = min(best, time.perf_counter() - t0)
+    split["gr"] = {"b": round(build_t, 2), "s": round(best, 2)}
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

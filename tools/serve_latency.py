@@ -102,6 +102,20 @@ def main():
     server.serve_batch(batch_probes).collect()
     batch_s = time.perf_counter() - t0
 
+    # graph-serve (round 8): beam search over the prebuilt k-NN graph,
+    # same one-plan-per-batch form. Build (auto band_bits) not counted.
+    from vector_search_spark.operators.ann import knn_graph_build, knn_graph_serve
+
+    dim = len(probe_rows[0]["embedding"])
+    t0 = time.perf_counter()
+    graph = knn_graph_build(emb, k=6, rounds=2, seed=42, dim=dim).localCheckpoint(
+        eager=True
+    )
+    graph_build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    knn_graph_serve(graph, emb, batch_probes, k=10, beam=8, rounds=2).collect()
+    graph_batch_s = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -114,6 +128,11 @@ def main():
                 "ivf_batched": {
                     "total_ms": round(batch_s * 1000, 1),
                     "per_query_ms": round(batch_s * 1000 / n_q, 1),
+                },
+                "graph_build_s": round(graph_build_s, 2),
+                "graph_batched": {
+                    "total_ms": round(graph_batch_s * 1000, 1),
+                    "per_query_ms": round(graph_batch_s * 1000 / n_q, 1),
                 },
             }
         )
