@@ -525,3 +525,31 @@ def test_winnow_guarantee_zero_missed(spark, sf_dir):
     assert r.n_truth_pairs > 0
     assert r.n_detected == r.n_truth_pairs
     assert r.n_missed == 0
+
+
+def test_embedding_pairs_exact_banded_equivalence(spark):
+    """The triangular bucket decomposition for oversized blocks must
+    produce the IDENTICAL pair set as the plain group join — every pair
+    exactly once (same-bucket pairs only at the diagonal key)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.functions.vector import l2_norm
+    from vector_search_spark.operators.dedup import _embedding_pairs_exact
+
+    rng = random.Random(3)
+    rows = [
+        (i, i % 3, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "id long, blk long, v array<float>")
+    t = df.withColumn("nrm", l2_norm("v"))
+    plain = {
+        (r.id_a, r.id_b, r.block, round(r.cos, 9))
+        for r in _embedding_pairs_exact(t, ["blk"], band_min=10**9).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b, r.block, round(r.cos, 9))
+        for r in _embedding_pairs_exact(t, ["blk"], band_min=10, bands=4).collect()
+    }
+    assert plain == banded and len(plain) == 3 * 80 * 79 // 2

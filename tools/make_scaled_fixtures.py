@@ -25,8 +25,20 @@ FK-consistent across tables so relational rows stay meaningful):
 
 Copy 0 is byte-identical to the base fixture for every table.
 
-Usage: python tools/make_scaled_fixtures.py [n] [base_sf_dir] [out_dir]
+Usage: python tools/make_scaled_fixtures.py [n] [base_sf_dir] [out_dir] [zipf]
 Defaults: 10 /root/testdata/sf0.1 /root/repo/.scratch/sfx10
+
+``zipf`` (round 8, VERDICT r7 item #4) additionally skews the hot keys a
+real 100 TB corpus has and the near-uniform fixtures lack — applied
+AFTER replication so the skew spans copies (deterministic xxhash64
+routing, so both engines see identical data):
+
+- events: ~10% of all events are re-routed to ONE hot user_id
+  (sessionize/asof/window rows get a giant per-key partition);
+- documents: ~20% of all docs re-routed to ONE hot source (the
+  (source, lang) blocked-quadratic rows get a dominant block);
+- embeddings: ~20% of vectors re-routed to ONE hot label (label-blocked
+  near-dup pairs get a dominant block).
 """
 
 from __future__ import annotations
@@ -103,6 +115,42 @@ def replicate(df: DataFrame, table: str, n: int) -> DataFrame:
     return reduce(DataFrame.unionByName, copies)
 
 
+HOT_USER = 77
+HOT_SOURCE = "hot_source"
+HOT_LABEL = 0
+
+
+def zipf_skew(df: DataFrame, table: str) -> DataFrame:
+    """Route a deterministic slice of rows to one hot key (see module
+    docstring). xxhash64 of the PRIMARY key decides membership, so the
+    routing is engine-independent data, not query-time behavior."""
+    if table == "events":
+        return df.withColumn(
+            "user_id",
+            F.when(
+                F.pmod(F.xxhash64("event_id"), F.lit(1000)) < 100,
+                F.lit(HOT_USER).cast(df.schema["user_id"].dataType),
+            ).otherwise(F.col("user_id")),
+        )
+    if table == "documents":
+        return df.withColumn(
+            "source",
+            F.when(
+                F.pmod(F.xxhash64("doc_id"), F.lit(1000)) < 200,
+                F.lit(HOT_SOURCE),
+            ).otherwise(F.col("source")),
+        )
+    if table == "embeddings":
+        return df.withColumn(
+            "label",
+            F.when(
+                F.pmod(F.xxhash64("vec_id"), F.lit(1000)) < 200,
+                F.lit(HOT_LABEL).cast(df.schema["label"].dataType),
+            ).otherwise(F.col("label")),
+        )
+    return df
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -111,6 +159,7 @@ def main() -> None:
         if len(sys.argv) > 3
         else os.path.join(REPO, ".scratch", f"sfx{n}")
     )
+    zipf = len(sys.argv) > 4 and sys.argv[4] == "zipf"
     from vector_search_spark.session import get_spark
     from vector_search_spark.sources.catalog import load_table
 
@@ -124,6 +173,8 @@ def main() -> None:
         df = load_table(spark, base, t)
         if t in STRIDE:
             df = replicate(df, t, n)
+        if zipf:
+            df = zipf_skew(df, t)
         # single FILE per table (coalesce + move), matching the driver's
         # fixture layout: DuckDB's '<t>.parquet' view and the streaming
         # rows' 'events*.parquet' glob both expect files, not Spark dirs

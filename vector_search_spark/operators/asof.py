@@ -146,10 +146,21 @@ def asof_join_nearest(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward carry as a DESC-ordered BACKWARD frame, not
+    # currentRow..unboundedFollowing: Spark evaluates an
+    # UnboundedFollowing frame by rescanning current→end PER ROW — O(n²)
+    # per partition, measured 44 s on one 100k-row hot-key partition in
+    # the round-8 zipf sweep where everything else took ~1 s. last() over
+    # the exact-reverse ordering ((_ts, _side) DESC) is the same value —
+    # first non-null at-or-after in ASC — including at ties, because
+    # (_ts, _side) ordering places a tied right row (side 0) before the
+    # left row in ASC and after it in DESC, excluding it from the forward
+    # frame in both forms. Incremental O(n); same single exchange (two
+    # sorts inside one partitioning).
     wf = (
         Window.partitionBy(*on)
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("_ts"), F.desc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
         l.unionByName(r)
@@ -160,9 +171,9 @@ def asof_join_nearest(
                 F.last(f"_r_{c}", ignorenulls=True).over(wb).alias(f"_p_{c}")
                 for c in right_cols
             ],
-            F.first("_rts", ignorenulls=True).over(wf).alias("_nts"),
+            F.last("_rts", ignorenulls=True).over(wf).alias("_nts"),
             *[
-                F.first(f"_r_{c}", ignorenulls=True).over(wf).alias(f"_n_{c}")
+                F.last(f"_r_{c}", ignorenulls=True).over(wf).alias(f"_n_{c}")
                 for c in right_cols
             ],
         )

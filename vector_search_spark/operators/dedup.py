@@ -765,27 +765,86 @@ def simhash_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _embedding_pairs_exact(t: DataFrame, join_cols: list[str]) -> DataFrame:
+def _embedding_pairs_exact(
+    t: DataFrame,
+    join_cols: list[str],
+    band_min: int = 4096,
+    bands: int = 16,
+) -> DataFrame:
     """Within-group pair join over a prepared (id, blk, v, nrm, *) relation;
-    ``join_cols`` name the equality keys (blk, and optionally an LSH sig)."""
-    a = t.select(
-        F.col("id").alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in join_cols],
-        F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a"),
+    ``join_cols`` name the equality keys (blk, and optionally an LSH sig).
+
+    SKEW: a group's pairs land on ONE shuffle partition (the equality
+    key), so a zipf-hot block serializes its quadratic work on one task —
+    the round-8 skew sweep measured one 138 s task (p50 0.09 s) on a
+    20%-hot label, and AQE's skew split cannot help because the INPUT
+    partition is tiny (the blow-up is in the join OUTPUT). Groups larger
+    than ``band_min`` therefore use the triangular bucket decomposition:
+    each id hashes to one of ``bands`` buckets, each row replicates to
+    the ``bands`` unordered bucket-pair keys containing its bucket, and
+    the pair join runs per (group, lo, hi) key — bands(bands+1)/2
+    parallel tasks per hot group instead of one. Same-bucket pairs are
+    kept only at the (b, b) key, so every pair appears EXACTLY once and
+    the output set is identical to the plain join (pinned in
+    tests/test_dedup_text.py)."""
+    def pair_join(rel: DataFrame, extra: list[str]) -> DataFrame:
+        keys = join_cols + extra
+        carry = keys + (["_pb"] if extra else [])
+        a = rel.select(
+            F.col("id").alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in carry],
+            F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a"),
+        )
+        b = rel.select(
+            F.col("id").alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in carry],
+            F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b"),
+        )
+        cond = F.col("id_a") < F.col("id_b")
+        for c in keys:
+            cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+        if extra:
+            # same-bucket pairs only at the diagonal key (uniqueness)
+            cond = cond & (
+                (F.col("_pb_a") != F.col("_pb_b"))
+                | (F.col("_klo_a") == F.col("_khi_a"))
+            )
+            # PIN the join partitioning: the banded sides are tiny in
+            # BYTES (AQE would coalesce them to one post-shuffle
+            # partition, re-serializing the quadratic work the banding
+            # exists to spread — re-measured 219 s single task without
+            # this); an explicit repartition-by-num is exempt from AQE
+            # coalescing and the join reuses it, so each bucket-pair key
+            # gets its own task.
+            n_part = t.sparkSession.sparkContext.defaultParallelism * 2
+            a = a.repartition(n_part, *[F.col(f"{c}_a") for c in keys])
+            b = b.repartition(n_part, *[F.col(f"{c}_b") for c in keys])
+        out = (
+            a.join(b, cond)
+            .withColumn("cos", cosine_sim("v_a", "v_b", "nrm_a", "nrm_b"))
+            .select("id_a", "id_b", F.col("blk_a").alias("block"), "cos")
+        )
+        return out
+
+    from pyspark.sql import Window
+
+    gn = F.count("*").over(Window.partitionBy(*join_cols))
+    t2 = t.withColumn("_gn", gn)
+    small = pair_join(t2.filter(F.col("_gn") <= band_min).drop("_gn"), [])
+    big_src = t2.filter(F.col("_gn") > band_min).drop("_gn")
+    big = (
+        big_src.withColumn("_pb", F.pmod(F.xxhash64("id"), F.lit(bands)))
+        .select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(bands)])
+            ).alias("_j"),
+        )
+        .withColumn("_klo", F.least("_pb", "_j"))
+        .withColumn("_khi", F.greatest("_pb", "_j"))
+        .drop("_j")
     )
-    b = t.select(
-        F.col("id").alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in join_cols],
-        F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b"),
-    )
-    cond = F.col("id_a") < F.col("id_b")
-    for c in join_cols:
-        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
-    return (
-        a.join(b, cond)
-        .withColumn("cos", cosine_sim("v_a", "v_b", "nrm_a", "nrm_b"))
-        .select("id_a", "id_b", F.col("blk_a").alias("block"), "cos")
-    )
+    return small.unionByName(pair_join(big, ["_klo", "_khi"]))
 
 
 def embedding_neardup_pairs(

@@ -10612,18 +10612,25 @@ def w_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "isg", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # forward bracket via the DESC-ordered BACKWARD frame: a
+    # currentRow..unboundedFollowing frame is O(n²) per partition in
+    # Spark (rescans current→end per row; the round-8 zipf sweep measured
+    # 44 s on one hot-key partition in the asof twin). (t, isg, event_id)
+    # is a TOTAL order here (event_id unique within isg=0; grid rows
+    # unique per (user, t)), so the exact-reverse ordering carries the
+    # identical first-non-null-at-or-after value.
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("t", "isg", "event_id")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("t"), F.desc("isg"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     ev_t = F.when(F.col("isg") == 0, F.col("t"))
     ev_v = F.when(F.col("isg") == 0, F.col("v100"))
     x = (
         u.withColumn("tp", F.last(ev_t, ignorenulls=True).over(wp))
         .withColumn("vp", F.last(ev_v, ignorenulls=True).over(wp))
-        .withColumn("tn", F.first(ev_t, ignorenulls=True).over(wn))
-        .withColumn("vn", F.first(ev_v, ignorenulls=True).over(wn))
+        .withColumn("tn", F.last(ev_t, ignorenulls=True).over(wn))
+        .withColumn("vn", F.last(ev_v, ignorenulls=True).over(wn))
     )
     return (
         x.filter(
