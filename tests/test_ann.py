@@ -338,3 +338,41 @@ def test_knn_graph_build_auto_knob(spark, sf_dir):
         hits += len(got & set(order))
         tot += k
     assert hits / tot >= 0.85, f"auto-knob recall {hits/tot:.2f}"
+
+
+def test_knn_graph_serve_recall_and_batch_api(spark):
+    """Beam search over the built graph must recover the exact top-k on
+    clustered data (the HNSW contract), and GraphIndexServer.serve_batch
+    answers a whole probe batch in one plan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.streaming.serving import GraphIndexServer
+
+    rng = np.random.RandomState(5)
+    n, dim, ncl = 500, 32, 25
+    cents = rng.randn(ncl, dim)
+    X = np.stack([cents[i % ncl] + 0.3 * rng.randn(dim) for i in range(n)])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    server = GraphIndexServer.build(emb, dim=dim, graph_k=6, k=5, beam=10)
+    probe_ids = [3, 57, 211, 402]
+    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    got = server.serve_batch(probes).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.probe_id, []).append(r.vec_id)
+    sims = X @ X.T
+    hits = tot = 0
+    for p in probe_ids:
+        exact = list(np.argsort(-sims[p])[:5])  # self included, as served
+        hits += len(set(per[p]) & set(exact))
+        tot += 5
+    assert hits / tot >= 0.9, f"graph-serve recall {hits/tot:.2f}"
+    # every probe answered with exactly k ranked rows
+    assert all(len(v) == 5 for v in per.values())

@@ -318,11 +318,15 @@ def knn_graph_serve(
     k: int = 10,
     beam: int = 8,
     rounds: int = 3,
-    entries: list[int] | None = None,
+    entries: list[int] | str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id: str = "probe_id",
     probe_vec: str = "probe_vec",
+    n_planes: int | None = None,
+    band_bits: int | None = None,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Graph-traversal ANN SERVE — the query half of :func:`knn_graph_build`
     (VERDICT r7 "What's missing" #2; together they are the HNSW-class
@@ -343,11 +347,21 @@ def knn_graph_serve(
        into the scored set (coalesce + per-round checkpoint — the
        iterative-loop lineage rule).
 
-    Entry points are ``entries`` (explicit node ids) or the ``beam``
-    lowest node ids in the graph — deterministic and oracle-replayable
-    (the IVF rows' first-16-centroids convention). Output: per-probe
-    top-``k`` (probe_id, vec_id, rank, score) with FLOOR-quantized score
-    (absorbs ulp-level fold divergence, the knn_graph_build contract).
+    Entry points: ``entries`` as explicit node ids; ``None`` = the
+    ``beam`` lowest node ids in the graph (deterministic and
+    oracle-replayable — the IVF rows' first-16-centroids convention);
+    or ``entries="lsh"`` = per-probe banded-LSH candidates (the build's
+    own banding applied probe→corpus with the SAME seeded planes —
+    requires ``dim``, and ``n_planes``/``band_bits`` should match the
+    build). LSH entries are the flat-graph fix for clustered corpora:
+    a k-NN graph over tight clusters is near-DISCONNECTED across
+    clusters (every node's top-k is same-cluster), so fixed global
+    entries cannot reach the probe's cluster and recall collapses
+    (measured 0.70 on 25 clusters); hashing the probe into the same
+    buckets seeds the walk inside the right cluster (recall ≥ 0.9
+    pinned in tests/test_ann.py). Output: per-probe top-``k``
+    (probe_id, vec_id, rank, score) with FLOOR-quantized score (absorbs
+    ulp-level fold divergence, the knn_graph_build contract).
 
     100 TB shape: the adjacency (n·k rows) is the big side and is only
     ever BROADCAST-joined against the bounded frontier (probes × beam
@@ -358,24 +372,63 @@ def knn_graph_serve(
     structureless corpora it degrades toward the entry neighborhood —
     the honest HNSW worst case.
     """
-    if entries is None:
-        entry_rel = (
-            graph.select(F.col("src_id").alias("id"))
-            .distinct()
-            .orderBy("id")
-            .limit(beam)
-        )
-    else:
-        entry_rel = (
-            graph.sparkSession.createDataFrame(
-                [(int(e),) for e in entries], "id long"
-            )
-        )
     pr = probes.select(
         F.col(probe_id).alias("pid"), F.col(probe_vec).alias("pv")
     )
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vv"))
     adj = graph.select(F.col("src_id").alias("id"), F.col("nbr_id").alias("nbr"))
+    if entries == "lsh":
+        if dim is None:
+            raise ValueError(
+                "knn_graph_serve(entries='lsh') requires dim= "
+                "(embedding dimensionality, matching the build)"
+            )
+        if band_bits is None:
+            band_bits = auto_band_bits(corpus.count())
+        if n_planes is None:
+            n_planes = band_bits * 4
+        planes = make_planes(n_planes, dim, seed)
+        n_bands = n_planes // band_bits
+        mask = (1 << band_bits) - 1
+
+        def banded(rel, idc, sigc):
+            sig = lsh_signature(F.col(sigc), planes)
+            return rel.select(
+                idc,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.shiftright(sig, b * band_bits)
+                                .bitwiseAND(mask)
+                                .alias("key"),
+                            )
+                            for b in range(n_bands)
+                        ]
+                    )
+                ).alias("bk"),
+            ).select(idc, "bk.band", "bk.key")
+
+        seed_pairs = (
+            banded(vecs, "id", "vv")
+            .join(F.broadcast(banded(pr, "pid", "pv")), ["band", "key"])
+            .select("pid", "id")
+            .distinct()
+        )
+    else:
+        if entries is None:
+            entry_rel = (
+                graph.select(F.col("src_id").alias("id"))
+                .distinct()
+                .orderBy("id")
+                .limit(beam)
+            )
+        else:
+            entry_rel = graph.sparkSession.createDataFrame(
+                [(int(e),) for e in entries], "id long"
+            )
+        seed_pairs = pr.select("pid").crossJoin(F.broadcast(entry_rel))
 
     def score(cand: DataFrame) -> DataFrame:
         # cand: (pid, id) — bounded (probes × beam × k per round), so it
@@ -387,9 +440,7 @@ def knn_graph_serve(
             .select("pid", "id", "cos")
         )
 
-    scored = score(
-        pr.select("pid").crossJoin(F.broadcast(entry_rel))
-    ).coalesce(8).localCheckpoint(eager=False)
+    scored = score(seed_pairs).coalesce(8).localCheckpoint(eager=False)
     wb = Window.partitionBy("pid").orderBy(F.desc("cos"), F.asc("id"))
     for _ in range(rounds):
         beam_r = (
