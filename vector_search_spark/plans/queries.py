@@ -9554,8 +9554,9 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str):
     vec_id, adc) from the codes-only serve scan.
 
     Product quantization + asymmetric distance computation (ADC): the
-    standard ANN compression. 64 dims split into 4 subspaces of 16; each
-    subvector encodes to its nearest of 16 deterministic codewords (the
+    standard ANN compression. EMB_DIM dims split into 4 subspaces of
+    EMB_DIM/4 (16 at the 64-dim fixture; 192 at SPARK_GRAFT_EMB_DIM=768);
+    each subvector encodes to its nearest of 16 deterministic codewords (the
     first 16 corpus vectors' subvectors — the seeded-KMeans stand-in the
     IVF row also uses), so each vector compresses 256 B float32 → 4
     codes. Queries never decode: per probe, a 4×16 dot-product table is
