@@ -8780,6 +8780,26 @@ def s_streaming_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_graph_serve_stream",
+    oracle=_knn_graph_serve_oracle(6, 24, 6, 2, 10, 8, 2, 3, entry_mode="lsh"),
+)
+def s_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming graph-ANN serving: a REAL availableNow run drains the
+    probe stream through ``foreachBatch``, each micro-batch answered by
+    the LSH-entry beam search over the ONCE-built static k-NN graph
+    (``run_streaming_graph_serve_availablenow`` — the GraphIndexServer
+    form). Served answers are certified against the same full-chain
+    value oracle as the batch row ``v_knn_graph_serve_lsh``: per-probe
+    beam walks are batching-invariant, so however the file source splits
+    the probes, the union of micro-batch answers must equal the
+    one-batch result — graph, entries, rounds, ranks, and FLOOR scores
+    all value-exact."""
+    from ..streaming.serving import run_streaming_graph_serve_availablenow
+
+    return run_streaming_graph_serve_availablenow(spark, sf_dir)
+
+
+@register(
     "pipe_rerank_cross_encoder",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -221,3 +221,65 @@ class GraphIndexServer:
             id_col=self.id_col, vec_col=self.vec_col,
             dim=self.dim, seed=self.seed,
         )
+
+
+def run_streaming_graph_serve_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 2,
+    n_probes: int = 3,
+    n_planes: int = 24,
+    band_bits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Streaming GRAPH-ANN serving (the GraphIndexServer twin of
+    ``run_streaming_knn_availablenow``): the k-NN graph is built ONCE
+    (static index), then probe files drain through the streaming engine
+    and each micro-batch runs ``knn_graph_serve`` with LSH-seeded
+    entries inside ``foreachBatch``. Per-probe answers are
+    batching-invariant — each probe's beam walk depends only on that
+    probe, the static graph, and the static corpus — so the union over
+    micro-batches is certified against the one-batch serve oracle."""
+    from ..config import EMB_DIM
+    from ..operators.ann import knn_graph_build, knn_graph_serve
+    from ..sources.catalog import load_table
+
+    dim = EMB_DIM if dim is None else dim
+    corpus = load_table(spark, sf_dir, "embeddings").localCheckpoint(
+        eager=True
+    )
+    graph = knn_graph_build(
+        corpus, k=6, n_planes=n_planes, band_bits=band_bits, rounds=2,
+        seed=42, dim=dim,
+    ).localCheckpoint(eager=True)
+    probes = (
+        stream_vectors(spark, f"{sf_dir}/embeddings*.parquet")
+        .filter(F.col("vec_id") < n_probes)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+    )
+    served: list = []
+
+    def _serve(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = knn_graph_serve(
+            graph, corpus, batch_df, k=k, beam=beam, rounds=rounds,
+            entries="lsh", n_planes=n_planes, band_bits=band_bits,
+            seed=42, dim=dim,
+        )
+        served.extend(res.collect())
+
+    q = (
+        probes.writeStream.foreachBatch(_serve)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        served, "probe_id long, vec_id long, rank long, score double"
+    )
