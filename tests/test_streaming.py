@@ -739,3 +739,44 @@ def test_ann_server_serve_batch_single_plan(spark, sf_dir, tmp_path):
         (r["probe_id"], r["vec_id"], round(r["score"], 6)) for r in rows20
     }
     assert got == mem
+
+
+def test_graph_server_serve_batch_single_plan(spark, sf_dir):
+    """GraphIndexServer.serve_batch: job count is a small constant
+    independent of batch size (the AnnIndexServer pin applied to the
+    graph path — per-round checkpoints cost a fixed number of jobs, the
+    batch size costs none)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.sources.catalog import load_table
+    from vector_search_spark.streaming.serving import GraphIndexServer
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    server = GraphIndexServer.build(emb, dim=64, graph_k=6, k=5, beam=8)
+
+    def probes(n):
+        return emb.filter(F.col("vec_id") < n).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+
+    sc = spark.sparkContext
+
+    def jobs_for(group, df):
+        sc.setJobGroup(group, group)
+        try:
+            rows = df.collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return rows, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    server.serve_batch(probes(1)).collect()  # warm
+    rows1, jobs1 = jobs_for("gserve_one", server.serve_batch(probes(1)))
+    rows20, jobs20 = jobs_for("gserve_twenty", server.serve_batch(probes(20)))
+    assert {r["probe_id"] for r in rows20} == set(range(20))
+    per_probe = {}
+    for r in rows20:
+        per_probe.setdefault(r["probe_id"], 0)
+        per_probe[r["probe_id"]] += 1
+    assert all(n == 5 for n in per_probe.values())
+    assert jobs20 <= jobs1 + 1, (jobs1, jobs20)

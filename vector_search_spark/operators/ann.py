@@ -497,6 +497,33 @@ def ivf_assign(
     return best.select(corpus_id, corpus_vec, centroid_id, *(payload_cols or []))
 
 
+def graph_write_index(graph: DataFrame, path: str, n_shards: int = 32) -> None:
+    """Persist a built k-NN graph's adjacency to parquet, partitioned by
+    a hash SHARD of ``src_id`` (``pmod(xxhash64(src_id), n_shards)``) —
+    the once-per-corpus index write of the HNSW-class lifecycle. Serving
+    joins the bounded frontier against the adjacency by ``src_id``; a
+    shard column (rather than raw src partitioning) keeps directory
+    count fixed while still letting a frontier-aware reader prune to the
+    probed shards. Edge scores/ranks round-trip bit-exactly (parquet
+    doubles/longs), so a reloaded index must serve IDENTICAL answers —
+    certified by ``v_knn_graph_persist``."""
+    (
+        graph.withColumn(
+            "shard", F.pmod(F.xxhash64("src_id"), F.lit(n_shards))
+        )
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def graph_read_index(spark, path: str) -> DataFrame:
+    """Cold-load a persisted k-NN graph (drops the shard column — the
+    serve path's frontier join carries src_id)."""
+    return spark.read.parquet(path).drop("shard")
+
+
 def ivf_build_index(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -3528,6 +3528,71 @@ def v_knn_graph_serve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_serve_lsh(spark, sf_dir, graph):
+    """Shared serve call for the graph-persistence row: LSH-entry beam
+    search with the gate config, over whichever adjacency is passed."""
+    from ..operators.ann import knn_graph_serve
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_graph_serve(
+        graph, emb, _probes(emb, 3), k=10, beam=8, rounds=2,
+        entries="lsh", n_planes=24, band_bits=6, seed=42, dim=EMB_DIM,
+    )
+
+
+@register(
+    "v_knn_graph_persist",
+    oracle=_knn_graph_serve_oracle(6, 24, 6, 2, 10, 8, 2, 3, entry_mode="lsh")
+    .replace("CAST(rn AS BIGINT) AS rank,\n", "CAST(rn AS BIGINT) AS rank,\n"
+             "       CAST(1 AS BIGINT) AS match_mem,\n"),
+)
+def v_knn_graph_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-index PERSISTENCE round-trip (the ``v_ivf_persist`` twin
+    completing the HNSW-class lifecycle): build the k-NN graph, write it
+    to parquet hash-sharded by src (``graph_write_index``), COLD-reload
+    it, serve through the reloaded adjacency, and certify the answers
+    are IDENTICAL to the in-memory graph's serve — ``match_mem`` is 1
+    only when the same (probe, vec, rank) carries the same score, and
+    the value oracle independently replays the whole chain, so either a
+    lossy write OR an in-memory/reloaded divergence fails the gate.
+    Parquet round-trips the FLOOR-quantized doubles and BIGINT ranks
+    bit-exactly. At 100 TB the persisted adjacency is the only viable
+    form: the build is a once-per-corpus job and every serving session
+    cold-starts from the sharded parquet."""
+    from ..operators.ann import (
+        graph_read_index,
+        graph_write_index,
+        knn_graph_build,
+    )
+    from ..utils import pid_scratch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    graph = knn_graph_build(
+        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM
+    ).localCheckpoint(eager=True)
+    path = pid_scratch("graph_index", sf_dir)
+    graph_write_index(graph, path)
+    served_mem = _graph_serve_lsh(spark, sf_dir, graph).select(
+        "probe_id", "vec_id", F.col("rank").alias("m_rank"),
+        F.col("score").alias("m_score"),
+    )
+    served_cold = _graph_serve_lsh(
+        spark, sf_dir, graph_read_index(spark, path)
+    )
+    return served_cold.join(
+        F.broadcast(served_mem), ["probe_id", "vec_id"], "left"
+    ).select(
+        "probe_id",
+        "vec_id",
+        "rank",
+        (
+            (F.col("m_rank") == F.col("rank"))
+            & (F.col("m_score") == F.col("score"))
+        ).cast("long").alias("match_mem"),
+        "score",
+    )
+
+
 @register(
     "v_brp_lsh_neighbors",
     oracle=f"""
