@@ -69,7 +69,41 @@ def main() -> None:
             ),
             _knn_graph_serve_oracle(6, 24, 8, 2, 10, 8, 2, 3, entry_mode="lsh"),
         ),
+        # persisted round-trip at 10x: cold-reloaded adjacency must serve
+        # the identical answers (same oracle as serve_lsh@8)
+        "persist_lsh@8": (
+            None,  # filled below (needs the write side effect)
+            _knn_graph_serve_oracle(6, 24, 8, 2, 10, 8, 2, 3, entry_mode="lsh"),
+        ),
+        # streaming delivery at 10x: availableNow micro-batches over the
+        # same chain (batching-invariant => same oracle)
+        "stream_lsh@8": (
+            None,
+            _knn_graph_serve_oracle(6, 24, 8, 2, 10, 8, 2, 3, entry_mode="lsh"),
+        ),
     }
+    from vector_search_spark.operators.ann import graph_read_index, graph_write_index
+    from vector_search_spark.streaming.serving import (
+        run_streaming_graph_serve_availablenow,
+    )
+    from vector_search_spark.utils import pid_scratch
+
+    gpath = pid_scratch("graph10x_idx", fixture)
+    graph_write_index(graph, gpath)
+    cases["persist_lsh@8"] = (
+        knn_graph_serve(
+            graph_read_index(spark, gpath), emb, _probes(emb, 3),
+            k=10, beam=8, rounds=2,
+            entries="lsh", n_planes=24, band_bits=8, seed=42, dim=EMB_DIM,
+        ),
+        cases["persist_lsh@8"][1],
+    )
+    cases["stream_lsh@8"] = (
+        run_streaming_graph_serve_availablenow(
+            spark, fixture, band_bits=8
+        ),
+        cases["stream_lsh@8"][1],
+    )
     failed = []
     for name, (df, sql) in cases.items():
         s_rows = [tuple(r) for r in df.collect()]
