@@ -376,3 +376,56 @@ def test_knn_graph_serve_recall_and_batch_api(spark):
     assert hits / tot >= 0.9, f"graph-serve recall {hits/tot:.2f}"
     # every probe answered with exactly k ranked rows
     assert all(len(v) == 5 for v in per.values())
+
+
+def test_knn_graph_insert_matches_rebuild_quality(spark):
+    """Incrementally inserted nodes must get edges of rebuild-quality on
+    clustered data: each inserted node's edge set recalls >= 0.8 of the
+    exact top-k among EXISTING nodes, and patched existing adjacencies
+    stay valid top-k sets (ranks contiguous, scores non-increasing)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.ann import (
+        knn_graph_build,
+        knn_graph_insert,
+    )
+
+    rng = np.random.RandomState(9)
+    n, dim, ncl = 440, 32, 20
+    cents = rng.randn(ncl, dim)
+    X = np.stack([cents[i % ncl] + 0.3 * rng.randn(dim) for i in range(n)])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    k = 5
+    base = emb.filter(F.col("vec_id") >= 40)
+    new = emb.filter(F.col("vec_id") < 40)
+    graph = knn_graph_build(
+        base, k=k, n_planes=24, band_bits=6, rounds=2, seed=42, dim=dim
+    )
+    upd = knn_graph_insert(
+        graph, base, new, k=k, n_planes=24, band_bits=6, seed=42, dim=dim
+    ).collect()
+    per = {}
+    for r in upd:
+        per.setdefault(r.src_id, []).append((r.rank, r.nbr_id, r.score))
+    sims = X @ X.T
+    hits = tot = 0
+    for nid in range(40):
+        exact = [
+            j for j in np.argsort(-sims[nid]) if j >= 40
+        ][:k]  # best existing neighbors
+        got = {nbr for _, nbr, _ in per.get(nid, [])}
+        hits += len(got & set(exact))
+        tot += k
+    assert hits / tot >= 0.8, f"insert recall {hits/tot:.2f}"
+    # structural validity of every adjacency in the updated graph
+    for src, rows in per.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r[2] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rows) <= k

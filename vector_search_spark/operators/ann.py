@@ -497,6 +497,132 @@ def ivf_assign(
     return best.select(corpus_id, corpus_vec, centroid_id, *(payload_cols or []))
 
 
+def knn_graph_insert(
+    graph: DataFrame,
+    corpus: DataFrame,
+    new_rows: DataFrame,
+    k: int = 6,
+    n_planes: int = 24,
+    band_bits: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL k-NN-graph maintenance — the HNSW-insert analog of
+    ``minhash_probe_pairs``'s incremental indexing (new batches must not
+    force a corpus-wide rebuild): link each NEW vector into the existing
+    graph and patch affected existing adjacencies, touching only
+    banded-candidate buckets.
+
+    Semantics (deterministic, fully oracle-replayable):
+
+    1. CANDIDATES: new rows hash with the SAME seeded planes/banding the
+       build used; (new, existing) pairs from the band equi-join — the
+       only corpus-touching work, ~|new| · bucket_size pairs.
+    2. NEW-NODE EDGES: exact cosine re-rank of each new node's
+       candidates; top-``k`` by (floored score DESC, id ASC). Scores are
+       FLOOR-quantized at 1e-6 BEFORE ranking so old and new edges order
+       in one consistent space (the graph stores floored scores).
+    3. PATCHES: every existing node that appears in a candidate pair
+       re-ranks its current adjacency ∪ its new-node candidates in that
+       same floored space; nodes with no candidates keep their rows
+       untouched.
+
+    Quality matches the build's banding recall (candidates come from the
+    same buckets a fresh build would pair); rebuilt-vs-inserted graph
+    recall is pinned on clustered data in tests/test_ann.py. At 100 TB
+    the existing corpus is touched only through the banded buckets and
+    the bounded adjacency patch — no full re-rank, no rebuild. New-new
+    pairs within one batch are intentionally EXCLUDED (batches append
+    one at a time, the standard online-insert contract); run periodic
+    rebuilds to refresh cross-batch edges, exactly as HNSW deployments
+    compact.
+
+    Returns the UPDATED full edge list (src_id, nbr_id, rank, score)."""
+    if dim is None:
+        raise ValueError("knn_graph_insert requires dim=")
+    planes = make_planes(n_planes, dim, seed)
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(rel, out_id):
+        sig = lsh_signature(F.col("v"), planes)
+        return rel.select(
+            F.col("id").alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(sig, b * band_bits)
+                            .bitwiseAND(mask)
+                            .alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(out_id, "bk.band", "bk.key")
+
+    ex = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    nw = new_rows.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cands = (
+        banded(ex, "eid")
+        .join(F.broadcast(banded(nw, "nid")), ["band", "key"])
+        .select("eid", "nid")
+        .distinct()
+    )
+    scored = (
+        cands.join(ex.select(F.col("id").alias("eid"), F.col("v").alias("ev")), "eid")
+        .join(
+            F.broadcast(
+                nw.select(F.col("id").alias("nid"), F.col("v").alias("nv"))
+            ),
+            "nid",
+        )
+        .withColumn(
+            "score",
+            F.floor(cosine_sim("ev", "nv") * 1000000) / 1000000,
+        )
+        .select("eid", "nid", "score")
+        .localCheckpoint(eager=True)
+    )
+    wn = Window.partitionBy("nid").orderBy(F.desc("score"), F.asc("eid"))
+    new_adj = (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("nid").alias("src_id"),
+            F.col("eid").alias("nbr_id"),
+            F.col("rn").cast("long").alias("rank"),
+            "score",
+        )
+    )
+    old = graph.select("src_id", "nbr_id", "score")
+    patch_pool = old.join(
+        scored.select(F.col("eid").alias("src_id")).distinct(), "src_id"
+    ).unionByName(
+        scored.select(
+            F.col("eid").alias("src_id"),
+            F.col("nid").alias("nbr_id"),
+            "score",
+        )
+    )
+    wp = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    patched = (
+        patch_pool.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= k)
+        .select("src_id", "nbr_id", F.col("rn").cast("long").alias("rank"), "score")
+    )
+    untouched = graph.join(
+        scored.select(F.col("eid").alias("src_id")).distinct(),
+        "src_id",
+        "left_anti",
+    ).select("src_id", "nbr_id", "rank", "score")
+    return untouched.unionByName(patched).unionByName(new_adj)
+
+
 def graph_write_index(graph: DataFrame, path: str, n_shards: int = 32) -> None:
     """Persist a built k-NN graph's adjacency to parquet, partitioned by
     a hash SHARD of ``src_id`` (``pmod(xxhash64(src_id), n_shards)``) —

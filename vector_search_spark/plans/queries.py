@@ -3305,15 +3305,21 @@ def v_lsh_hyperplane_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("probe_id", "vec_id", F.round("score", 6).alias("score"))
 
 
-def _knn_graph_parts(k: int, n_planes: int, band_bits: int, rounds: int) -> list[str]:
+def _knn_graph_parts(
+    k: int, n_planes: int, band_bits: int, rounds: int,
+    corpus_where: str = "",
+) -> list[str]:
     """Shared CTE chain replaying ``knn_graph_build`` up to the ranked
-    adjacency relation ``r`` — used by both the build-row oracle (final
-    edge list) and the serve-row oracle (beam search over the edges)."""
+    adjacency relation ``r`` — used by the build-row oracle (final edge
+    list), the serve-row oracles (beam search over the edges), and the
+    incremental-insert oracle (which builds on a filtered base corpus
+    via ``corpus_where``)."""
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
     score = "SELECT ia, ib, {cos} AS cos FROM {src} JOIN e ea ON ea.id = {src}.ia JOIN e eb ON eb.id = {src}.ib"
     parts = [
-        "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v"
+        f" FROM embeddings{(' WHERE ' + corpus_where) if corpus_where else ''})",
         f"s AS (SELECT id, {_duck_lsh_sig('v', n_planes, 42)} AS sig FROM e)",
         f"bd AS (SELECT id, band, (sig >> (band*{band_bits})) & {mask} AS key"
         f" FROM s, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) b)",
@@ -3590,6 +3596,103 @@ def v_knn_graph_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("m_score") == F.col("score"))
         ).cast("long").alias("match_mem"),
         "score",
+    )
+
+
+def _knn_graph_insert_oracle(
+    k: int, n_planes: int, band_bits: int, rounds: int, n_new: int
+) -> str:
+    """DuckDB replay of ``knn_graph_insert`` over the replayed base
+    graph: new = vec_id < n_new, base = the rest. Every stage exact —
+    base graph edges (floored), banded candidates with the same plane
+    literals, floored candidate scores, re-ranked patches, untouched
+    rows keeping their original ranks."""
+    parts = _knn_graph_parts(
+        k, n_planes, band_bits, rounds, corpus_where=f"vec_id >= {n_new}"
+    )
+    mask = (1 << band_bits) - 1
+    n_bands = n_planes // band_bits
+    parts.append(
+        f"gadj AS MATERIALIZED (SELECT src, nbr,"
+        f" CAST(rn AS BIGINT) AS rank, FLOOR(cos * 1000000) / 1000000"
+        f" AS score FROM r WHERE rn <= {k})"
+    )
+    parts.append(
+        f"nwr AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv"
+        f" FROM embeddings WHERE vec_id < {n_new})"
+    )
+    parts.append(
+        f"nbd AS (SELECT nid, band,"
+        f" ({_duck_lsh_sig('nv', n_planes, 42)} >> (band*{band_bits}))"
+        f" & {mask} AS key FROM nwr,"
+        f" (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) b)"
+    )
+    parts.append(
+        "cand AS (SELECT DISTINCT bd.id AS eid, n.nid"
+        " FROM bd JOIN nbd n ON n.band = bd.band AND n.key = bd.key)"
+    )
+    parts.append(
+        "csc AS MATERIALIZED (SELECT c.eid, c.nid,"
+        " FLOOR(" + _duck_cos("ev.v", "nw.nv") + " * 1000000) / 1000000"
+        " AS score FROM cand c JOIN e ev ON ev.id = c.eid"
+        " JOIN nwr nw ON nw.nid = c.nid)"
+    )
+    parts.append(
+        f"new_adj AS (SELECT nid AS src, eid AS nbr,"
+        f" CAST(rn AS BIGINT) AS rank, score FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY nid"
+        f" ORDER BY score DESC, eid ASC) AS rn FROM csc) t WHERE rn <= {k})"
+    )
+    parts.append(
+        "touched AS (SELECT DISTINCT eid FROM csc)"
+    )
+    parts.append(
+        "pool AS (SELECT g.src, g.nbr, g.score FROM gadj g"
+        " JOIN touched t ON t.eid = g.src"
+        " UNION ALL SELECT eid, nid, score FROM csc)"
+    )
+    parts.append(
+        f"patched AS (SELECT src, nbr, CAST(rn AS BIGINT) AS rank, score"
+        f" FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src"
+        f" ORDER BY score DESC, nbr ASC) AS rn FROM pool) t WHERE rn <= {k})"
+    )
+    final = (
+        "SELECT src AS src_id, nbr AS nbr_id, rank, score FROM (\n"
+        "  SELECT src, nbr, rank, score FROM gadj"
+        " WHERE src NOT IN (SELECT eid FROM touched)\n"
+        "  UNION ALL SELECT src, nbr, rank, score FROM patched\n"
+        "  UNION ALL SELECT src, nbr, rank, score FROM new_adj) z"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+@register(
+    "v_knn_graph_incr",
+    oracle=_knn_graph_insert_oracle(6, 24, 6, 2, 20),
+)
+def v_knn_graph_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL graph-index maintenance (``knn_graph_insert``): build
+    the k-NN graph on the base corpus (vec_id >= 20), then link the 20
+    newest vectors in WITHOUT a rebuild — banded candidates against the
+    existing buckets, floored-space re-rank for new-node edges and for
+    the touched existing adjacencies, untouched rows pass through with
+    their original ranks. Completes the graph lifecycle's last stage
+    (build → persist → serve → streaming serve → INCREMENTAL UPDATE,
+    the ``d_minhash_persist_incr`` story applied to the HNSW-class
+    index). The oracle replays every stage value-exactly, so a wrong
+    patch (dropped edge, rank drift, stale score) fails the gate;
+    inserted-vs-rebuilt recall is pinned separately in
+    tests/test_ann.py."""
+    from ..operators.ann import knn_graph_build, knn_graph_insert
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 20)
+    new = emb.filter(F.col("vec_id") < 20)
+    graph = knn_graph_build(
+        base, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM
+    )
+    return knn_graph_insert(
+        graph, base, new, k=6, n_planes=24, band_bits=6, seed=42, dim=EMB_DIM
     )
 
 
