@@ -104,6 +104,27 @@ def main() -> None:
         ),
         cases["stream_lsh@8"][1],
     )
+    # incremental insert at 10x: base graph on vec_id >= 20 at band 8,
+    # 20 new vectors linked in (same oracle chain, filtered corpus)
+    from vector_search_spark.plans.queries import _knn_graph_insert_oracle
+
+    base = emb.filter(F.col("vec_id") >= 20)
+    new_rows = emb.filter(F.col("vec_id") < 20)
+    base_graph = knn_graph_build(
+        base, k=6, n_planes=24, band_bits=8, rounds=2, seed=42, dim=EMB_DIM
+    )
+    from vector_search_spark.operators.ann import knn_graph_insert
+
+    cases["incr@8"] = (
+        knn_graph_insert(
+            base_graph, base, new_rows, k=6, n_planes=24, band_bits=8,
+            seed=42, dim=EMB_DIM,
+        ),
+        _knn_graph_insert_oracle(6, 24, 8, 2, 20),
+    )
+    only = set(sys.argv[2:])
+    if only:
+        cases = {k: v for k, v in cases.items() if k in only}
     failed = []
     for name, (df, sql) in cases.items():
         s_rows = [tuple(r) for r in df.collect()]
