@@ -429,3 +429,23 @@ def test_knn_graph_insert_matches_rebuild_quality(spark):
         scores = [r[2] for r in rows]
         assert scores == sorted(scores, reverse=True)
         assert len(rows) <= k
+
+
+def test_knn_graph_build_arrow_scoring_matches_jvm(spark, sf_dir):
+    """The opt-in Arrow scoring path must produce the identical edge set
+    (ranks included) as the default JVM fold — the ulp-tolerant
+    rank-selection channel in practice."""
+    from vector_search_spark.sources.catalog import load_table
+    from vector_search_spark.operators.ann import knn_graph_build
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=64)
+    a = {
+        (r.src_id, r.nbr_id, r.rank, r.score)
+        for r in knn_graph_build(emb, score_arrow=False, **kw).collect()
+    }
+    b = {
+        (r.src_id, r.nbr_id, r.rank, r.score)
+        for r in knn_graph_build(emb, score_arrow=True, **kw).collect()
+    }
+    assert a == b and len(a) > 0

@@ -106,6 +106,7 @@ def knn_graph_build(
     vec_col: str = "embedding",
     n_bands: int = 4,
     target_bucket: int = 8,
+    score_arrow: bool = False,
 ) -> DataFrame:
     """Batch k-NN-GRAPH construction — the batch half of HNSW/NN-descent
     class indexes (the one index family IVF/PQ/LSH/hamming don't cover):
@@ -251,15 +252,45 @@ def knn_graph_build(
             F.col("nrm").alias("nrm_b"),
         )
         # fan_out: AQE coalesces the distinct'd pair relation to a couple
-        # of partitions at fixture scale, serializing the interpreted
-        # cosine fold — repartition the (16-byte) pairs so the fold runs
-        # on every core
-        return (
-            fan_out(pairs).join(va, "ia")
-            .join(vb, "ib")
-            .withColumn("cos", cosine_sim("v_a", "v_b", "nrm_a", "nrm_b"))
-            .select("ia", "ib", "cos")
-        )
+        # of partitions at fixture scale, serializing the scoring stage —
+        # repartition the (16-byte) pairs so it runs on every core
+        joined = fan_out(pairs).join(va, "ia").join(vb, "ib")
+        if not score_arrow:
+            return joined.withColumn(
+                "cos", cosine_sim("v_a", "v_b", "nrm_a", "nrm_b")
+            ).select("ia", "ib", "cos")
+
+        # Arrow/numpy batch scoring (OPT-IN, for wide-dim corpora):
+        # ~0.5 µs/pair vs the ~9 µs/pair interpreted HOF fold — but at
+        # the 64-dim gate config the stage crossings (~0.25 s fixed each,
+        # CLAUDE.md) cancel the fold win exactly (A/B measured min 4.87 s
+        # BOTH paths), so the default stays the JVM fold the DuckDB
+        # oracles replay bit-exactly. Above the dim≈128 crossover
+        # (SCALING.md round-8 table) this path wins. Float channel:
+        # the numpy dot is a pairwise-sum fold, ulp-off the sequential
+        # JVM/DuckDB fold — legal here because the cos only reaches
+        # output via RANK SELECTION (top-k per node; a flip needs two
+        # candidates within ~1e-15) and the FLOOR-1e-6 score (flip P
+        # ~1e-10/row) — the same channels the sig/norm stage already
+        # rides. Certified by edge-exact parity at four scales + 10×.
+        def _cos_stage(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield _pd.DataFrame({"ia": pdf["ia"], "ib": pdf["ib"],
+                                         "cos": []})
+                    continue
+                A = np.stack(pdf["v_a"].to_numpy()).astype(np.float64)
+                B = np.stack(pdf["v_b"].to_numpy()).astype(np.float64)
+                c = (A * B).sum(axis=1) / (
+                    pdf["nrm_a"].to_numpy() * pdf["nrm_b"].to_numpy()
+                )
+                yield _pd.DataFrame(
+                    {"ia": pdf["ia"], "ib": pdf["ib"], "cos": c}
+                )
+
+        return joined.select(
+            "ia", "ib", "v_a", "v_b", "nrm_a", "nrm_b"
+        ).mapInPandas(_cos_stage, "ia long, ib long, cos double")
 
     def adjacency(scored: DataFrame) -> DataFrame:
         sym = scored.select(
