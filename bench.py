@@ -185,7 +185,26 @@ def main() -> None:
         t0 = time.perf_counter()
         knn_graph_serve(graph, emb, _probes(emb, 3), k=10, beam=8, rounds=2).collect()
         best = min(best, time.perf_counter() - t0)
-    split["gr"] = {"b": round(build_t, 2), "s": round(best, 2)}
+    # i = steady-state INCREMENTAL insert against the prebuilt graph
+    # (v_knn_graph_incr's op without the rebuild the gate row pays)
+    from vector_search_spark.operators.ann import knn_graph_insert
+
+    base = emb.filter(F.col("vec_id") >= 20).localCheckpoint(eager=True)
+    base_graph = knn_graph_build(
+        base, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM
+    ).localCheckpoint(eager=True)
+    new_rows = emb.filter(F.col("vec_id") < 20)
+    besti = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        knn_graph_insert(
+            base_graph, base, new_rows, k=6, n_planes=24, band_bits=6,
+            seed=42, dim=EMB_DIM,
+        ).count()
+        besti = min(besti, time.perf_counter() - t0)
+    split["gr"] = {
+        "b": round(build_t, 2), "s": round(best, 2), "i": round(besti, 2)
+    }
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -564,7 +564,11 @@ def knn_graph_insert(
     same buckets a fresh build would pair); rebuilt-vs-inserted graph
     recall is pinned on clustered data in tests/test_ann.py. At 100 TB
     the existing corpus is touched only through the banded buckets and
-    the bounded adjacency patch — no full re-rank, no rebuild. New-new
+    the bounded adjacency patch — no full re-rank, no rebuild; a real
+    deployment persists the corpus (band, key) table at build time and
+    reuses it here instead of re-hashing per batch (this fixture-scale
+    form recomputes it — one interpreted-sig scan, the only
+    corpus-proportional cost in the function). New-new
     pairs within one batch are intentionally EXCLUDED (batches append
     one at a time, the standard online-insert contract); run periodic
     rebuilds to refresh cross-batch edges, exactly as HNSW deployments
