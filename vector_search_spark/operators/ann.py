@@ -342,6 +342,68 @@ def knn_graph_build(
     )
 
 
+def corpus_band_keys(
+    corpus: DataFrame,
+    n_planes: int = 24,
+    band_bits: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, key) banded-LSH table for a corpus — ONE Arrow/numpy
+    signature pass (the build's sig stage shape; the interpreted JVM
+    24-dot signature costs ~ms/row and dominated the per-call cost of
+    the LSH-entry serve and the incremental insert when recomputed per
+    batch). Compute once per corpus, checkpoint/persist, and pass as
+    ``corpus_bands`` to ``knn_graph_serve``/``knn_graph_insert`` — the
+    100 TB deployment persists this next to the graph index. Sign bits
+    ride the documented ulp-tolerant channel (identical plane literals;
+    a flip needs |dot| ≲ 1e-14)."""
+    if dim is None:
+        raise ValueError("corpus_band_keys requires dim=")
+    import pandas as _pd
+
+    from ..utils import fan_out
+
+    planes = make_planes(n_planes, dim, seed)
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    P = np.asarray(planes, dtype=np.float64).T
+    pw = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def sig_stage(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield _pd.DataFrame({"id": pdf["id"], "sig": []})
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            yield _pd.DataFrame(
+                {"id": pdf["id"], "sig": ((V @ P) > 0) @ pw}
+            )
+
+    src = fan_out(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+    sigs = src.mapInPandas(sig_stage, "id long, sig long")
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * band_bits)
+                        .bitwiseAND(mask)
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
 def knn_graph_serve(
     graph: DataFrame,
     corpus: DataFrame,
@@ -358,6 +420,7 @@ def knn_graph_serve(
     band_bits: int | None = None,
     seed: int = 42,
     dim: int | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-traversal ANN SERVE — the query half of :func:`knn_graph_build`
     (VERDICT r7 "What's missing" #2; together they are the HNSW-class
@@ -441,9 +504,13 @@ def knn_graph_serve(
                 ).alias("bk"),
             ).select(idc, "bk.band", "bk.key")
 
+        cb = (
+            corpus_bands
+            if corpus_bands is not None
+            else banded(vecs, "id", "vv")
+        )
         seed_pairs = (
-            banded(vecs, "id", "vv")
-            .join(F.broadcast(banded(pr, "pid", "pv")), ["band", "key"])
+            cb.join(F.broadcast(banded(pr, "pid", "pv")), ["band", "key"])
             .select("pid", "id")
             .distinct()
         )
@@ -539,6 +606,7 @@ def knn_graph_insert(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL k-NN-graph maintenance — the HNSW-insert analog of
     ``minhash_probe_pairs``'s incremental indexing (new batches must not
@@ -602,9 +670,15 @@ def knn_graph_insert(
 
     ex = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     nw = new_rows.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    eb = (
+        corpus_bands.select(
+            F.col("id").alias("eid"), "band", "key"
+        )
+        if corpus_bands is not None
+        else banded(ex, "eid")
+    )
     cands = (
-        banded(ex, "eid")
-        .join(F.broadcast(banded(nw, "nid")), ["band", "key"])
+        eb.join(F.broadcast(banded(nw, "nid")), ["band", "key"])
         .select("eid", "nid")
         .distinct()
     )

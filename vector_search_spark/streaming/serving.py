@@ -176,6 +176,17 @@ class GraphIndexServer:
         self.vec_col = vec_col
         self.dim = dim
         self.seed = seed
+        # one Arrow signature pass at construction — the LSH entry mode
+        # would otherwise re-hash the whole corpus (interpreted 24-dot
+        # JVM signature, ~ms/row) on EVERY batch
+        if dim is not None:
+            from ..operators.ann import corpus_band_keys
+
+            self.corpus_bands = corpus_band_keys(
+                corpus, dim=dim, seed=seed, id_col=id_col, vec_col=vec_col
+            ).localCheckpoint(eager=True)
+        else:
+            self.corpus_bands = None
 
     @classmethod
     def build(
@@ -220,6 +231,7 @@ class GraphIndexServer:
             entries="lsh" if self.dim is not None else None,
             id_col=self.id_col, vec_col=self.vec_col,
             dim=self.dim, seed=self.seed,
+            corpus_bands=self.corpus_bands,
         )
 
 
