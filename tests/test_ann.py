@@ -449,3 +449,94 @@ def test_knn_graph_build_arrow_scoring_matches_jvm(spark, sf_dir):
         for r in knn_graph_build(emb, score_arrow=True, **kw).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_graph_server_band_config_consistent_off_default(spark):
+    """ADVICE r8 high: GraphIndexServer must resolve (n_planes, band_bits)
+    ONCE and use the same values for the persisted corpus band table and
+    every serve call. At n=1000 auto_band_bits=7 != the old fixed default
+    6 — the size class where the previous code hashed probes and corpus
+    under different configs and LSH-seeded recall silently collapsed."""
+    import numpy as np
+
+    from vector_search_spark.operators.ann import auto_band_bits
+    from vector_search_spark.streaming.serving import GraphIndexServer
+
+    rng = np.random.RandomState(13)
+    n, dim, ncl = 1000, 32, 40
+    cents = rng.randn(ncl, dim)
+    X = np.stack([cents[i % ncl] + 0.3 * rng.randn(dim) for i in range(n)])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    server = GraphIndexServer.build(emb, dim=dim, graph_k=6, k=5, beam=10)
+    auto = auto_band_bits(n)
+    assert auto != 6  # the regression is only visible off the old default
+    assert server.band_bits == auto
+    assert server.n_planes == auto * 4
+    probe_ids = [7, 333, 911]
+    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    got = server.serve_batch(probes).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.probe_id, []).append(r.vec_id)
+    sims = X @ X.T
+    hits = tot = 0
+    for p in probe_ids:
+        exact = list(np.argsort(-sims[p])[:5])
+        hits += len(set(per[p]) & set(exact))
+        tot += 5
+    assert hits / tot >= 0.9, f"off-default serve recall {hits/tot:.2f}"
+
+
+def test_graph_serve_refuses_bands_without_config(spark):
+    """corpus_bands without explicit (n_planes, band_bits) is a config-
+    mismatch trap (and a per-batch count job) — must raise, not guess."""
+    import pytest as _pytest
+
+    from vector_search_spark.operators.ann import (
+        corpus_band_keys,
+        knn_graph_serve,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -0.25]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    graph = spark.createDataFrame(
+        [(0, 1, 1, 0.5)], "src_id long, nbr_id long, rank long, score double"
+    )
+    probes = emb.limit(1).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    cb = corpus_band_keys(emb, n_planes=16, band_bits=4, dim=4)
+    with _pytest.raises(ValueError, match="corpus_bands requires explicit"):
+        knn_graph_serve(
+            graph, emb, probes, entries="lsh", dim=4, corpus_bands=cb
+        )
+
+
+def test_graph_build_auto_bands_snap_to_divisor(spark):
+    """ADVICE r8 medium: explicit n_planes with band_bits=None must snap
+    the auto band width to the nearest DIVISOR of n_planes instead of
+    raising data-dependently (n=1000 -> auto 7, which does not divide
+    24)."""
+    import numpy as np
+
+    from vector_search_spark.operators.ann import knn_graph_build
+
+    rng = np.random.RandomState(17)
+    n, dim = 1000, 16
+    X = rng.randn(n, dim)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    g = knn_graph_build(emb, k=4, n_planes=24, rounds=1, seed=42, dim=dim)
+    assert g.count() > 0  # previously: ValueError at plan-build time

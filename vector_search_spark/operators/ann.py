@@ -154,8 +154,18 @@ def knn_graph_build(
         # scalar job (the bloom_build precedent), then expected bucket
         # size stays ~target_bucket at ANY corpus scale. Explicit
         # band_bits remains available (the oracle rows pin it so the
-        # DuckDB replay sees identical banding).
-        band_bits = auto_band_bits(corpus.count(), target_bucket)
+        # DuckDB replay sees identical banding). With an EXPLICIT
+        # n_planes, the auto value must also DIVIDE it (signatures split
+        # into whole bands) — snap to the nearest divisor rather than
+        # crash data-dependently when auto lands on e.g. 7 for
+        # n_planes=24 (ADVICE r8 medium); ties prefer the larger width
+        # (smaller buckets — the conservative side for candidate volume).
+        auto = auto_band_bits(corpus.count(), target_bucket)
+        if n_planes is None:
+            band_bits = auto
+        else:
+            divisors = [d for d in range(1, n_planes + 1) if n_planes % d == 0]
+            band_bits = min(divisors, key=lambda d: (abs(d - auto), -d))
     if n_planes is None:
         n_planes = band_bits * n_bands
     if n_planes % band_bits != 0:
@@ -476,6 +486,18 @@ def knn_graph_serve(
             raise ValueError(
                 "knn_graph_serve(entries='lsh') requires dim= "
                 "(embedding dimensionality, matching the build)"
+            )
+        if corpus_bands is not None and (band_bits is None or n_planes is None):
+            # A precomputed band table was hashed under SOME (n_planes,
+            # band_bits); re-deriving them here (auto from a corpus count)
+            # silently disagrees with the table at any other corpus size
+            # and the entry join goes empty/meaningless (ADVICE r8 high).
+            # It would also pay a corpus.count() job per serve batch —
+            # the exact cost corpus_bands exists to avoid (ADVICE r8 low).
+            raise ValueError(
+                "knn_graph_serve: corpus_bands requires explicit n_planes "
+                "and band_bits matching the banding the table was built "
+                "with (see corpus_band_keys / GraphIndexServer)"
             )
         if band_bits is None:
             band_bits = auto_band_bits(corpus.count())

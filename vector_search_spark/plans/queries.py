@@ -3382,6 +3382,7 @@ def _knn_graph_serve_oracle(
     serve_rounds: int,
     n_probes: int,
     entry_mode: str = "lowest",
+    extra_cols: str = "",
 ) -> str:
     """DuckDB replay of ``knn_graph_serve`` over the replayed graph:
     entry = the ``beam`` lowest node ids, then ``serve_rounds`` unrolled
@@ -3447,9 +3448,14 @@ def _knn_graph_serve_oracle(
             f"gs{r} AS MATERIALIZED (SELECT * FROM gs{r - 1}"
             f" UNION ALL SELECT * FROM new{r})"
         )
+    # extra_cols: constant output columns a consumer row adds alongside
+    # the serve result (e.g. v_knn_graph_persist's match_mem flag) —
+    # emitted directly instead of post-hoc str.replace surgery on the
+    # generated SQL (ADVICE r8 low: replace-all is position-blind and a
+    # second occurrence of the anchor would corrupt the oracle silently).
     final = (
         f"SELECT pid AS probe_id, id AS vec_id, CAST(rn AS BIGINT) AS rank,\n"
-        f"       FLOOR(cos * 1000000) / 1000000 AS score\n"
+        f"       {extra_cols}FLOOR(cos * 1000000) / 1000000 AS score\n"
         f"FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid"
         f" ORDER BY cos DESC, id ASC) AS rn FROM gs{serve_rounds}) z\n"
         f"WHERE rn <= {serve_k}"
@@ -3548,9 +3554,10 @@ def _graph_serve_lsh(spark, sf_dir, graph):
 
 @register(
     "v_knn_graph_persist",
-    oracle=_knn_graph_serve_oracle(6, 24, 6, 2, 10, 8, 2, 3, entry_mode="lsh")
-    .replace("CAST(rn AS BIGINT) AS rank,\n", "CAST(rn AS BIGINT) AS rank,\n"
-             "       CAST(1 AS BIGINT) AS match_mem,\n"),
+    oracle=_knn_graph_serve_oracle(
+        6, 24, 6, 2, 10, 8, 2, 3, entry_mode="lsh",
+        extra_cols="CAST(1 AS BIGINT) AS match_mem,\n       ",
+    ),
 )
 def v_knn_graph_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-index PERSISTENCE round-trip (the ``v_ivf_persist`` twin

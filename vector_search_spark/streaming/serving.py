@@ -164,6 +164,8 @@ class GraphIndexServer:
         vec_col: str = "embedding",
         dim: int | None = None,
         seed: int = 42,
+        n_planes: int | None = None,
+        band_bits: int | None = None,
     ) -> None:
         self.graph = graph.localCheckpoint(eager=True)
         self.corpus = corpus.select(id_col, vec_col).localCheckpoint(
@@ -178,14 +180,28 @@ class GraphIndexServer:
         self.seed = seed
         # one Arrow signature pass at construction — the LSH entry mode
         # would otherwise re-hash the whole corpus (interpreted 24-dot
-        # JVM signature, ~ms/row) on EVERY batch
+        # JVM signature, ~ms/row) on EVERY batch. The banding config is
+        # resolved ONCE here and the SAME values feed both the persisted
+        # band table and every serve call (ADVICE r8 high: letting
+        # serve_batch re-derive band_bits from an auto corpus count made
+        # probe and corpus hash under different configs at any corpus
+        # size where auto != the table's default — entry join empty).
         if dim is not None:
-            from ..operators.ann import corpus_band_keys
+            from ..operators.ann import auto_band_bits, corpus_band_keys
 
+            if band_bits is None:
+                band_bits = auto_band_bits(corpus.count())
+            if n_planes is None:
+                n_planes = band_bits * 4
+            self.band_bits = band_bits
+            self.n_planes = n_planes
             self.corpus_bands = corpus_band_keys(
-                corpus, dim=dim, seed=seed, id_col=id_col, vec_col=vec_col
+                corpus, n_planes=n_planes, band_bits=band_bits, seed=seed,
+                dim=dim, id_col=id_col, vec_col=vec_col,
             ).localCheckpoint(eager=True)
         else:
+            self.band_bits = band_bits
+            self.n_planes = n_planes
             self.corpus_bands = None
 
     @classmethod
@@ -204,16 +220,22 @@ class GraphIndexServer:
     ) -> "GraphIndexServer":
         """Once-per-corpus batch job: build the k-NN graph (AUTO
         band_bits — bucket sizes hold at any corpus scale) and return
-        the serving session over it."""
-        from ..operators.ann import knn_graph_build
+        the serving session over it. The auto banding is resolved HERE
+        (one count job) and the identical config is pinned through the
+        build, the persisted band table, and every serve batch."""
+        from ..operators.ann import auto_band_bits, knn_graph_build
 
+        band_bits = auto_band_bits(corpus.count())
+        n_planes = band_bits * 4
         graph = knn_graph_build(
-            corpus, k=graph_k, rounds=rounds, seed=seed, dim=dim,
+            corpus, k=graph_k, n_planes=n_planes, band_bits=band_bits,
+            rounds=rounds, seed=seed, dim=dim,
             id_col=id_col, vec_col=vec_col,
         )
         return cls(
             graph, corpus, k=k, beam=beam, rounds=serve_rounds,
             id_col=id_col, vec_col=vec_col, dim=dim, seed=seed,
+            n_planes=n_planes, band_bits=band_bits,
         )
 
     def serve_batch(self, probes: DataFrame) -> DataFrame:
@@ -231,6 +253,7 @@ class GraphIndexServer:
             entries="lsh" if self.dim is not None else None,
             id_col=self.id_col, vec_col=self.vec_col,
             dim=self.dim, seed=self.seed,
+            n_planes=self.n_planes, band_bits=self.band_bits,
             corpus_bands=self.corpus_bands,
         )
 
