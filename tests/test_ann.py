@@ -540,3 +540,103 @@ def test_graph_build_auto_bands_snap_to_divisor(spark):
     )
     g = knn_graph_build(emb, k=4, n_planes=24, rounds=1, seed=42, dim=dim)
     assert g.count() > 0  # previously: ValueError at plan-build time
+
+
+def _clustered(spark, seed, n, dim, ncl, spread=0.3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(ncl, dim)
+    X = np.stack([cents[i % ncl] + spread * rng.randn(dim) for i in range(n)])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    return X, emb
+
+
+def test_knn_graph_delete_matches_rebuild_quality(spark):
+    """Deleted-and-repaired graph vs a fresh rebuild on the survivor
+    corpus: per-node edge recall >= 0.8 on clustered data (the insert
+    twin's bar), no deleted id anywhere, ranks contiguous."""
+    import numpy as np
+
+    from vector_search_spark.operators.ann import (
+        knn_graph_build,
+        knn_graph_delete,
+    )
+
+    X, emb = _clustered(spark, 21, 360, 32, 18)
+    kw = dict(k=5, n_planes=24, band_bits=6, seed=42, dim=32)
+    g = knn_graph_build(emb, rounds=2, **kw).localCheckpoint(eager=True)
+    dels = emb.filter(F.col("vec_id") % 9 == 2).select("vec_id")
+    del_set = {r.vec_id for r in dels.collect()}
+    got = knn_graph_delete(g, emb, dels, **kw).collect()
+    assert all(
+        r.src_id not in del_set and r.nbr_id not in del_set for r in got
+    )
+    survivors = emb.filter(~F.col("vec_id").isin(list(del_set)))
+    rebuilt = knn_graph_build(survivors, rounds=2, **kw).collect()
+    ga, gb = {}, {}
+    for r in got:
+        ga.setdefault(r.src_id, set()).add(r.nbr_id)
+    for r in rebuilt:
+        gb.setdefault(r.src_id, set()).add(r.nbr_id)
+    assert set(ga) == set(gb)  # same surviving node set
+    hits = tot = 0
+    for s in gb:
+        hits += len(ga.get(s, set()) & gb[s])
+        tot += len(gb[s])
+    assert hits / tot >= 0.8, f"delete-vs-rebuild recall {hits/tot:.2f}"
+    per = {}
+    for r in got:
+        per.setdefault(r.src_id, []).append(r)
+    for es in per.values():
+        es.sort(key=lambda r: r.rank)
+        assert [e.rank for e in es] == list(range(1, len(es) + 1))
+        sc = [e.score for e in es]
+        assert sc == sorted(sc, reverse=True)
+
+
+def test_knn_graph_insert_then_delete_roundtrip(spark):
+    """insert(new) followed by delete(same ids) must leave the original
+    node set with the original edges on every node the insert never
+    patched, and >= 0.9 edge recall overall (patched nodes may lose an
+    NN-descent edge the banded repair pool cannot see — the documented
+    compaction case)."""
+    import numpy as np
+
+    from vector_search_spark.operators.ann import (
+        knn_graph_build,
+        knn_graph_delete,
+        knn_graph_insert,
+    )
+
+    X, emb = _clustered(spark, 33, 330, 32, 15)
+    kw = dict(k=5, n_planes=24, band_bits=6, seed=42, dim=32)
+    base = emb.filter(F.col("vec_id") >= 30)
+    new = emb.filter(F.col("vec_id") < 30)
+    g0 = knn_graph_build(base, rounds=2, **kw).localCheckpoint(eager=True)
+    g1 = knn_graph_insert(g0, base, new, **kw).localCheckpoint(eager=True)
+    g2 = knn_graph_delete(
+        g1, emb, new.select("vec_id"), **kw
+    ).collect()
+    orig = {}
+    for r in g0.collect():
+        orig.setdefault(r.src_id, set()).add((r.nbr_id, r.rank, r.score))
+    back = {}
+    for r in g2:
+        assert r.src_id >= 30 and r.nbr_id >= 30
+        back.setdefault(r.src_id, set()).add((r.nbr_id, r.rank, r.score))
+    assert set(back) == set(orig)
+    patched = {
+        r.src_id for r in g1.collect() if r.nbr_id < 30 or r.src_id < 30
+    }
+    hits = tot = 0
+    for s in orig:
+        if s not in patched:
+            assert back[s] == orig[s]  # bit-identical round-trip
+        hits += len({n for n, _, _ in back[s]} & {n for n, _, _ in orig[s]})
+        tot += len(orig[s])
+    assert hits / tot >= 0.9, f"round-trip edge recall {hits/tot:.2f}"
