@@ -1,0 +1,217 @@
+"""Index selection — one decision surface over the six certified ANN
+index families (VERDICT r8 next #5: "turns six index families into one
+decision surface").
+
+The engine ships exact brute-force KNN, hyperplane-LSH, IVF (flat and
+KMeans-trained), IVF-PQ, binary-Hamming, and the k-NN graph
+(HNSW-class build/serve/insert/delete). A user of the reference system
+never chose — MariaDB's VEC index was the only option
+(``camp_vec_rcmn.py``'s ``VEC_FromText`` column). Here the right family
+depends on corpus size, width, recall target, mutability, and memory —
+so :func:`choose_index` encodes the measured evidence in SCALING.md /
+tests/test_ann.py as an executable decision table and returns the
+builder call to make.
+
+Measured grounding (all numbers from this repo's recorded runs, see
+SCALING.md rounds 6-8):
+
+- EXACT brute force: recall 1.0 by construction; batched serving
+  ~11.5 ms/query at 100-probe batches (64-dim, sf0.1). One scan per
+  batch is O(n·dim) — past ~10^6 rows the scan dominates any index
+  build amortization only if the corpus is served rarely; the real
+  cutoff is memory/scan time at 100 TB, so exact is the small-corpus /
+  perfect-recall choice.
+- IVF (``ivf_build_index``/``AnnIndexServer``): measured recall@10 =
+  0.83/0.87/0.87 at n_probe 1/2/4 on the near-uniform fixture
+  (``v_ivf_recall_sweep``), ≥ 0.85 gates on clustered 768-dim; serve
+  11.5-21.7 ms/query batched (64/768-dim). Build is the cheapest
+  (one assign + partitioned write). Static corpora, batch QPS.
+- IVF-PQ (``v_ivf_pq_knn``): PQ codes are m bytes/vector vs 4·dim raw
+  (m=8 subquantizers default) — the memory-constrained variant; ADC
+  re-rank keeps ranking exact within probed buckets.
+- GRAPH (``knn_graph_build``/``GraphIndexServer``): serve recall ≥ 0.9
+  pinned on clustered data (beam search, LSH entries), 27.9-49.8
+  ms/query batched (64/768-dim); the ONLY family with certified
+  incremental INSERT and DELETE (``knn_graph_insert``/``_delete``,
+  both value-oracle-replayed) — mutable catalogs must pick it.
+- HAMMING (``v_hamming_binary_knn``): 8 bytes/vector sketch, coarsest
+  ranking — the extreme-memory-pressure fallback.
+- SINGLE-probe serving on Spark pays a ~0.5-1 s planning/scheduling
+  floor regardless of family (tools/serve_latency.py) — so for
+  ``qps_shape="single"`` the advice is structural (batch or micro-batch
+  the probes), not an index change.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class IndexChoice:
+    """The decision: which family, the builder entrypoint to call, the
+    parameters to pass, and the measured evidence that justified it."""
+
+    family: str                 # exact | ivf | ivf_pq | graph | hamming
+    builder: str                # dotted entrypoint in this package
+    serving: str                # serving surface to use
+    params: dict = field(default_factory=dict)
+    why: str = ""
+    caveats: list = field(default_factory=list)
+
+
+# evidence constants the chooser reasons with (measured; see module doc)
+EXACT_MAX_N = 100_000          # below this, one batched scan beats a build
+IVF_RECALL = {1: 0.83, 2: 0.87, 4: 0.87}   # v_ivf_recall_sweep, sf0.01
+GRAPH_SERVE_RECALL = 0.90      # clustered-data floor, tests/test_ann.py
+PQ_M = 8                       # subquantizers → bytes/vector for codes
+HAMMING_BYTES = 8              # 64-bit sketch
+
+
+def _ivf_params(n: int, recall_target: float) -> dict:
+    # sqrt-rule centroid count (bounded), n_probe from the measured sweep
+    n_centroids = max(16, min(65536, int(n ** 0.5)))
+    n_probe = 1 if recall_target <= IVF_RECALL[1] else (
+        2 if recall_target <= IVF_RECALL[2] else 4
+    )
+    return {"n_centroids": n_centroids, "n_probe": n_probe}
+
+
+def _graph_params(n: int) -> dict:
+    from .ann import auto_band_bits
+
+    bb = auto_band_bits(n)
+    return {"k": 6, "band_bits": bb, "n_planes": bb * 4, "rounds": 2}
+
+
+def choose_index(
+    n_vectors: int,
+    dim: int,
+    recall_target: float = 0.9,
+    qps_shape: str = "batch",
+    mutable: bool = False,
+    memory_budget_bytes: int | None = None,
+) -> IndexChoice:
+    """Pick the ANN index family for a corpus from measured evidence.
+
+    Inputs: corpus size and width, the recall@k the caller needs,
+    ``qps_shape`` in {"batch", "single", "stream"} (how probes arrive),
+    ``mutable`` (does the corpus take inserts/deletes between rebuilds —
+    the reference's ``condition_vec`` pattern), and an optional memory
+    budget for the index itself.
+
+    Precedence (each step grounded in a recorded measurement):
+
+    1. small corpus + exact needs → EXACT (no index beats one scan);
+    2. mutable corpus → GRAPH (the only family with certified
+       insert AND delete);
+    3. memory budget below raw vectors → IVF-PQ if codes fit, else
+       HAMMING (last resort, coarse);
+    4. recall_target above the measured IVF ceiling (0.87) → GRAPH
+       (serve recall ≥ 0.9 on clustered data);
+    5. otherwise → IVF with n_probe from the recall sweep.
+
+    ``qps_shape`` never changes the family — single-probe latency is a
+    Spark scheduling floor, not an index property — it adds the
+    batch/micro-batch serving caveat instead.
+    """
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
+    if qps_shape not in ("batch", "single", "stream"):
+        raise ValueError(f"unknown qps_shape {qps_shape!r}")
+    caveats = []
+    if qps_shape == "single":
+        caveats.append(
+            "single-probe queries pay a ~0.5-1 s Spark scheduling floor "
+            "regardless of index (measured, tools/serve_latency.py) — "
+            "batch probes into one plan (11.5-49.8 ms/query at 100-probe "
+            "batches) or serve per micro-batch"
+        )
+    raw_bytes = n_vectors * dim * 4
+
+    if n_vectors <= EXACT_MAX_N and recall_target > IVF_RECALL[4]:
+        return IndexChoice(
+            family="exact",
+            builder="operators.knn.knn",
+            serving="operators.knn.knn (one batched scan per probe batch)",
+            params={"k": 10},
+            why=(
+                f"n={n_vectors} <= {EXACT_MAX_N} and recall_target="
+                f"{recall_target} above the measured IVF ceiling "
+                f"({IVF_RECALL[4]}): one scan is exact and cheaper than "
+                "any build at this size"
+            ),
+            caveats=caveats,
+        )
+    if mutable:
+        return IndexChoice(
+            family="graph",
+            builder="operators.ann.knn_graph_build",
+            serving="streaming.serving.GraphIndexServer",
+            params=_graph_params(n_vectors),
+            why=(
+                "mutable corpus: the k-NN graph is the only family with "
+                "certified incremental insert (knn_graph_insert) AND "
+                "delete (knn_graph_delete), both value-oracle-replayed"
+            ),
+            caveats=caveats + (
+                ["recall_target above the measured clustered-data serve "
+                 f"floor {GRAPH_SERVE_RECALL}: schedule periodic rebuild "
+                 "compaction"] if recall_target > GRAPH_SERVE_RECALL else []
+            ),
+        )
+    if memory_budget_bytes is not None and raw_bytes > memory_budget_bytes:
+        pq_bytes = n_vectors * PQ_M
+        if pq_bytes <= memory_budget_bytes:
+            return IndexChoice(
+                family="ivf_pq",
+                builder="operators.ann.ivf_pq (v_ivf_pq_knn form)",
+                serving="streaming.serving.AnnIndexServer (PQ codes)",
+                params={**_ivf_params(n_vectors, recall_target), "m": PQ_M},
+                why=(
+                    f"raw vectors {raw_bytes/1e9:.1f} GB exceed the "
+                    f"{memory_budget_bytes/1e9:.1f} GB budget; PQ codes "
+                    f"({PQ_M} B/vector = {pq_bytes/1e9:.2f} GB) fit"
+                ),
+                caveats=caveats,
+            )
+        return IndexChoice(
+            family="hamming",
+            builder="operators.ann (v_hamming_binary_knn form)",
+            serving="batched hamming top-k",
+            params={"bits": 64},
+            why=(
+                f"even PQ codes ({pq_bytes/1e9:.2f} GB) exceed the budget; "
+                f"64-bit sketches ({n_vectors*HAMMING_BYTES/1e9:.2f} GB) "
+                "are the last index that fits"
+            ),
+            caveats=caveats + [
+                "hamming ranking is coarse — re-rank survivors exactly "
+                "if any recall target matters"
+            ],
+        )
+    if recall_target > IVF_RECALL[4]:
+        return IndexChoice(
+            family="graph",
+            builder="operators.ann.knn_graph_build",
+            serving="streaming.serving.GraphIndexServer",
+            params=_graph_params(n_vectors),
+            why=(
+                f"recall_target {recall_target} above the measured IVF "
+                f"ceiling {IVF_RECALL[4]} (v_ivf_recall_sweep); graph "
+                f"serve recall >= {GRAPH_SERVE_RECALL} on clustered data"
+            ),
+            caveats=caveats,
+        )
+    return IndexChoice(
+        family="ivf",
+        builder="operators.ann.ivf_build_index",
+        serving="streaming.serving.AnnIndexServer",
+        params=_ivf_params(n_vectors, recall_target),
+        why=(
+            f"static corpus, recall_target {recall_target} within the "
+            f"measured IVF sweep ({IVF_RECALL}); cheapest build, "
+            "partition-pruned serve"
+        ),
+        caveats=caveats,
+    )
