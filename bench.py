@@ -87,6 +87,13 @@ HEADLINE = [
     "d_winnow_fingerprint_pairs",
     "j_asof_nearest_tolerance",
     "t_sequence_packing",
+    # round-9 flagship additions: the graph-index mutation lifecycle
+    # (delete with banded repair; streaming ingest + serve over the
+    # grown graph). Both gate rows pay a full graph build inside —
+    # steady-state per-op costs live in split["gr"] (i = insert,
+    # d = delete).
+    "v_knn_graph_del",
+    "s_graph_ingest_serve",
 ]
 
 
@@ -207,8 +214,26 @@ def main() -> None:
             seed=42, dim=EMB_DIM, corpus_bands=bands,
         ).count()
         besti = min(besti, time.perf_counter() - t0)
+    # d = steady-state DELETE against the prebuilt full-corpus graph
+    # (v_knn_graph_del's op without the rebuild the gate row pays),
+    # with the persisted band table — the deployment shape.
+    from vector_search_spark.operators.ann import knn_graph_delete
+
+    full_bands = corpus_band_keys(emb, dim=EMB_DIM).localCheckpoint(
+        eager=True
+    )
+    dels = emb.filter(F.col("vec_id") % 16 == 7).select("vec_id")
+    bestd = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        knn_graph_delete(
+            graph, emb, dels, k=6, n_planes=24, band_bits=6,
+            seed=42, dim=EMB_DIM, corpus_bands=full_bands,
+        ).count()
+        bestd = min(bestd, time.perf_counter() - t0)
     split["gr"] = {
-        "b": round(build_t, 2), "s": round(best, 2), "i": round(besti, 2)
+        "b": round(build_t, 2), "s": round(best, 2),
+        "i": round(besti, 2), "d": round(bestd, 2),
     }
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
