@@ -526,10 +526,20 @@ def knn_graph_serve(
                 ).alias("bk"),
             ).select(idc, "bk.band", "bk.key")
 
+        # corpus side: the Arrow/numpy signature pass (fan_out inside) —
+        # the interpreted JVM fold costs ~ms/row × n_planes dots and ran
+        # as ONE task on a checkpointed corpus (measured 326 s at 200k
+        # vectors / 60 planes in the 100x probe, round 9). Probe side
+        # stays the JVM fold (bounded batch). Sign bits agree across the
+        # two folds except |dot| ≲ 1e-14 — the documented ulp-tolerant
+        # LSH bucketing channel, same contract as the build's sig stage.
         cb = (
             corpus_bands
             if corpus_bands is not None
-            else banded(vecs, "id", "vv")
+            else corpus_band_keys(
+                vecs, n_planes=n_planes, band_bits=band_bits, seed=seed,
+                dim=dim, id_col="id", vec_col="vv",
+            )
         )
         seed_pairs = (
             cb.join(F.broadcast(banded(pr, "pid", "pv")), ["band", "key"])
