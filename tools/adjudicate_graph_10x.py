@@ -122,6 +122,29 @@ def main() -> None:
         ),
         _knn_graph_insert_oracle(6, 24, 8, 2, 20),
     )
+    # deletion at 10x (round 9): tombstone every 16th vector from the
+    # full band-8 graph, banded repair of affected survivors
+    from vector_search_spark.operators.ann import knn_graph_delete
+    from vector_search_spark.plans.queries import _knn_graph_delete_oracle
+
+    cases["del@8"] = (
+        knn_graph_delete(
+            graph, emb, emb.filter(F.col("vec_id") % 16 == 7).select("vec_id"),
+            k=6, n_planes=24, band_bits=8, seed=42, dim=EMB_DIM,
+        ),
+        _knn_graph_delete_oracle(6, 24, 8, 2, 16, 7),
+    )
+    # streaming ingest+serve at 10x (round 9): the graph grows between
+    # micro-batches; oracle = one-shot insert replay + serve replay
+    from vector_search_spark.plans.queries import _graph_ingest_serve_oracle
+    from vector_search_spark.streaming.serving import (
+        run_streaming_graph_ingest_availablenow,
+    )
+
+    cases["ingest_serve@8"] = (
+        run_streaming_graph_ingest_availablenow(spark, fixture, band_bits=8),
+        _graph_ingest_serve_oracle(6, 24, 8, 2, 20, 10, 8, 2, 3),
+    )
     only = set(sys.argv[2:])
     if only:
         cases = {k: v for k, v in cases.items() if k in only}
