@@ -640,3 +640,26 @@ def test_knn_graph_insert_then_delete_roundtrip(spark):
         hits += len({n for n, _, _ in back[s]} & {n for n, _, _ in orig[s]})
         tot += len(orig[s])
     assert hits / tot >= 0.9, f"round-trip edge recall {hits/tot:.2f}"
+
+
+def test_ivf_assign_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow argmax assignment must agree with the interpreted JVM
+    cosine-fold path row-for-row at fixture scale — the argmax-selection
+    ulp channel in practice (a flip needs a ~1e-15 centroid tie)."""
+    from vector_search_spark.operators.ann import ivf_assign
+    from vector_search_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    a = {
+        (r.vec_id, r.centroid_id)
+        for r in ivf_assign(emb, cents, arrow=False).collect()
+    }
+    b = {
+        (r.vec_id, r.centroid_id)
+        for r in ivf_assign(emb, cents, arrow=True).collect()
+    }
+    assert a == b and len(a) > 0

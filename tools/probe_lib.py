@@ -36,6 +36,10 @@ def heaviest_stage_task_quantiles(ui_port: int, min_stage_id: int):
         for s in _rest(ui_port, f"/applications/{app}/stages?status=complete")
         if s["stageId"] >= min_stage_id
     ]
+    if not stages:
+        # REST listing lags stage completion by a beat; a fully-cached
+        # run can also complete zero new stages in the window
+        return -1, [0.0, 0.0, 0.0]
     best = max(stages, key=lambda s: s.get("executorRunTime", 0))
     q = _rest(
         ui_port,

@@ -33,8 +33,15 @@ def kmeans_centroids(
 
     from pyspark.sql import functions as F2
 
-    train = corpus.select(
-        array_to_vector(l2_normalize(corpus_vec)).alias("features")
+    from ..utils import fan_out
+
+    # fan_out BEFORE fit: a one-row-group parquet corpus scans as ONE
+    # partition, and MLlib caches the training input at that layout — so
+    # the interpreted l2_normalize fold AND every Lloyd iteration's
+    # assignment pass serialize through one task (100x probe r9; the
+    # fanned-out fit measures 17.5 s at 200k x 64 incl. k-means|| init).
+    train = fan_out(
+        corpus.select(array_to_vector(l2_normalize(corpus_vec)).alias("features"))
     )
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
     spark = corpus.sparkSession

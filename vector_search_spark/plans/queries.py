@@ -2146,9 +2146,23 @@ def _trained_centers(spark, sf_dir, emb):
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        feat = emb.select(
-            "vec_id",
-            array_to_vector(F.col("e").cast("array<float>")).alias("features"),
+        from ..utils import fan_out
+
+        # fan_out BEFORE fit: a one-row-group corpus scans as ONE
+        # partition and MLlib caches the training input at that layout,
+        # serializing every Lloyd pass through one task (100x probe r9;
+        # the row's dominant single task was ivf_assign's interpreted
+        # fold, fixed separately via arrow=True). Partitioning changes
+        # KMeans' float aggregation order, so centers can drift at ulp
+        # level — this row's oracle is gate-floored by design (recall
+        # >= 12/30 vs measured 20-23/30), not center-value-exact.
+        feat = fan_out(
+            emb.select(
+                "vec_id",
+                array_to_vector(
+                    F.col("e").cast("array<float>")
+                ).alias("features"),
+            )
         )
         model = KMeans(
             k=16, seed=7, maxIter=5, initMode="k-means||", tol=0.0
@@ -2263,7 +2277,11 @@ def v_ivf_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
     )
-    assigned = ivf_assign(emb, cents, corpus_vec="e")
+    # Arrow argmax assignment: this row's oracle is gate-floored (not
+    # centroid-value-exact), so the ulp-tolerant selection channel is
+    # safe — and the interpreted JVM fold was 78.8 s at 200k x 16 in
+    # the 100x probe (Arrow-vs-JVM equality pinned in tests/test_ann.py)
+    assigned = ivf_assign(emb, cents, corpus_vec="e", arrow=True)
     sys_res = ivf_knn(assigned, cents, probes, k=10, n_probe=4, corpus_vec="e")
     wex = Window.partitionBy("probe_id").orderBy(F.desc("s"), F.asc("vec_id"))
     exact = (
