@@ -542,6 +542,32 @@ def test_graph_build_auto_bands_snap_to_divisor(spark):
     assert g.count() > 0  # previously: ValueError at plan-build time
 
 
+def test_graph_build_auto_bands_never_snap_degenerate(spark):
+    """ADVICE r9 medium: the divisor snap must never pick band_bits<4 —
+    a prime n_planes=23 would otherwise snap to 1 (2 buckets/band,
+    ~n^2/4 candidate pairs, a silent quadratic cliff). Now it takes the
+    only >=4 divisor (23 itself, the conservative small-bucket side),
+    and an n_planes with NO >=4 divisor raises a descriptive error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_search_spark.operators.ann import knn_graph_build
+
+    rng = np.random.RandomState(5)
+    n, dim = 200, 16
+    X = rng.randn(n, dim)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    # prime n_planes: only >=4 divisor is 23 -> one 23-bit band, no cliff
+    g = knn_graph_build(emb, k=4, n_planes=23, rounds=0, seed=42, dim=dim)
+    assert g.count() >= 0  # plan builds; bucket sizes bounded
+    with _pytest.raises(ValueError, match="no divisor >= 4"):
+        knn_graph_build(emb, k=4, n_planes=3, rounds=0, seed=42, dim=dim)
+
+
 def _clustered(spark, seed, n, dim, ncl, spread=0.3):
     import numpy as np
 

@@ -51,6 +51,20 @@ def test_memory_pressure_pq_then_hamming():
     assert c2.family == "hamming"
 
 
+def test_memory_pressure_with_unreachable_recall_carries_caveat():
+    # ADVICE r9 low: the memory branch fires before the recall-ceiling
+    # check — a tight budget + recall_target above the measured IVF
+    # ceiling must say the target is unreachable, not silently accept it
+    n, dim = 10**8, 768
+    c = choose_index(n, dim, recall_target=0.95,
+                     memory_budget_bytes=(n * dim * 4) // 10)
+    assert c.family == "ivf_pq"
+    assert any("unreachable" in cv for cv in c.caveats)
+    ok = choose_index(n, dim, recall_target=0.85,
+                      memory_budget_bytes=(n * dim * 4) // 10)
+    assert not any("unreachable" in cv for cv in ok.caveats)
+
+
 def test_single_qps_is_a_caveat_not_a_family_change():
     a = choose_index(10**7, 768, recall_target=0.85, qps_shape="batch")
     b = choose_index(10**7, 768, recall_target=0.85, qps_shape="single")

@@ -86,7 +86,17 @@ def _graph_ops(spark, sf_dir: str, state: dict):
         st["graph"] = g
         return g.count()
 
+    def _ensure_graph():
+        # serve/insert depend on the built graph; when the CLI row subset
+        # omits graph_build_auto, build it lazily (untimed by the caller's
+        # clock only if build ran first — the lazy path is a convenience,
+        # and the probe prints per-row walls so a lazy build shows up in
+        # the first dependent row rather than as a KeyError). ADVICE r9.
+        if "graph" not in st:
+            build()
+
     def serve():
+        _ensure_graph()
         probes = st["emb"].filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("probe_vec"),
@@ -98,6 +108,7 @@ def _graph_ops(spark, sf_dir: str, state: dict):
         ).count()
 
     def insert():
+        _ensure_graph()
         if "bands" not in st:
             st["base"] = st["emb"].filter(
                 F.col("vec_id") >= 20

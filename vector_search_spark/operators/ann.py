@@ -160,11 +160,27 @@ def knn_graph_build(
         # crash data-dependently when auto lands on e.g. 7 for
         # n_planes=24 (ADVICE r8 medium); ties prefer the larger width
         # (smaller buckets — the conservative side for candidate volume).
+        # Degenerate divisors (1-3 bits → 2-8 buckets per band → ~n^2/4
+        # candidate pairs) are never snapped to silently: they are a
+        # quadratic/OOM cliff, not a recall trade (ADVICE r9 medium —
+        # a prime n_planes=23 would otherwise snap to band_bits=1). Only
+        # divisors >= 4 (auto_band_bits' own clamp floor) are candidates;
+        # if none exist the config is unusable and we say so.
         auto = auto_band_bits(corpus.count(), target_bucket)
         if n_planes is None:
             band_bits = auto
         else:
-            divisors = [d for d in range(1, n_planes + 1) if n_planes % d == 0]
+            divisors = [
+                d for d in range(4, n_planes + 1) if n_planes % d == 0
+            ]
+            if not divisors:
+                raise ValueError(
+                    f"n_planes={n_planes} has no divisor >= 4 to use as "
+                    "band_bits (bands narrower than 4 bits make bucket "
+                    "sizes ~n/8 or worse — a quadratic candidate-volume "
+                    "cliff); pass a composite n_planes (e.g. a multiple "
+                    "of 4) or an explicit band_bits"
+                )
             band_bits = min(divisors, key=lambda d: (abs(d - auto), -d))
     if n_planes is None:
         n_planes = band_bits * n_bands
@@ -831,9 +847,11 @@ def knn_graph_delete(
 ) -> DataFrame:
     """k-NN-graph DELETION — the removal half of incremental maintenance
     (``knn_graph_insert`` is the add half; VERDICT r8 missing #2: the
-    reference's ``condition_vec`` catalog is mutable, so a steady-state
-    index needs removal too — ``nl_targeting_save.py:139-146`` deletes +
-    re-inserts per condition). Tombstone the removed ids, then REPAIR
+    reference's ``condition_vec`` catalog is mutable — conditions
+    accrete via the executemany insert at ``nl_targeting_save.py:139-146``
+    and stale ones eventually need removal, so a steady-state index
+    needs the delete half to close the lifecycle). Tombstone the
+    removed ids, then REPAIR
     every surviving node that lost an edge, touching only banded buckets:
 
     1. TOMBSTONE: drop all rows whose src is deleted; nodes whose

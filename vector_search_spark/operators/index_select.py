@@ -163,6 +163,20 @@ def choose_index(
     if memory_budget_bytes is not None and raw_bytes > memory_budget_bytes:
         pq_bytes = n_vectors * PQ_M
         if pq_bytes <= memory_budget_bytes:
+            # the memory branch fires BEFORE the recall-ceiling check, so
+            # an unreachable target must be surfaced, not silently
+            # accepted (ADVICE r9 low): IVF-family recall tops out at the
+            # measured n_probe=4 ceiling regardless of PQ re-rank.
+            pq_caveats = list(caveats)
+            if recall_target > IVF_RECALL[4]:
+                pq_caveats.append(
+                    f"recall_target {recall_target} exceeds the measured "
+                    f"IVF recall ceiling ({IVF_RECALL[4]} at n_probe=4, "
+                    "v_ivf_recall_sweep) — under this memory budget the "
+                    "target is unreachable; re-rank PQ survivors exactly "
+                    "against raw vectors, or raise the budget to fit the "
+                    "graph family"
+                )
             return IndexChoice(
                 family="ivf_pq",
                 builder="operators.ann.ivf_pq (v_ivf_pq_knn form)",
@@ -173,7 +187,7 @@ def choose_index(
                     f"{memory_budget_bytes/1e9:.1f} GB budget; PQ codes "
                     f"({PQ_M} B/vector = {pq_bytes/1e9:.2f} GB) fit"
                 ),
-                caveats=caveats,
+                caveats=pq_caveats,
             )
         return IndexChoice(
             family="hamming",

@@ -3832,8 +3832,10 @@ def _knn_graph_delete_oracle(
 def v_knn_graph_del(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-index DELETION (``knn_graph_delete``) — the removal half of
     incremental maintenance, closing the mutable-catalog lifecycle
-    (VERDICT r8 missing #2; the reference's ``condition_vec`` is deleted
-    and re-inserted per condition, ``nl_targeting_save.py:139-146``):
+    (VERDICT r8 missing #2; the reference's ``condition_vec`` is a
+    mutable catalog — rows accrete per condition via the executemany
+    insert at ``nl_targeting_save.py:139-146`` and stale conditions
+    eventually need removal, so this operator closes that lifecycle):
     build the full-corpus graph, tombstone every 16th vector
     (vec_id % 16 = 7), and repair each surviving node that lost an edge
     from its surviving neighbors plus its survivor-band candidates,
