@@ -826,3 +826,127 @@ def test_graph_ingest_chained_insert_equals_oneshot(spark):
     a = {(r.src_id, r.nbr_id, r.rank, r.score) for r in oneshot.collect()}
     b = {(r.src_id, r.nbr_id, r.rank, r.score) for r in chained.collect()}
     assert a == b and len(a) > 0
+
+
+def _durable_fixture(spark, seed=46, n=240, dim=32, ncl=12, n_new=18):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(ncl, dim)
+    X = np.stack([cents[i % ncl] + 0.3 * rng.randn(dim) for i in range(n)])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    base = emb.filter(F.col("vec_id") >= n_new)
+    new = emb.filter(F.col("vec_id") < n_new)
+    return emb, base, new
+
+
+def _edges(df):
+    return {(r.src_id, r.nbr_id, r.rank, r.score) for r in df.collect()}
+
+
+def test_durable_graph_ingest_restart_recovery(spark, tmp_path):
+    """VERDICT r9 next #1: the grown graph must survive a stream restart.
+    Run 1 drains only file A (one insert batch), then the process 'dies'
+    (the DurableGraphIngest object is discarded). Files B and C land; a
+    NEW DurableGraphIngest over the SAME state_dir must recover the
+    post-A snapshot (NOT rebuild, NOT replay A) and drain only B and C.
+    Final graph == the one-shot insert of A∪B∪C (the batching-invariance
+    theorem extended across a restart) — edges, ranks, scores exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.ann import (
+        knn_graph_build,
+        knn_graph_insert,
+    )
+    from vector_search_spark.streaming.serving import DurableGraphIngest
+
+    emb, base, new = _durable_fixture(spark)
+    kw = dict(k=5, n_planes=24, band_bits=6, seed=42, dim=32)
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    parts = [new.filter(F.col("vec_id") % 3 == m) for m in range(3)]
+    parts[0].coalesce(1).write.mode("overwrite").parquet(src + "/fA")
+    glob = src + "/f*/*.parquet"
+
+    ing1 = DurableGraphIngest(base, state, rounds=2, **kw)
+    g_after_a = ing1.run_availablenow(glob, new.schema)
+    after_a = _edges(g_after_a)
+    committed_after_a = ing1._committed
+    assert committed_after_a >= 0  # at least one real batch committed
+    del ing1  # crash: driver memory gone, only state_dir survives
+
+    parts[1].coalesce(1).write.mode("overwrite").parquet(src + "/fB")
+    parts[2].coalesce(1).write.mode("overwrite").parquet(src + "/fC")
+    ing2 = DurableGraphIngest(base, state, rounds=2, **kw)
+    # recovery really read the snapshot: pre-drain graph == post-A graph
+    assert _edges(ing2.graph) == after_a
+    assert ing2._committed == committed_after_a
+    got = _edges(ing2.run_availablenow(glob, new.schema))
+
+    g0 = knn_graph_build(base, rounds=2, **kw).localCheckpoint(eager=True)
+    want = _edges(knn_graph_insert(g0, base, new, **kw))
+    assert got == want and len(got) > 0
+    # and run 1 really was partial (recovery did the rest)
+    assert after_a != want
+
+
+def test_durable_graph_ingest_replayed_batch_skipped(spark, tmp_path):
+    """Crash AFTER the snapshot commit but BEFORE the engine's commit
+    file: Structured Streaming replays the last batch on restart, and
+    the _LATEST marker guard must SKIP the re-insert (the snapshot
+    already contains it). Simulated by deleting the newest file in the
+    checkpoint's commits/ dir after a full drain, then restarting —
+    final graph still equals the one-shot oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.ann import (
+        knn_graph_build,
+        knn_graph_insert,
+    )
+    from vector_search_spark.streaming.serving import DurableGraphIngest
+
+    emb, base, new = _durable_fixture(spark, seed=47)
+    kw = dict(k=5, n_planes=24, band_bits=6, seed=42, dim=32)
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    for m in range(2):
+        new.filter(F.col("vec_id") % 2 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src + f"/f{m}")
+    glob = src + "/f*/*.parquet"
+
+    ing1 = DurableGraphIngest(base, state, rounds=2, **kw)
+    full = _edges(ing1.run_availablenow(glob, new.schema))
+    last_committed = ing1._committed
+    del ing1
+
+    # crash injection: lose the engine's commit for the newest batch so
+    # the restarted stream replays it (offsets survive, commit does not)
+    commits = os.path.join(state, "checkpoint", "commits")
+    newest = max(
+        (f for f in os.listdir(commits) if not f.startswith(".")),
+        key=lambda f: int(f),
+    )
+    os.remove(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):  # ChecksumFs sidecar would poison the rewrite
+        os.remove(crc)
+
+    ing2 = DurableGraphIngest(base, state, rounds=2, **kw)
+    assert ing2._committed == last_committed  # marker survived the crash
+    got = _edges(ing2.run_availablenow(glob, new.schema))
+    assert got == full  # replayed batch skipped by the marker guard
+    g0 = knn_graph_build(base, rounds=2, **kw).localCheckpoint(eager=True)
+    want = _edges(knn_graph_insert(g0, base, new, **kw))
+    assert got == want
