@@ -177,9 +177,18 @@ def main() -> None:
             df = zipf_skew(df, t)
         # single FILE per table (coalesce + move), matching the driver's
         # fixture layout: DuckDB's '<t>.parquet' view and the streaming
-        # rows' 'events*.parquet' glob both expect files, not Spark dirs
+        # rows' 'events*.parquet' glob both expect files, not Spark dirs.
+        # ROW-GROUP size is bounded to 8 MB (VERDICT r9 next #6): parquet
+        # is splittable only at row-group granularity, and the default
+        # 128 MB block made the 100x documents table ONE row group —
+        # every scan-side stage serialized onto one task no matter the
+        # plan (measured 10.5 s vs 2.15 s on a multi-unit copy). Bounded
+        # groups keep one-file layout AND ~file_size/8MB-way scan
+        # parallelism, so probes measure operators, not layout.
         stage = f"{out}/_stage_{t}"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        df.coalesce(1).write.mode("overwrite").option(
+            "parquet.block.size", 8 * 1024 * 1024
+        ).parquet(stage)
         (part,) = glob.glob(f"{stage}/part-*.parquet")
         dst = f"{out}/{t}.parquet"
         if os.path.isdir(dst):
@@ -188,7 +197,13 @@ def main() -> None:
             os.remove(dst)
         shutil.move(part, dst)
         shutil.rmtree(stage, ignore_errors=True)
-        print(f"{t}: {spark.read.parquet(dst).count()} rows")
+        from vector_search_spark.utils import parquet_scan_units
+
+        _, rgs = parquet_scan_units(dst)
+        print(
+            f"{t}: {spark.read.parquet(dst).count()} rows, "
+            f"{rgs} row groups (max scan parallelism)"
+        )
     print(out)
     spark.stop()
 

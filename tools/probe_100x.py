@@ -142,6 +142,21 @@ def main() -> None:
 
     from vector_search_spark.plans.queries import QUERIES
 
+    from vector_search_spark.utils import parquet_scan_units
+
+    # layout facts FIRST: a table whose row-group count is below the
+    # core count caps scan parallelism no matter the plan (SCALING.md
+    # round 9 — the t_sequence_packing 410x "imbalance" was one row
+    # group, not the operator). Read these before reading any skew row.
+    for d in (dir10, dir100):
+        for t in ("documents", "embeddings", "events", "lineitem"):
+            p = os.path.join(d, f"{t}.parquet")
+            if os.path.exists(p):
+                nf, rgs = parquet_scan_units(p)
+                print(json.dumps(
+                    {"layout": f"{d}/{t}", "files": nf, "row_groups": rgs}
+                ), flush=True)
+
     gstate: dict = {}
     for name in rows:
         rec = {"op": name}
