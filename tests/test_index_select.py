@@ -87,3 +87,61 @@ def test_boundary_consistency_with_evidence_constants():
     # at the measured ceiling exactly, IVF still qualifies
     c2 = choose_index(EXACT_MAX_N + 1, 64, recall_target=IVF_RECALL[4])
     assert c2.family == "ivf"
+
+
+def test_execute_choice_end_to_end(spark, tmp_path):
+    """VERDICT r9 next #5: the IndexChoice is EXECUTED, not just
+    returned — for three corpus profiles the chooser's pick is built and
+    served end-to-end on a clustered corpus and must clear the measured
+    recall floor of its family (exact = 1.0 by construction; ivf/graph
+    vs exact brute force on the same probes)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.index_select import execute_choice
+    from vector_search_spark.operators.knn import knn
+
+    n, dim, ncl = 400, 32, 20
+    rng = np.random.RandomState(71)
+    cents = rng.randn(ncl, dim)
+    X = np.stack([cents[i % ncl] + 0.3 * rng.randn(dim) for i in range(n)])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint(eager=True)
+    probes = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    exact = {}
+    for r in knn(corpus, probes, k=10).collect():
+        exact.setdefault(r.probe_id, set()).add(r.vec_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.probe_id, set()).add(r.vec_id)
+        hits = sum(len(got.get(p, set()) & exact[p]) for p in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    # profile 1: small corpus, perfect recall -> exact -> recall 1.0
+    c1 = choose_index(n, dim, recall_target=0.99)
+    assert c1.family == "exact"
+    r1 = execute_choice(c1, corpus, probes, k=10)
+    assert set(r1.columns) == {"probe_id", "vec_id", "score"}
+    assert recall(r1) == 1.0
+
+    # profile 2: big static corpus, recall within the IVF sweep -> ivf
+    c2 = choose_index(10**7, dim, recall_target=0.85)
+    assert c2.family == "ivf"
+    r2 = execute_choice(
+        c2, corpus, probes, k=10, index_path=str(tmp_path / "ivf")
+    )
+    assert recall(r2) >= 0.5  # n_probe=2 of ~25 capped buckets, clustered
+
+    # profile 3: mutable corpus -> graph; serve floor on clustered data
+    c3 = choose_index(10**7, dim, recall_target=0.85, mutable=True)
+    assert c3.family == "graph"
+    r3 = execute_choice(c3, corpus, probes, k=10, dim=dim)
+    assert recall(r3) >= 0.85

@@ -178,7 +178,7 @@ def main() -> None:
         # single FILE per table (coalesce + move), matching the driver's
         # fixture layout: DuckDB's '<t>.parquet' view and the streaming
         # rows' 'events*.parquet' glob both expect files, not Spark dirs.
-        # ROW-GROUP size is bounded to 8 MB (VERDICT r9 next #6): parquet
+        # ROW-GROUP size is bounded to 2 MB (VERDICT r9 next #6): parquet
         # is splittable only at row-group granularity, and the default
         # 128 MB block made the 100x documents table ONE row group —
         # every scan-side stage serialized onto one task no matter the
@@ -187,7 +187,7 @@ def main() -> None:
         # parallelism, so probes measure operators, not layout.
         stage = f"{out}/_stage_{t}"
         df.coalesce(1).write.mode("overwrite").option(
-            "parquet.block.size", 8 * 1024 * 1024
+            "parquet.block.size", 2 * 1024 * 1024
         ).parquet(stage)
         (part,) = glob.glob(f"{stage}/part-*.parquet")
         dst = f"{out}/{t}.parquet"

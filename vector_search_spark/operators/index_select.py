@@ -229,3 +229,83 @@ def choose_index(
         ),
         caveats=caveats,
     )
+
+
+def execute_choice(
+    choice: IndexChoice,
+    corpus,
+    probes,
+    k: int = 10,
+    dim: int | None = None,
+    index_path: str | None = None,
+):
+    """Integration-EXECUTE an :class:`IndexChoice` (VERDICT r9 next #5:
+    the chooser returned a dotted builder string that nothing ran): map
+    the decision onto the certified builder + serving surface for that
+    family and answer the probe batch end-to-end.
+
+    Returns a DataFrame of per-probe top-``k`` ``(probe_id, vec_id,
+    score)`` — the common serving contract across families (graph
+    serve's extra ``rank`` column is dropped for uniformity). ``dim``
+    is required for families that hash (graph); ``index_path`` for
+    families that persist (ivf) — defaults to a pid-scratch dir.
+
+    PQ/Hamming dispatch to their certified registry forms' building
+    blocks would need the codebook/sketch plumbing those rows carry
+    inline; the chooser only reaches them under an explicit memory
+    budget, and their end-to-end forms are certified as ``v_ivf_pq_knn``
+    / ``v_hamming_binary_knn`` — this executor covers the three
+    families the decision surface picks for every unconstrained-memory
+    profile (exact / ivf / graph), which is what the integration test
+    drives."""
+    from pyspark.sql import functions as F
+
+    spark = corpus.sparkSession
+    if choice.family == "exact":
+        from .knn import knn
+
+        return knn(corpus, probes, k=k).select("probe_id", "vec_id", "score")
+    if choice.family == "ivf":
+        from ..streaming.serving import AnnIndexServer
+        from ..utils import pid_scratch
+
+        # cap the stated sqrt-rule centroid count against the ACTUAL
+        # corpus (a choice computed for a 10^7-row profile executed on a
+        # small corpus would otherwise make every vector its own bucket
+        # and serving degenerate); keep expected bucket size >= ~16
+        n_centroids = max(
+            8,
+            min(choice.params.get("n_centroids", 16), corpus.count() // 16),
+        )
+        # deterministic first-n centroid convention (the certified
+        # v_ivf_knn form; swap in ann_mllib.kmeans_centroids for
+        # trained buckets on clustered corpora)
+        cents = (
+            corpus.orderBy("vec_id")
+            .limit(n_centroids)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        path = index_path or pid_scratch("choice_ivf", "adhoc")
+        server = AnnIndexServer.build(
+            corpus, cents, path, k=k,
+            n_probe=choice.params.get("n_probe", 4),
+        )
+        return server.serve_batch(probes).select("probe_id", "vec_id", "score")
+    if choice.family == "graph":
+        from ..streaming.serving import GraphIndexServer
+
+        if dim is None:
+            raise ValueError("execute_choice(family='graph') requires dim=")
+        server = GraphIndexServer.build(
+            corpus, dim=dim, graph_k=choice.params.get("k", 6),
+            rounds=choice.params.get("rounds", 2), k=k,
+        )
+        return server.serve_batch(probes).select("probe_id", "vec_id", "score")
+    raise NotImplementedError(
+        f"execute_choice does not dispatch family {choice.family!r}; its "
+        "end-to-end form is certified as a registry row (v_ivf_pq_knn / "
+        "v_hamming_binary_knn) — follow choice.builder"
+    )
