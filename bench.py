@@ -63,7 +63,9 @@ HEADLINE = [
     "v_mmr_rerank",
     "v_hybrid_rrf",
     "v_retrieval_ndcg",
-    "a_percentiles_by_group",
+    # a_percentiles_by_group retired round 10 (0.19 s, stable since r5 —
+    # JSON-line headroom per the 1800-char cliff rule; still in the
+    # registry/parity gate)
     "pipe_data_mixture",
     # round-6 flagship additions
     "d_decontaminate_bloom",
@@ -78,7 +80,8 @@ HEADLINE = [
     "a_hll_sketch_union",
     "pipe_corpus_build",
     "d_sorted_neighborhood",
-    "t_vocab_coverage",
+    # t_vocab_coverage retired round 10 (0.27 s, stable since r6 — same
+    # headroom rule)
     "w_time_weighted_avg",
     "w_gap_fill_interpolate",
     # round-7 flagship additions
