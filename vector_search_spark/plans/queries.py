@@ -793,11 +793,18 @@ def d_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_tokenset_dedup",
+    # the fingerprint STRING materializes in its own CTE before hashing:
+    # _duck_poly evaluates its expr argument per CHARACTER (substr(expr,
+    # i, 1)), and DuckDB does not CSE the inlined sort+join across the
+    # lambda — O(len^2 * sort) per doc, >11 min at the 100x fixture's
+    # salted texts. Same values, linear cost (round-10 sweep finding).
     oracle=f"""
-WITH fp AS (
+WITH s AS MATERIALIZED (
   SELECT doc_id, lang,
-         {_duck_poly("array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS fingerprint
-  FROM documents)
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fps
+  FROM documents),
+fp AS (
+  SELECT doc_id, lang, {_duck_poly("fps")} AS fingerprint FROM s)
 SELECT lang AS lang, COUNT(*) AS n_docs,
        COUNT(DISTINCT fingerprint) AS n_distinct_sets
 FROM fp GROUP BY lang
