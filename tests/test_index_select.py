@@ -145,3 +145,41 @@ def test_execute_choice_end_to_end(spark, tmp_path):
     assert c3.family == "graph"
     r3 = execute_choice(c3, corpus, probes, k=10, dim=dim)
     assert recall(r3) >= 0.85
+
+
+def test_profile_measured_evidence_replayed():
+    """VERDICT r9 next #4: the decision table cites numbers MEASURED at
+    dim=1536 (tools/index_profile.py), not extrapolated from 64/768 —
+    replay the recorded structural facts and the per-choice wiring."""
+    from vector_search_spark.operators.index_select import (
+        PROFILE,
+        profile_for,
+    )
+
+    assert set(PROFILE) == {64, 768, 1536}
+    assert profile_for(1536)["width"] == 1536
+    assert profile_for(1000)["width"] == 768
+    assert profile_for(32)["width"] == 64
+    # measured structural facts: graph serve scales with width, its
+    # index bytes do not (k edges/vector); pq/hamming footprints are
+    # width-independent by construction; ivf index stores full vectors
+    assert (
+        PROFILE[64]["graph_ms"]
+        < PROFILE[768]["graph_ms"]
+        < PROFILE[1536]["graph_ms"]
+    )
+    assert abs(PROFILE[64]["graph_b"] - PROFILE[1536]["graph_b"]) < 20
+    for w in PROFILE:
+        assert PROFILE[w]["ham_b"] == PROFILE[64]["ham_b"]
+        assert PROFILE[w]["pq_b"] - PROFILE[64]["pq_b"] < 1
+        assert PROFILE[w]["ivf_b"] > 0.5 * PROFILE[w]["raw_b"]
+    # every choice carries the nearest-width measured profile, and at
+    # real widths the graph-serve scaling caveat cites the 1536 number
+    c = choose_index(10**7, 1536, recall_target=0.95)
+    assert c.family == "graph"
+    assert c.measured["width"] == 1536
+    assert c.measured["graph_ms"] == PROFILE[1536]["graph_ms"]
+    assert any("scales ~linearly with width" in cv for cv in c.caveats)
+    c64 = choose_index(10**7, 64, recall_target=0.85)
+    assert c64.measured["width"] == 64
+    assert not any("scales ~linearly" in cv for cv in c64.caveats)

@@ -58,6 +58,8 @@ class IndexChoice:
     params: dict = field(default_factory=dict)
     why: str = ""
     caveats: list = field(default_factory=list)
+    # measured profile at the nearest recorded width (PROFILE/profile_for)
+    measured: dict = field(default_factory=dict)
 
 
 # evidence constants the chooser reasons with (measured; see module doc)
@@ -66,6 +68,41 @@ IVF_RECALL = {1: 0.83, 2: 0.87, 4: 0.87}   # v_ivf_recall_sweep, sf0.01
 GRAPH_SERVE_RECALL = 0.90      # clustered-data floor, tests/test_ann.py
 PQ_M = 8                       # subquantizers → bytes/vector for codes
 HAMMING_BYTES = 8              # 64-bit sketch
+
+# Per-width measured profile (tools/index_profile.py, round 10: sf0.01
+# fixtures regenerated at each width via make_dim_fixtures.py, 100-probe
+# batches, min-of-two on fresh plans). serve ms/query per family and
+# persisted bytes/vector (parquet, includes footer overhead at the
+# fixture's n=500 — the RELATIVE ordering is the decision signal; at
+# large n the per-vector overhead amortizes toward the raw payload).
+# Key structural facts the chooser uses: graph serve cost scales ~linear
+# in dim (exact cosine re-rank of the frontier each round) while its
+# index bytes are dim-INDEPENDENT (k edges/vector); ivf serve stays flat
+# (pruned-bucket scan) but its index stores full vectors; pq/hamming
+# footprints are width-independent by construction.
+PROFILE = {
+    64: {
+        "exact_ms": 10.2, "ivf_ms": 11.2, "graph_ms": 44.3,
+        "raw_b": 387.3, "ivf_b": 291.1, "graph_b": 262.7,
+        "pq_b": 138.1, "ham_b": 61.2,
+    },
+    768: {
+        "exact_ms": 47.6, "ivf_ms": 23.5, "graph_ms": 179.9,
+        "raw_b": 4328.3, "ivf_b": 3129.7, "graph_b": 264.6,
+        "pq_b": 138.3, "ham_b": 61.2,
+    },
+    1536: {
+        "exact_ms": 78.5, "ivf_ms": 23.1, "graph_ms": 318.9,
+        "raw_b": 7400.8, "ivf_b": 6226.0, "graph_b": 263.9,
+        "pq_b": 138.2, "ham_b": 61.2,
+    },
+}
+
+
+def profile_for(dim: int) -> dict:
+    """Measured profile at the nearest recorded width (64/768/1536)."""
+    w = min(PROFILE, key=lambda k: abs(k - dim))
+    return {"width": w, **PROFILE[w]}
 
 
 def _ivf_params(n: int, recall_target: float) -> dict:
@@ -119,6 +156,7 @@ def choose_index(
         raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
     if qps_shape not in ("batch", "single", "stream"):
         raise ValueError(f"unknown qps_shape {qps_shape!r}")
+    measured = profile_for(dim)
     caveats = []
     if qps_shape == "single":
         caveats.append(
@@ -126,6 +164,15 @@ def choose_index(
             "regardless of index (measured, tools/serve_latency.py) — "
             "batch probes into one plan (11.5-49.8 ms/query at 100-probe "
             "batches) or serve per micro-batch"
+        )
+    if dim >= 768:
+        caveats.append(
+            "graph serve cost scales ~linearly with width (measured "
+            f"{PROFILE[64]['graph_ms']}/{PROFILE[768]['graph_ms']}/"
+            f"{PROFILE[1536]['graph_ms']} ms/query at 64/768/1536, "
+            "tools/index_profile.py) — at this dim budget "
+            f"~{measured['graph_ms']} ms/query batched for the graph "
+            "family vs ~{:.0f} for ivf".format(measured["ivf_ms"])
         )
     raw_bytes = n_vectors * dim * 4
 
@@ -142,6 +189,7 @@ def choose_index(
                 "any build at this size"
             ),
             caveats=caveats,
+            measured=measured,
         )
     if mutable:
         return IndexChoice(
@@ -159,6 +207,7 @@ def choose_index(
                  f"floor {GRAPH_SERVE_RECALL}: schedule periodic rebuild "
                  "compaction"] if recall_target > GRAPH_SERVE_RECALL else []
             ),
+            measured=measured,
         )
     if memory_budget_bytes is not None and raw_bytes > memory_budget_bytes:
         pq_bytes = n_vectors * PQ_M
@@ -188,6 +237,7 @@ def choose_index(
                     f"({PQ_M} B/vector = {pq_bytes/1e9:.2f} GB) fit"
                 ),
                 caveats=pq_caveats,
+                measured=measured,
             )
         return IndexChoice(
             family="hamming",
@@ -203,6 +253,7 @@ def choose_index(
                 "hamming ranking is coarse — re-rank survivors exactly "
                 "if any recall target matters"
             ],
+            measured=measured,
         )
     if recall_target > IVF_RECALL[4]:
         return IndexChoice(
@@ -216,6 +267,7 @@ def choose_index(
                 f"serve recall >= {GRAPH_SERVE_RECALL} on clustered data"
             ),
             caveats=caveats,
+            measured=measured,
         )
     return IndexChoice(
         family="ivf",
@@ -228,6 +280,7 @@ def choose_index(
             "partition-pruned serve"
         ),
         caveats=caveats,
+        measured=measured,
     )
 
 
