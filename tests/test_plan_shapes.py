@@ -254,3 +254,26 @@ def test_inverted_index_serve_prunes_term_buckets(spark, sf_dir):
     m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
     assert m, plan
     assert not re.search(r"Filter [^\n]*bucket", plan), plan
+
+
+def test_parquet_scan_units_counts_row_groups(spark, sf_dir, tmp_path):
+    """parquet row groups ARE the max scan parallelism (a one-row-group
+    file puts every row in one task regardless of plan — SCALING.md
+    round 9); utils.parquet_scan_units must report them metadata-only
+    for a file, a dir, and a glob."""
+    from vector_search_spark.utils import parquet_scan_units
+
+    # the base fixture table is one file
+    nf, rg = parquet_scan_units(f"{sf_dir}/documents.parquet")
+    assert nf == 1 and rg >= 1
+    # a bounded-block-size write yields multiple row groups in one file
+    out = str(tmp_path / "multi")
+    spark.range(300_000).selectExpr(
+        "id", "repeat('x', 64) as pad"
+    ).coalesce(1).write.mode("overwrite").option(
+        "parquet.block.size", 1024 * 1024
+    ).parquet(out)
+    nf_d, rg_d = parquet_scan_units(out)
+    assert nf_d >= 1 and rg_d > nf_d  # dir form; bounded groups split it
+    nf_g, rg_g = parquet_scan_units(out + "/*.parquet")
+    assert (nf_g, rg_g) == (nf_d, rg_d)  # glob form agrees
