@@ -13,7 +13,9 @@ tests/test_ann.py as an executable decision table and returns the
 builder call to make.
 
 Measured grounding (all numbers from this repo's recorded runs, see
-SCALING.md rounds 6-8):
+SCALING.md rounds 6-10; the per-width serve-latency/footprint table is
+``PROFILE`` below, measured by ``tools/index_profile.py`` at 64/768/1536
+dims and attached to every returned choice via ``profile_for``):
 
 - EXACT brute force: recall 1.0 by construction; batched serving
   ~11.5 ms/query at 100-probe batches (64-dim, sf0.1). One scan per
