@@ -6506,9 +6506,19 @@ def r_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_q10_returned_items",
+    # revenue ranks and rounds in EXACT scaled-int space (CLAUDE.md
+    # multi-term float-sum rule): l_extendedprice and l_discount are
+    # 2-decimal values, so cents x (100 - disc_pct) is an exact BIGINT
+    # term and the per-customer sum is exact. The float form diverged at
+    # the 100x replicated fixture (round-10 sweep): copies of one base
+    # customer have IDENTICAL true revenue, and each engine ordered
+    # those ties by last-ulp summation noise — row 1 differed. Display
+    # revenue derives from the same integer: half-up to cents, /100.0.
     oracle="""
 SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       ((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) + 50)
+        // 100) / 100.0 AS revenue
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -6517,7 +6527,9 @@ WHERE l.l_returnflag = 'R'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1996-07-01'
 GROUP BY 1, 2, 3
-ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey ASC
+ORDER BY SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) DESC,
+         c.c_custkey ASC
 LIMIT 20
 """,
 )
@@ -6525,7 +6537,9 @@ def r_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item reporting): fact-fact shuffle join on
     orderkey, broadcast customer-nation dim, top-20 by lost revenue via
     TakeOrderedAndProject (per-partition heaps, no full sort). Ties broken
-    by customer key; ordering uses the UNROUNDED sum in both engines."""
+    by customer key; ordering uses the EXACT scaled-int revenue in both
+    engines (see oracle comment — float sums tie-rank nondeterministically
+    across engines on replicated fixtures)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
@@ -6534,18 +6548,28 @@ def r_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").join(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", "c_name", "n_name")
+    term = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
-        )
+        .agg(F.sum(term).alias("_rev_i"))
     )
+    # half-up to cents in pure integer space, then one exact /100.0 —
+    # (n - pmod(n, 100)) is an exact multiple of 100, so the double
+    # division is exact in both engines
+    rev_cents = (
+        (F.col("_rev_i") + 50) - F.pmod(F.col("_rev_i") + 50, F.lit(100))
+    ) / F.lit(100)
     return (
-        agg.orderBy(F.desc("_rev"), F.asc("c_custkey"))
+        agg.orderBy(F.desc("_rev_i"), F.asc("c_custkey"))
         .limit(20)
-        .select("c_custkey", "c_name", "n_name", F.round("_rev", 2).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            (rev_cents / F.lit(100.0)).alias("revenue"),
+        )
     )
 
 
