@@ -39,6 +39,14 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         tmp = os.path.join(REPO, ".scratch", "duck_tmp")
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}'")
+        # explicit cap + spill dir: DuckDB's default limit assumes 80%
+        # of RAM, which a co-resident multi-GB Spark JVM invalidates —
+        # the 100x sweep OOM'd on bad allocation without this
+        con.execute(
+            "SET memory_limit='"
+            + os.environ.get("SPARK_GRAFT_DUCK_MEM", "40GB")
+            + "'"
+        )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
