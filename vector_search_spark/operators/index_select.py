@@ -84,17 +84,17 @@ HAMMING_BYTES = 8              # 64-bit sketch
 # footprints are width-independent by construction.
 PROFILE = {
     64: {
-        "exact_ms": 10.2, "ivf_ms": 11.2, "graph_ms": 44.3,
+        "exact_ms": 10.0, "ivf_ms": 8.8, "graph_ms": 44.0,
         "raw_b": 387.3, "ivf_b": 291.1, "graph_b": 262.7,
         "pq_b": 138.1, "ham_b": 61.2,
     },
     768: {
-        "exact_ms": 47.6, "ivf_ms": 23.5, "graph_ms": 179.9,
+        "exact_ms": 38.7, "ivf_ms": 14.7, "graph_ms": 140.4,
         "raw_b": 4328.3, "ivf_b": 3129.7, "graph_b": 264.6,
         "pq_b": 138.3, "ham_b": 61.2,
     },
     1536: {
-        "exact_ms": 78.5, "ivf_ms": 23.1, "graph_ms": 318.9,
+        "exact_ms": 68.0, "ivf_ms": 22.8, "graph_ms": 281.4,
         "raw_b": 7400.8, "ivf_b": 6226.0, "graph_b": 263.9,
         "pq_b": 138.2, "ham_b": 61.2,
     },
