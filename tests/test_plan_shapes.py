@@ -277,3 +277,19 @@ def test_parquet_scan_units_counts_row_groups(spark, sf_dir, tmp_path):
     assert nf_d >= 1 and rg_d > nf_d  # dir form; bounded groups split it
     nf_g, rg_g = parquet_scan_units(out + "/*.parquet")
     assert (nf_g, rg_g) == (nf_d, rg_d)  # glob form agrees
+    # partitioned layouts (shard=*/ subdirs, the graph_write_index shape)
+    # keep data files one level down — the dir branch must recurse
+    # (ADVICE r10: a top-level-only glob read as (0, 0))
+    from pyspark.sql import functions as F
+
+    part = str(tmp_path / "parted")
+    spark.range(1000).withColumn(
+        "shard", F.pmod("id", F.lit(4))
+    ).write.mode("overwrite").partitionBy("shard").parquet(part)
+    nf_p, rg_p = parquet_scan_units(part)
+    assert nf_p >= 4 and rg_p >= 4
+    # and an empty match is an ERROR, never a (0, 0) "layout fact"
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        parquet_scan_units(str(tmp_path / "nothing_here"))

@@ -36,17 +36,18 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
     if threads:
         con.execute(f"SET threads={int(threads)}")
-        tmp = os.path.join(REPO, ".scratch", "duck_tmp")
-        os.makedirs(tmp, exist_ok=True)
-        con.execute(f"SET temp_directory='{tmp}'")
-        # explicit cap + spill dir: DuckDB's default limit assumes 80%
-        # of RAM, which a co-resident multi-GB Spark JVM invalidates —
-        # the 100x sweep OOM'd on bad allocation without this
-        con.execute(
-            "SET memory_limit='"
-            + os.environ.get("SPARK_GRAFT_DUCK_MEM", "40GB")
-            + "'"
-        )
+    # memory cap + spill dir apply UNCONDITIONALLY (ADVICE r10): DuckDB's
+    # default limit assumes 80% of RAM, which a co-resident multi-GB
+    # Spark JVM invalidates — a sweep exporting only SPARK_GRAFT_DUCK_MEM
+    # must still get the cap, independent of the threads knob
+    tmp = os.path.join(REPO, ".scratch", "duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(
+        "SET memory_limit='"
+        + os.environ.get("SPARK_GRAFT_DUCK_MEM", "40GB")
+        + "'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -174,7 +174,7 @@ def choose_index(
             f"{PROFILE[1536]['graph_ms']} ms/query at 64/768/1536, "
             "tools/index_profile.py) — at this dim budget "
             f"~{measured['graph_ms']} ms/query batched for the graph "
-            "family vs ~{:.0f} for ivf".format(measured["ivf_ms"])
+            f"family vs ~{measured['ivf_ms']:.0f} for ivf"
         )
     raw_bytes = n_vectors * dim * 4
 
@@ -348,7 +348,19 @@ def execute_choice(
             corpus, cents, path, k=k,
             n_probe=choice.params.get("n_probe", 4),
         )
-        return server.serve_batch(probes).select("probe_id", "vec_id", "score")
+        served = server.serve_batch(probes).select(
+            "probe_id", "vec_id", "score"
+        )
+        if index_path is None:
+            # adhoc scratch index: materialize the answers, then reclaim
+            # the index immediately instead of leaking it until the
+            # dead-pid pruner reaps it (ADVICE r10). Callers wanting a
+            # persistent serving index pass index_path.
+            import shutil
+
+            served = served.localCheckpoint(eager=True)
+            shutil.rmtree(path, ignore_errors=True)
+        return served
     if choice.family == "graph":
         from ..streaming.serving import GraphIndexServer
 

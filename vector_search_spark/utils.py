@@ -74,7 +74,19 @@ def parquet_scan_units(path: str) -> tuple[int, int]:
     import pyarrow.parquet as _pq
 
     if _os.path.isdir(path):
-        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        # recursive: partitioned layouts (shard=*/ dirs from
+        # graph_write_index, centroid-partitioned IVF indexes) keep their
+        # data files one level down — a top-level-only glob read as
+        # (0, 0), i.e. "zero scan parallelism" instead of an error
+        # (ADVICE r10)
+        files = sorted(
+            _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
     else:
         files = sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
+    if not files:
+        raise FileNotFoundError(
+            f"parquet_scan_units: no parquet files match {path!r} — "
+            "a (0, 0) result would misread as a layout fact"
+        )
     return len(files), sum(_pq.ParquetFile(f).num_row_groups for f in files)
