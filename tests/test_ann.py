@@ -771,3 +771,71 @@ def test_graph_churn_compaction_policy(spark):
     assert held >= FLOOR, f"with-compaction recall {held:.3f}"
     assert gm_b.compactions == 2
     assert gm_b.churn_frac < 0.35  # counter reset by the last compaction
+
+
+def test_graph_maintainer_durable_restart(spark, tmp_path):
+    """VERDICT r10 next #4: the maintained (graph, bands, churn counter)
+    must survive a restart. Kill AFTER a delete and BEFORE the pending
+    compaction; GraphMaintainer.recover must reconstruct the EXACT
+    maintained state — edge-set equality (ranks/scores included),
+    corpus equality, churn counter and compaction count preserved —
+    and the pending compaction must then run on the recovered state."""
+    import numpy as np
+
+    from vector_search_spark.operators.graph_lifecycle import GraphMaintainer
+
+    n, dim, ncl = 240, 32, 12
+    rng = np.random.RandomState(71)
+    cents = rng.randn(ncl, dim)
+    X = np.stack([cents[i % ncl] + 0.3 * rng.randn(dim) for i in range(n + 30)])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def mkdf(ids):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in X[i]]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    state = str(tmp_path / "gm_state")
+    gm = GraphMaintainer(
+        mkdf(range(n)), dim=dim, k=5, n_planes=24, band_bits=6, seed=42,
+        build_rounds=2, compact_churn_frac=0.3, state_dir=state,
+    )
+    # one compaction mid-history so the preserved count is non-trivial
+    gm.insert(mkdf(range(n, n + 30)))
+    gm.delete(mkdf(range(0, 40)).select("vec_id"))
+    assert gm.maybe_compact()  # churn 70/230 >= 0.3
+    assert gm.compactions == 1
+    # the mid-churn window: a delete has committed, compaction is due
+    # but has NOT run — then the process dies
+    gm.delete(mkdf(range(40, 100)).select("vec_id"))
+    assert gm.churn_frac >= gm.compact_churn_frac  # compaction pending
+    want_edges = {(r.src_id, r.nbr_id, r.rank, r.score)
+                  for r in gm.graph.collect()}
+    want_corpus = {r.vec_id for r in gm.corpus.collect()}
+    want_bands = {(r.id, r.band, r.key) for r in gm.bands.collect()}
+    want = (gm._churned, gm._n, gm.compactions, gm._op_seq)
+    del gm  # crash: driver memory gone, only state_dir survives
+
+    gm2 = GraphMaintainer.recover(spark, state)
+    assert {(r.src_id, r.nbr_id, r.rank, r.score)
+            for r in gm2.graph.collect()} == want_edges
+    assert {r.vec_id for r in gm2.corpus.collect()} == want_corpus
+    assert {(r.id, r.band, r.key) for r in gm2.bands.collect()} == want_bands
+    assert (gm2._churned, gm2._n, gm2.compactions, gm2._op_seq) == want
+    # the pending compaction now runs on the RECOVERED state
+    assert gm2.maybe_compact()
+    assert gm2.compactions == 2 and gm2.churn_frac == 0.0
+    # and survives another restart (base-commit path)
+    gm3 = GraphMaintainer.recover(spark, state)
+    assert {(r.src_id, r.nbr_id, r.rank, r.score)
+            for r in gm3.graph.collect()} == {
+        (r.src_id, r.nbr_id, r.rank, r.score) for r in gm2.graph.collect()
+    }
+    assert gm3.compactions == 2
+    # serve works over the recovered state
+    probes = mkdf(range(120, 123)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    assert gm3.serve(probes, k=5).count() == 15

@@ -707,6 +707,7 @@ def knn_graph_insert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_bands: DataFrame | None = None,
+    with_touched: bool = False,
 ) -> DataFrame:
     """INCREMENTAL k-NN-graph maintenance — the HNSW-insert analog of
     ``minhash_probe_pairs``'s incremental indexing (new batches must not
@@ -742,7 +743,11 @@ def knn_graph_insert(
     rebuilds to refresh cross-batch edges, exactly as HNSW deployments
     compact.
 
-    Returns the UPDATED full edge list (src_id, nbr_id, rank, score)."""
+    Returns the UPDATED full edge list (src_id, nbr_id, rank, score);
+    with ``with_touched=True`` returns ``(updated, touched)`` where
+    ``touched`` is the (src_id) set whose adjacency this insert REPLACED
+    (patched existing nodes + the new nodes) — the bounded write set a
+    durable delta publish needs (``operators.graph_delta``)."""
     if dim is None:
         raise ValueError("knn_graph_insert requires dim=")
     planes = make_planes(n_planes, dim, seed)
@@ -829,7 +834,15 @@ def knn_graph_insert(
         "src_id",
         "left_anti",
     ).select("src_id", "nbr_id", "rank", "score")
-    return untouched.unionByName(patched).unionByName(new_adj)
+    updated = untouched.unionByName(patched).unionByName(new_adj)
+    if with_touched:
+        touched = (
+            scored.select(F.col("eid").alias("src_id"))
+            .unionByName(nw.select(F.col("id").alias("src_id")))
+            .distinct()
+        )
+        return updated, touched
+    return updated
 
 
 def knn_graph_delete(
@@ -844,6 +857,7 @@ def knn_graph_delete(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_bands: DataFrame | None = None,
+    with_touched: bool = False,
 ) -> DataFrame:
     """k-NN-graph DELETION — the removal half of incremental maintenance
     (``knn_graph_insert`` is the add half; VERDICT r8 missing #2: the
@@ -951,7 +965,18 @@ def knn_graph_delete(
             "score",
         )
     )
-    return untouched.unionByName(repaired)
+    result = untouched.unionByName(repaired)
+    if with_touched:
+        # the delta write set: repaired survivors get replacement rows,
+        # deleted srcs get ZERO rows (tombstones) — both must appear in
+        # the touched list for latest-delta-wins recovery
+        touched = (
+            affected.select("src_id")
+            .unionByName(dl.select(F.col("did").alias("src_id")))
+            .distinct()
+        )
+        return result, touched
+    return result
 
 
 def graph_write_index(graph: DataFrame, path: str, n_shards: int = 32) -> None:
