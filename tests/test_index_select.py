@@ -146,6 +146,43 @@ def test_execute_choice_end_to_end(spark, tmp_path):
     r3 = execute_choice(c3, corpus, probes, k=10, dim=dim)
     assert recall(r3) >= 0.85
 
+    # profile 4 (round 11, VERDICT r10 next #5): raw vectors blow the
+    # memory budget, PQ codes fit -> ivf_pq through pq_adc_serve.
+    # Measured on this capped-16-centroid clustered fixture: 0.49 at
+    # n_probe 1 AND 4 (the 4-subq x 16-codeword ADC quantization is the
+    # limiter here, not bucket pruning — 20 clusters vs 16 codewords is
+    # deliberately adversarial; the near-uniform registry fixture ranks
+    # higher). Gate the floor with margin + n_probe monotonicity.
+    raw = 10**8 * dim * 4
+    c4 = choose_index(10**8, dim, recall_target=0.8,
+                      memory_budget_bytes=raw // 10)
+    assert c4.family == "ivf_pq" and c4.params["n_probe"] == 1
+    r4 = execute_choice(c4, corpus, probes, k=10)
+    assert set(r4.columns) == {"probe_id", "vec_id", "score"}
+    rec1 = recall(r4)
+    assert rec1 >= 0.4
+    c4.params["n_probe"] = 4  # the v_ivf_pq_knn registry convention
+    assert recall(execute_choice(c4, corpus, probes, k=10)) >= rec1
+
+    # profile 5: even PQ codes blow the budget -> hamming 64-bit sketch
+    # (coarsest family; sign-bit recall on clustered 32-dim data
+    # measured 0.54 — the "re-rank survivors" caveat is the contract)
+    c5 = choose_index(10**8, dim, recall_target=0.8,
+                      memory_budget_bytes=10**8 * 2)
+    assert c5.family == "hamming"
+    r5 = execute_choice(c5, corpus, probes, k=10)
+    assert set(r5.columns) == {"probe_id", "vec_id", "score"}
+    # scores are negated distances: top-1 must be the probe itself
+    # (distance 0), and every probe answers k rows
+    per = {}
+    for r in r5.collect():
+        per.setdefault(r.probe_id, []).append((r.score, r.vec_id))
+    assert set(per) == set(exact)
+    for p, rows in per.items():
+        assert len(rows) == 10
+        assert max(rows)[0] == 0.0  # self at hamming distance 0
+    assert recall(r5) >= 0.35
+
 
 def test_profile_measured_evidence_replayed():
     """VERDICT r9 next #4: the decision table cites numbers MEASURED at

@@ -1268,3 +1268,168 @@ def ivf_pq_encode(
         + ", ".join(f"{c} int" for c in code_cols)
     )
     return corpus.select(corpus_id, corpus_vec).mapInPandas(_build, schema)
+
+
+def pq_adc_serve(
+    index: DataFrame,
+    aux: dict,
+    codebook: dict,
+    probes: list,
+    k: int = 10,
+    n_probe: int = 4,
+    n_sub: int = 4,
+    score_col: str = "adc_score",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC serving over an IVF-PQ index — the codebook/probe-table
+    plumbing factored out of the certified ``v_ivf_pq_knn`` registry row
+    (VERDICT r10 next #5) so ``index_select.execute_choice`` can
+    dispatch the ivf_pq family end-to-end.
+
+    ``index`` is ``ivf_pq_encode``'s output (id, centroid_id,
+    code0..code{n_sub-1}); ``aux[cid]`` the full-dim centroid/codeword
+    source vectors; ``probes`` a BOUNDED driver-side batch of
+    ``(probe_id, vec)`` — per-probe ADC lookup tables are tiny
+    (len(aux)·n_sub floats) and built at query time, the standard faiss
+    shape; the batch boundary is the same O(100)-probe contract every
+    serve surface here uses. Scoring touches ONLY rows whose centroid
+    is probed (pushed-down literal bucket predicate), does no decode
+    (n_sub table lookups + n_sub-1 adds per candidate), and ranks with
+    an explicitly-ordered left-chained sum so the DuckDB oracle replays
+    it exactly (the v_pq_adc_knn float contract). Probe-centroid
+    ranking uses a sequential python fold — bit-identical to the JVM
+    fold (CLAUDE.md rule). Returns per-probe top-``k``
+    ``(probe_id, id_col, score_col)`` with ``round(adc, 6)``."""
+    import math
+
+    sub_dim = None
+    s0 = codebook[0]
+    sub_dim = len(s0[sorted(s0)[0]])
+    cw = sorted(aux)
+
+    def pycos(a, b):
+        d = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            d = d + x * y
+            na = na + x * x
+            nb = nb + y * y
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    probed = {
+        pid: [
+            c
+            for _, c in sorted(
+                ((-pycos(pv, aux[c]), c) for c in cw)
+            )[:n_probe]
+        ]
+        for pid, pv in probes
+    }
+    ptab = {
+        pid: {
+            s: [
+                sum(
+                    pv[s * sub_dim + i] * codebook[s][c][i]
+                    for i in range(sub_dim)
+                )
+                for c in cw
+            ]
+            for s in range(n_sub)
+        }
+        for pid, pv in probes
+    }
+
+    def adc_expr(pid):
+        # explicit left-chained sum ((t0+t1)+t2)+... — mirrored by the
+        # oracle replay, never a reorderable n-ary sum
+        expr = F.element_at(
+            F.array(*[F.lit(v) for v in ptab[pid][0]]), F.col("code0") + 1
+        )
+        for s in range(1, n_sub):
+            expr = expr + F.element_at(
+                F.array(*[F.lit(v) for v in ptab[pid][s]]),
+                F.col(f"code{s}") + 1,
+            )
+        return expr
+
+    per_probe = F.array(
+        *[
+            F.struct(
+                F.lit(pid).cast("long").alias("probe_id"),
+                adc_expr(pid).alias("adc"),
+                F.col("centroid_id").isin(probed[pid]).alias("keep"),
+            )
+            for pid, _ in probes
+        ]
+    )
+    scored = (
+        index.select(id_col, F.explode(per_probe).alias("ps"))
+        .filter(F.col("ps.keep"))
+        .select(
+            id_col,
+            F.col("ps.probe_id").alias("probe_id"),
+            F.col("ps.adc").alias("adc"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", id_col, F.round("adc", 6).alias(score_col))
+    )
+
+
+def hamming_sig_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-signature (64-bit sign sketch) KNN — the packing/ranking
+    plumbing factored out of the certified ``v_hamming_binary_knn``
+    registry row (VERDICT r10 next #5). Each vector's first 64 dims
+    compress to 64 sign bits in two BIGINT halves via an ordered fold;
+    ranking is ``bit_count(xor)`` — pure JVM integer ops in codegen,
+    8 bytes/vector, the extreme-memory-pressure family of
+    ``choose_index``. ``probes`` is a DataFrame of (probe_id,
+    probe_vec), packed with the SAME fold. Exact integer math
+    throughout; ties break on id ascending. Returns per-probe top-``k``
+    ``(probe_id, id_col, hamming)``."""
+
+    def pack(col, lo_i, hi_i):
+        # try_element_at: widths below 64 zero-pad instead of erroring
+        # under ANSI (identical bits for width >= 64 — valid indexes)
+        return F.aggregate(
+            F.sequence(F.lit(lo_i), F.lit(hi_i)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(F.try_element_at(col, i) > 0, 1).otherwise(0),
+        )
+
+    e = F.col(vec_col).cast("array<double>")
+    sg = corpus.select(
+        id_col, pack(e, 1, 32).alias("lo"), pack(e, 33, 64).alias("hi")
+    )
+    pv = F.col("probe_vec").cast("array<double>")
+    psig = probes.select(
+        "probe_id", pack(pv, 1, 32).alias("plo"), pack(pv, 33, 64).alias("phi")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("hamming"), F.asc(id_col))
+    return (
+        sg.crossJoin(F.broadcast(psig))
+        .select(
+            "probe_id",
+            id_col,
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("plo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("phi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", id_col, "hamming")
+    )

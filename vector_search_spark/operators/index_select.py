@@ -305,14 +305,15 @@ def execute_choice(
     is required for families that hash (graph); ``index_path`` for
     families that persist (ivf) — defaults to a pid-scratch dir.
 
-    PQ/Hamming dispatch to their certified registry forms' building
-    blocks would need the codebook/sketch plumbing those rows carry
-    inline; the chooser only reaches them under an explicit memory
-    budget, and their end-to-end forms are certified as ``v_ivf_pq_knn``
-    / ``v_hamming_binary_knn`` — this executor covers the three
-    families the decision surface picks for every unconstrained-memory
-    profile (exact / ivf / graph), which is what the integration test
-    drives."""
+    All FIVE families dispatch (round 11, VERDICT r10 next #5): ivf_pq
+    and hamming run through the plumbing factored out of their
+    certified registry rows (``operators.ann.pq_adc_serve`` /
+    ``hamming_sig_knn``). The ivf_pq path collects the probe batch to
+    build the per-probe ADC lookup tables — the standard faiss
+    query-time table build over the same bounded O(100)-probe batch
+    contract every serve surface here uses. The hamming score is the
+    NEGATED distance cast to double so "higher is better" holds across
+    families."""
     from pyspark.sql import functions as F
 
     spark = corpus.sparkSession
@@ -371,8 +372,45 @@ def execute_choice(
             rounds=choice.params.get("rounds", 2), k=k,
         )
         return server.serve_batch(probes).select("probe_id", "vec_id", "score")
-    raise NotImplementedError(
-        f"execute_choice does not dispatch family {choice.family!r}; its "
-        "end-to-end form is certified as a registry row (v_ivf_pq_knn / "
-        "v_hamming_binary_knn) — follow choice.builder"
-    )
+    if choice.family == "ivf_pq":
+        from ..utils import fan_out
+        from .ann import ivf_pq_encode, pq_adc_serve
+
+        emb = corpus.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        # codeword source = first 16 corpus vectors (the certified
+        # v_ivf_pq_knn convention: they double as IVF centroids AND PQ
+        # codewords — swap in trained kmeans centroids for clustered
+        # corpora, the chooser's params carry through unchanged)
+        aux = {
+            r["vec_id"]: r["e"]
+            for r in emb.orderBy("vec_id").limit(16).collect()
+        }
+        n_sub = 4
+        sub = len(next(iter(aux.values()))) // n_sub
+        codebook = {
+            s: {c: aux[c][s * sub: (s + 1) * sub] for c in sorted(aux)}
+            for s in range(n_sub)
+        }
+        index = ivf_pq_encode(
+            fan_out(emb), codebook, aux, corpus_vec="e"
+        ).localCheckpoint(eager=True)
+        batch = [
+            (r["probe_id"], [float(x) for x in r["probe_vec"]])
+            for r in probes.collect()
+        ]
+        return pq_adc_serve(
+            index, aux, codebook, batch, k=k,
+            n_probe=min(choice.params.get("n_probe", 4), len(aux)),
+            n_sub=n_sub, score_col="score",
+        ).select("probe_id", "vec_id", "score")
+    if choice.family == "hamming":
+        from .ann import hamming_sig_knn
+
+        return hamming_sig_knn(corpus, probes, k=k).select(
+            "probe_id",
+            "vec_id",
+            (-F.col("hamming")).cast("double").alias("score"),
+        )
+    raise ValueError(f"unknown index family {choice.family!r}")

@@ -2528,9 +2528,7 @@ def v_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-contained. Floats: assignment/probe cosines and ADC terms use
     the same explicitly-ordered folds as the parent rows, mirrored in the
     oracle."""
-    import math
-
-    from ..operators.ann import ivf_pq_encode
+    from ..operators.ann import ivf_pq_encode, pq_adc_serve
     from ..utils import fan_out
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -2547,80 +2545,13 @@ def v_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = ivf_pq_encode(
         fan_out(emb), codebook, aux, corpus_vec="e"
     ).localCheckpoint(eager=True)
-
-    def pycos(a, b):
-        d = 0.0
-        na = 0.0
-        nb = 0.0
-        for x, y in zip(a, b):
-            d = d + x * y
-            na = na + x * x
-            nb = nb + y * y
-        return d / (math.sqrt(na) * math.sqrt(nb))
-
     probe_ids = [i for i in sorted(aux) if i < 3]
-    probed = {
-        p: [
-            c
-            for _, c in sorted(
-                ((-pycos(aux[p], aux[c]), c) for c in sorted(aux))
-            )[:4]
-        ]
-        for p in probe_ids
-    }
-    ptab = {
-        p: {
-            s: [
-                sum(aux[p][s * _PQ_SUB + i] * codebook[s][c][i] for i in range(_PQ_SUB))
-                for c in range(16)
-            ]
-            for s in range(4)
-        }
-        for p in probe_ids
-    }
-    per_probe = F.array(
-        *[
-            F.struct(
-                F.lit(p).cast("long").alias("probe_id"),
-                (
-                    (
-                        F.element_at(
-                            F.array(*[F.lit(v) for v in ptab[p][0]]),
-                            F.col("code0") + 1,
-                        )
-                        + F.element_at(
-                            F.array(*[F.lit(v) for v in ptab[p][1]]),
-                            F.col("code1") + 1,
-                        )
-                    )
-                    + F.element_at(
-                        F.array(*[F.lit(v) for v in ptab[p][2]]),
-                        F.col("code2") + 1,
-                    )
-                    + F.element_at(
-                        F.array(*[F.lit(v) for v in ptab[p][3]]),
-                        F.col("code3") + 1,
-                    )
-                ).alias("adc"),
-                F.col("centroid_id").isin(probed[p]).alias("keep"),
-            )
-            for p in probe_ids
-        ]
-    )
-    scored = (
-        index.select("vec_id", F.explode(per_probe).alias("ps"))
-        .filter(F.col("ps.keep"))
-        .select(
-            "vec_id",
-            F.col("ps.probe_id").alias("probe_id"),
-            F.col("ps.adc").alias("adc"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("probe_id", "vec_id", F.round("adc", 6).alias("adc_score"))
+    # serving factored into operators.ann.pq_adc_serve (round 11,
+    # VERDICT #5) — identical per-probe literal-table / bucket-predicate
+    # / windowed top-k plan, now shared with index_select.execute_choice
+    return pq_adc_serve(
+        index, aux, codebook, [(p, aux[p]) for p in probe_ids],
+        k=10, n_probe=4, n_sub=4, score_col="adc_score",
     )
 
 
@@ -4337,45 +4268,17 @@ def v_hamming_binary_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern applies unchanged). Everything is exact integer math, so
     the oracle replays it bit-for-bit — no float discipline needed
     anywhere. Ties break on vec_id ascending."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    from ..operators.ann import hamming_sig_knn
 
-    def pack(lo_i, hi_i):
-        return F.aggregate(
-            F.sequence(F.lit(lo_i), F.lit(hi_i)),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc * 2
-            + F.when(F.element_at("e", i) > 0, 1).otherwise(0),
-        )
-
-    sg = emb.select(
-        "vec_id", pack(1, 32).alias("lo"), pack(33, 64).alias("hi")
-    )
-    probes = sg.filter(F.col("vec_id") < 3).select(
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"),
-        F.col("lo").alias("plo"),
-        F.col("hi").alias("phi"),
+        F.col("embedding").alias("probe_vec"),
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.asc("hamming"), F.asc("vec_id")
-    )
-    return (
-        sg.crossJoin(F.broadcast(probes))
-        .select(
-            "probe_id",
-            "vec_id",
-            (
-                F.bit_count(F.col("lo").bitwiseXOR(F.col("plo")))
-                + F.bit_count(F.col("hi").bitwiseXOR(F.col("phi")))
-            )
-            .cast("long")
-            .alias("hamming"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("probe_id", "vec_id", "hamming")
-    )
+    # packing/ranking factored into operators.ann.hamming_sig_knn
+    # (round 11, VERDICT #5) — identical ordered sign-fold + xor/popcount
+    # plan, now shared with index_select.execute_choice
+    return hamming_sig_knn(emb, probes, k=10)
 
 
 @register(
@@ -6844,7 +6747,7 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r_merge_upsert",
     oracle="""
 WITH updates AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice
   FROM orders WHERE o_orderkey % 10 = 0),
 inserts AS (
   SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
@@ -6860,7 +6763,7 @@ merged AS (
   FULL OUTER JOIN delta d USING (o_orderkey))
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN o_orderkey >= 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
-       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
 FROM merged
 """,
@@ -6876,9 +6779,13 @@ def r_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+    # additive mutation (+100.00, IEEE-exact both engines) — the CLAUDE.md
+    # synthetic-mutation rule: ROUND(x*1.1, 2) hit half-cent boundaries
+    # where the engines round apart per row ($0.05 total at sf0.01,
+    # invisible to the %.9g row canon, caught by the digest cross-check)
     updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey", "o_custkey", "o_orderstatus",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
     )
     inserts = orders.filter(F.col("o_orderkey") % 1000 == 1).select(
         (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
@@ -6906,7 +6813,16 @@ def r_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.agg(
         F.count("*").alias("n_rows"),
         F.sum((F.col("o_orderkey") >= 100000000).cast("long")).alias("n_inserted"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        # exact cent-integer sum (the CLAUDE.md money rule): the float
+        # SUM was only 9-sig-digit stable (engines differed by $0.05 at
+        # ~$2.2e9 — invisible to the gate's %.9g canon, caught by the
+        # round-11 digest cross-check); per-row values are already
+        # 2dp-rounded so ROUND(x*100) is the exact integer both engines
+        # agree on, and double(sum)/100.0 is one identical IEEE divide
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("double") / 100.0
+        ).alias("total_price"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
 
