@@ -37,9 +37,16 @@ NO_CARTESIAN = ALL_BROADCAST + [
 
 @pytest.mark.parametrize("name", ALL_BROADCAST)
 def test_dim_joins_all_broadcast(spark, sf_dir, name):
+    """Counts the AQE FINAL plan only (the CLAUDE.md Initial-Plan rule):
+    after the round-11 broadcast-hint audit removed F.broadcast from
+    SF-proportional relations (customer/part/supplier), these joins are
+    broadcast at fixture scale because the RUNTIME sizes qualify (static
+    plan may say SMJ; AQE converts) — which is the scale-correct shape:
+    at 100x the same code degrades those joins to shuffle instead of
+    force-broadcasting a 100x-grown relation."""
     from vector_search_spark.plans.queries import QUERIES
 
-    plan = _executed_plan(QUERIES[name].fn(spark, sf_dir))
+    plan = _final_plan(QUERIES[name].fn(spark, sf_dir))
     joins = JOIN_RE.findall(plan)
     assert joins, f"{name}: no joins found in executed plan"
     bad = [j for j in joins if j not in ("BroadcastHashJoin",)]

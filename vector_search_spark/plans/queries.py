@@ -4105,7 +4105,7 @@ def r_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -4160,7 +4160,7 @@ def r_q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .join(dim, li.l_suppkey == dim.s_suppkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -4203,7 +4203,7 @@ def r_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
@@ -6042,7 +6042,7 @@ def r_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -6391,7 +6391,7 @@ def r_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "cust_nation")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
@@ -6456,7 +6456,7 @@ def r_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(term).alias("_rev_i"))
     )
@@ -6987,12 +6987,12 @@ def r_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nc), cust.c_nationkey == F.col("nc_key"))
         .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), supp.s_nationkey == F.col("ns_key"))
     )
     return (
@@ -7137,7 +7137,7 @@ def r_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("l_partkey")
     t = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
@@ -7177,7 +7177,7 @@ def r_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelopes) to the scans."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     c1 = (
         (F.col("p_brand") == "Brand#4")
         & F.col("p_size").between(1, 15)
@@ -7255,7 +7255,7 @@ def r_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order.groupBy("the_supp")
         .agg(F.sum("n_late_lines").alias("nw"))
-        .join(F.broadcast(supp), F.col("the_supp") == supp.s_suppkey)
+        .join(supp, F.col("the_supp") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("nw").cast("long").alias("numwait"))
     )
@@ -7849,8 +7849,8 @@ def r_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu = (
-        offers.join(F.broadcast(part), offers.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), offers.l_suppkey == supp.s_suppkey)
+        offers.join(part, offers.l_partkey == part.p_partkey)
+        .join(supp, offers.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(region), nat.n_regionkey == region.r_regionkey)
     )
@@ -7913,8 +7913,8 @@ def r_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     ).cast("long")
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
     )
@@ -7953,7 +7953,7 @@ def r_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     stock = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
@@ -8000,8 +8000,8 @@ def r_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(complaints), li.l_suppkey == complaints.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        li.join(complaints, li.l_suppkey == complaints.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -8042,7 +8042,7 @@ def r_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     in96 = (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     per = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum("l_quantity").alias("total_qty"),
@@ -8058,7 +8058,7 @@ def r_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     return (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(qualifying, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
     )
 

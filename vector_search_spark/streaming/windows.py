@@ -108,12 +108,15 @@ def session_agg(
 
 def stream_static_agg(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join + stateful aggregation: every micro-batch joins
-    the static (broadcast) customer dim, then per-(segment, event_type)
-    running totals accumulate in update-mode state. The static side is
-    re-planned per micro-batch by Structured Streaming — at scale it stays
-    a broadcast, so the stream never shuffles for the join itself."""
+    the static customer dim, then per-(segment, event_type) running
+    totals accumulate in update-mode state. The static side is re-planned
+    per micro-batch by Structured Streaming. UNHINTED on purpose (round-11
+    broadcast audit): customer is SF-proportional, so the planner decides
+    per batch — broadcast while the dim fits the threshold (every fixture
+    scale), shuffle once it doesn't (100 TB customer can't ship to every
+    task); a forced hint would OOM exactly when the data grows."""
     joined = events.join(
-        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+        dim, events.user_id == dim.c_custkey, "inner"
     )
     return joined.groupBy(
         F.col("c_mktsegment").alias("segment"), "event_type"
