@@ -75,7 +75,6 @@ def main() -> None:
         batch = emb.filter(
             (F.col("vec_id") < n_new) & (F.col("vec_id") % n_batches == b)
         )
-        before = ing.publish_secs
         ing.ingest_batch(batch, b)
         mode, el = ing.publish_modes[-1]
         m = ing.log.read_marker()
@@ -93,7 +92,6 @@ def main() -> None:
                 f"batch {b}: n={batch.count()} mode={mode} publish={el:.2f}s "
                 f"(policy fold; base_rows={m['base_rows']})"
             )
-        del before
     print(f"total publish wall: {ing.publish_secs:.2f}s; marker: {m}")
 
 
