@@ -166,6 +166,61 @@ def test_jaccard_max_block_size_hashed_units(spark, sf_dir):
     assert guarded <= exact
 
 
+def test_embedding_neardup_adaptive_width(spark):
+    """The guarded path's sub-bucket bit width must GROW with block size
+    (round 11): a block of ~64x the bound gets ceil_log2(64)=6 bits even
+    when n_planes (the floor) is 2, so expected sub-bucket size stays
+    ~bound at any skew — a fixed plane count would leave a hot block
+    quadratic. Pinned by replaying the mask arithmetic on the operator's
+    own bucketed pair output: with k bits, any pair's signatures agree on
+    bits 0..k-1 of the full 20-plane signature."""
+    import numpy as np
+
+    from vector_search_spark.operators.ann import make_planes
+    from vector_search_spark.operators.dedup import (
+        ADAPTIVE_PLANES_MAX,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    hot = [(i, "hot", [float(x) for x in rng.randn(dim)]) for i in range(640)]
+    cold = [
+        (1000 + i, "cold", [float(x) for x in rng.randn(dim)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        hot + cold, "vec_id long, label string, embedding array<float>"
+    )
+    pairs = embedding_neardup_pairs(
+        emb, "embedding", "vec_id", "label", -1.0,
+        max_block_size=10, n_planes=2, dim=dim,
+    ).collect()
+    # expected widths: hot m=64 -> k=6; cold m=3 -> k=2 (floor also 2)
+    P = np.asarray(make_planes(ADAPTIVE_PLANES_MAX, dim, 42)).T
+    pw = 1 << np.arange(ADAPTIVE_PLANES_MAX, dtype=np.int64)
+    vecs = {r[0]: np.array(r[2], dtype=np.float64) for r in hot + cold}
+    sig = {i: int(((v @ P) > 0) @ pw) for i, v in vecs.items()}
+    k_of = {"hot": 6, "cold": 2}
+    got_blocks = set()
+    for r in pairs:
+        k = k_of[r.block]
+        mask = (1 << k) - 1
+        assert sig[r.id_a] & mask == sig[r.id_b] & mask, (
+            f"pair {(r.id_a, r.id_b)} in block {r.block} disagrees on the "
+            f"low {k} signature bits"
+        )
+        got_blocks.add(r.block)
+    assert got_blocks == {"hot", "cold"}
+    # the hot block must actually be SUBDIVIDED more finely than the floor:
+    # with threshold=-1 every same-bucket pair is emitted, so pair count
+    # bounds bucket sizes — 6 bits over 640 rows gives ~10-row buckets
+    # (sum ~ 64 * C(10,2) ~ 3k pairs), while 2 bits would give 4 buckets
+    # of ~160 rows (~51k pairs).
+    hot_pairs = sum(1 for r in pairs if r.block == "hot")
+    assert 0 < hot_pairs < 20_000, hot_pairs
+
+
 def test_embedding_neardup_max_block_size(spark, sf_dir):
     """Oversized embedding blocks degrade to hyperplane-LSH sub-buckets:
     subset of exact pairs, identical cosines, self-similar planted pairs

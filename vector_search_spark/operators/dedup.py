@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 from ..functions.text import distinct_tokens, minhash_signature, poly_hash
 from ..functions.vector import cosine_sim, l2_norm
 
+# Cap on the adaptive per-block LSH bit width in embedding_neardup_pairs:
+# 20 bits = ~1M sub-buckets, enough to hold the expected bucket at
+# ~max_block_size for any block up to bound * 2^20 rows; one shared
+# seeded plane bank of this size keeps the masked low-k bits identical
+# to a fixed k-plane layout (make_planes streams one RNG draw per plane).
+ADAPTIVE_PLANES_MAX = 20
+
 
 def _unit_sets(
     df: DataFrame,
@@ -868,9 +875,27 @@ def embedding_neardup_pairs(
     pairs must also agree on the sign bucket — Σbucket² work instead of
     Σblock². Precision stays exact (same cosine + threshold); recall for
     oversized blocks is the standard hyperplane-LSH collision probability
-    (1 - θ/π)^n_planes. The guard is ON by default (1000); pass
-    ``max_block_size=None`` to explicitly request exact-everywhere
-    semantics (the oracle-checked gate rows do).
+    (1 - θ/π)^k. Pass ``max_block_size=None`` to explicitly request
+    exact-everywhere semantics (the oracle-checked gate rows do).
+
+    The sub-bucket bit width is ADAPTIVE per block (round 11): a FIXED
+    plane count divides an oversized block by a constant 2^n, so one
+    zipf-hot block (measured: 20% of all vectors on one label at the
+    100x fixture) stays quadratic no matter the knob. Instead each block
+    gets k = clamp(ceil_log2(ceil(bn / max_block_size)), n_planes,
+    ADAPTIVE_PLANES_MAX) sign bits — expected sub-bucket size stays
+    ~max_block_size by construction, so candidate volume is ~linear in n
+    at ANY skew. ``n_planes`` is the FLOOR (legacy behavior: small
+    oversized blocks keep their old bucket layout — the masked low bits
+    of the shared seeded plane bank are exactly the old planes), and
+    ceil_log2 is integer-only (length(bin(m-1))) so an oracle replays
+    the width choice without cross-engine log2 boundary risk.
+
+    Signatures for oversized blocks ride ONE Arrow/numpy pass behind
+    ``fan_out`` (corpus_band_keys shape — the interpreted JVM fold costs
+    ~ms/row and serialized a 200k-row corpus onto one 326 s task, round
+    9); sign bits are the documented ulp-tolerant channel (a flipped
+    bucket needs |dot| ≲ 1e-14).
 
     ``dim`` sizes the hyperplanes (no data sniff at plan-build time) and is
     VALIDATED row-wise on the guarded path: a vector whose length differs
@@ -886,31 +911,69 @@ def embedding_neardup_pairs(
 
     from pyspark import StorageLevel
     from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    from .ann import lsh_signature, make_planes
+    from ..utils import fan_out
+    from .ann import make_planes
 
     t = t.withColumn(
         "_bn", F.count("*").over(Window.partitionBy("blk"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     small = t.filter(F.col("_bn") <= max_block_size).drop("_bn")
-    planes = make_planes(n_planes, dim, seed)
-    sig_checked = F.when(
-        F.size("v") == dim, lsh_signature(F.col("v"), planes)
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"embedding_neardup_pairs: vector dim mismatch (expected {dim}, got "
-                ),
-                F.size("v").cast("string"),
-                F.lit(") — pass the correct dim= for the LSH planes"),
-            )
-        ).cast("long")
+    big_src = fan_out(t.filter(F.col("_bn") > max_block_size))
+
+    p_max = ADAPTIVE_PLANES_MAX
+    P = np.asarray(make_planes(p_max, dim, seed), dtype=np.float64).T
+    pw = 1 << np.arange(p_max, dtype=np.int64)
+
+    def _sig_stage(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(_fsig=_pd.Series([], dtype="int64"))
+                continue
+            lens = pdf["v"].map(len).to_numpy()
+            bad = lens[lens != dim]
+            if len(bad):
+                raise ValueError(
+                    f"embedding_neardup_pairs: vector dim mismatch (expected "
+                    f"{dim}, got {int(bad[0])}) — pass the correct dim= for "
+                    "the LSH planes"
+                )
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            yield pdf.assign(_fsig=((V @ P) > 0) @ pw)
+
+    sig_schema = StructType(
+        list(big_src.schema.fields) + [StructField("_fsig", LongType())]
     )
+    # per-block bit width from the window count already on the row:
+    # m = ceil(bn / bound) sub-buckets wanted; k = ceil_log2(m) via the
+    # integer-portable length(bin(m-1)) (m >= 2 whenever bn > bound)
     big = (
-        t.filter(F.col("_bn") > max_block_size)
-        .drop("_bn")
-        .withColumn("_sig", sig_checked)
+        big_src.mapInPandas(_sig_stage, sig_schema)
+        .withColumn(
+            "_kb",
+            F.least(
+                F.lit(p_max),
+                F.greatest(
+                    F.lit(n_planes),
+                    F.length(
+                        F.bin(
+                            F.expr(
+                                f"CAST((_bn + {int(max_block_size)} - 1) "
+                                f"DIV {int(max_block_size)} AS BIGINT)"
+                            )
+                            - 1
+                        )
+                    ),
+                ),
+            ),
+        )
+        .withColumn(
+            "_sig", F.expr("_fsig & (shiftleft(CAST(1 AS BIGINT), _kb) - 1)")
+        )
+        .drop("_fsig", "_bn", "_kb")
     )
     exact = _embedding_pairs_exact(small, ["blk"])
     approx = _embedding_pairs_exact(big, ["blk", "_sig"])

@@ -3261,6 +3261,112 @@ def v_lsh_hyperplane_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("probe_id", "vec_id", F.round("score", 6).alias("score"))
 
 
+_GUARD_BOUND = 50  # max_block_size for the guarded near-dup row
+_GUARD_FLOOR = 2  # n_planes floor for the guarded near-dup row
+
+
+def _guarded_neardup_oracle() -> str:
+    """DuckDB replay of ``embedding_neardup_pairs`` with the PRODUCTION
+    guard on (adaptive per-block sub-bucketing): per-label counts pick
+    the bit width k = clamp(ceil_log2(ceil(n/bound)), floor, 20) via the
+    integer-portable LENGTH(BIN(m-1)), the shared 20-plane seeded bank is
+    masked to the low k bits (sign channel — see ``_duck_lsh_sig``), and
+    pairs must agree on (label, masked sig). Small blocks stay exact
+    (kb = 0 marks them)."""
+    fsig = _duck_lsh_sig("v", 20, 42)
+    b = _GUARD_BOUND
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+bn AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+kbt AS (
+  SELECT label, n,
+         CASE WHEN n <= {b} THEN 0
+              ELSE LEAST(20, GREATEST({_GUARD_FLOOR},
+                   LENGTH(BIN(((n + {b - 1}) // {b}) - 1)))) END AS kb
+  FROM bn),
+small AS (
+  SELECT e.vec_id, e.label, e.v FROM e JOIN kbt USING (label)
+  WHERE kbt.n <= {b}),
+bigv AS (
+  SELECT e.vec_id, e.label, e.v, kbt.kb,
+         ({fsig} & ((CAST(1 AS BIGINT) << kbt.kb) - 1)) AS sig
+  FROM e JOIN kbt USING (label) WHERE kbt.n > {b}),
+p1 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+         CAST(0 AS BIGINT) AS kb, list_cosine_similarity(a.v, b.v) AS cos
+  FROM small a JOIN small b
+    ON a.label = b.label AND a.vec_id < b.vec_id),
+p2 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+         CAST(a.kb AS BIGINT) AS kb, list_cosine_similarity(a.v, b.v) AS cos
+  FROM bigv a JOIN bigv b
+    ON a.label = b.label AND a.sig = b.sig AND a.vec_id < b.vec_id),
+u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+SELECT id_a, id_b, block, kb, FLOOR(cos * 1000000) / 1000000 AS cos_f
+FROM u WHERE cos >= 0.3
+"""
+
+
+@register("d_embedding_neardup_guarded", oracle=_guarded_neardup_oracle())
+def d_embedding_neardup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``d_embedding_neardup``'s PRODUCTION configuration: the within-block
+    quadratic guard ON, with round 11's ADAPTIVE per-block bit width —
+    each oversized block gets ceil_log2(ceil(n/bound)) sign bits
+    (floor 2, cap 20), so expected sub-bucket size stays ~bound at
+    ANY skew; a fixed plane count only divides a hot block by a constant
+    and left the exact row quadratic-excluded at the zipf 100x fixture
+    (40k-vector hot label -> ~8e8 pairs; adaptive: k=10 -> ~1k buckets).
+    The oracle replays count -> width -> masked-signature -> pair join
+    bit-for-bit (integer-only width math; sign-channel planes), making
+    the guard itself a certified operator instead of an untestable
+    production flag. kb in the output certifies the chosen width per
+    block (0 = exact small-block path). Scale shape: one Arrow signature
+    pass + equi-join on (block, sig) — never all-pairs."""
+    from ..operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb,
+        threshold=0.3,
+        max_block_size=_GUARD_BOUND,
+        n_planes=_GUARD_FLOOR,
+        dim=EMB_DIM,
+    )
+    kb = (
+        F.when(F.col("bn") <= _GUARD_BOUND, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(20),
+                F.greatest(
+                    F.lit(_GUARD_FLOOR),
+                    F.length(
+                        F.bin(
+                            F.expr(
+                                f"CAST((bn + {_GUARD_BOUND - 1}) "
+                                f"DIV {_GUARD_BOUND} AS BIGINT)"
+                            )
+                            - 1
+                        )
+                    ),
+                ),
+            )
+        )
+        .cast("long")
+    )
+    kbt = (
+        emb.groupBy(F.col("label").alias("block"))
+        .agg(F.count("*").alias("bn"))
+        .select("block", kb.alias("kb"))
+    )
+    return pairs.join(kbt, "block").select(
+        "id_a",
+        "id_b",
+        "block",
+        "kb",
+        (F.floor(F.col("cos") * 1000000) / 1000000).alias("cos_f"),
+    )
+
+
 def _knn_graph_parts(
     k: int, n_planes: int, band_bits: int, rounds: int,
     corpus_where: str = "",
