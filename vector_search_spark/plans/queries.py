@@ -3265,18 +3265,20 @@ _GUARD_BOUND = 50  # max_block_size for the guarded near-dup row
 _GUARD_FLOOR = 2  # n_planes floor for the guarded near-dup row
 
 
-def _guarded_neardup_oracle() -> str:
-    """DuckDB replay of ``embedding_neardup_pairs`` with the PRODUCTION
-    guard on (adaptive per-block sub-bucketing): per-label counts pick
-    the bit width k = clamp(ceil_log2(ceil(n/bound)), floor, 20) via the
-    integer-portable LENGTH(BIN(m-1)), the shared 20-plane seeded bank is
-    masked to the low k bits (sign channel — see ``_duck_lsh_sig``), and
-    pairs must agree on (label, masked sig). Small blocks stay exact
-    (kb = 0 marks them)."""
+def _guarded_pair_ctes() -> str:
+    """Shared CTE chain replaying ``embedding_neardup_pairs`` with the
+    PRODUCTION guard on (adaptive per-block sub-bucketing): per-label
+    counts pick the bit width k = clamp(ceil_log2(ceil(n/bound)), floor,
+    20) via the integer-portable LENGTH(BIN(m-1)), the shared 20-plane
+    seeded bank is masked to the low k bits (sign channel — see
+    ``_duck_lsh_sig``), and pairs must agree on (label, masked sig).
+    Small blocks stay exact (kb = 0 marks them). ``small``/``bigv`` are
+    MATERIALIZED: each is referenced twice by its self-join (and the
+    20-plane signature is expensive to inline per reference — DuckDB
+    inlines plain CTEs per reference, CLAUDE.md rule)."""
     fsig = _duck_lsh_sig("v", 20, 42)
     b = _GUARD_BOUND
-    return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 bn AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
 kbt AS (
   SELECT label, n,
@@ -3284,10 +3286,10 @@ kbt AS (
               ELSE LEAST(20, GREATEST({_GUARD_FLOOR},
                    LENGTH(BIN(((n + {b - 1}) // {b}) - 1)))) END AS kb
   FROM bn),
-small AS (
+small AS MATERIALIZED (
   SELECT e.vec_id, e.label, e.v FROM e JOIN kbt USING (label)
   WHERE kbt.n <= {b}),
-bigv AS (
+bigv AS MATERIALIZED (
   SELECT e.vec_id, e.label, e.v, kbt.kb,
          ({fsig} & ((CAST(1 AS BIGINT) << kbt.kb) - 1)) AS sig
   FROM e JOIN kbt USING (label) WHERE kbt.n > {b}),
@@ -3301,7 +3303,13 @@ p2 AS (
          CAST(a.kb AS BIGINT) AS kb, list_cosine_similarity(a.v, b.v) AS cos
   FROM bigv a JOIN bigv b
     ON a.label = b.label AND a.sig = b.sig AND a.vec_id < b.vec_id),
-u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)"""
+
+
+def _guarded_neardup_oracle() -> str:
+    """Full guarded near-dup replay — see ``_guarded_pair_ctes``."""
+    return f"""
+WITH {_guarded_pair_ctes()}
 SELECT id_a, id_b, block, kb, FLOOR(cos * 1000000) / 1000000 AS cos_f
 FROM u WHERE cos >= 0.3
 """
@@ -11631,6 +11639,66 @@ def pipe_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(
         emb, threshold=0.3, max_block_size=None
+    ).select("id_a", "id_b")
+    clusters = dup_clusters(pairs)
+    return clusters.select(
+        "cluster_id",
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") == F.col("cluster_id"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
+def _guarded_semantic_dedup_oracle() -> str:
+    """SemDeDup chain over the GUARDED pair generator: the shared
+    guarded-pair CTEs (``_guarded_pair_ctes`` — adaptive per-block LSH
+    sub-bucketing, never all-pairs at any skew) feed the same recursive
+    connected-components replay as ``pipe_semantic_dedup``. ``p`` and
+    ``edges`` are MATERIALIZED: each is referenced twice and DuckDB
+    inlines plain CTEs per reference (the t_bpe_train blow-up rule)."""
+    return f"""
+WITH RECURSIVE {_guarded_pair_ctes()},
+p AS MATERIALIZED (SELECT id_a, id_b FROM u WHERE cos >= 0.3),
+edges AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS t FROM p
+  UNION SELECT id_b, id_a FROM p),
+reach(id, lab) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e2.s, reach.lab FROM edges e2 JOIN reach ON e2.t = reach.id),
+members AS (
+  SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id, id AS vec_id,
+       CAST(CASE WHEN id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM members
+"""
+
+
+@register(
+    "pipe_semantic_dedup_guarded", oracle=_guarded_semantic_dedup_oracle()
+)
+def pipe_semantic_dedup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipe_semantic_dedup``'s PRODUCTION configuration (round 11):
+    SemDeDup over the GUARDED pair generator — adaptive per-block LSH
+    sub-bucketing (see ``d_embedding_neardup_guarded``) feeds the same
+    connected-components → keeper chain. The exact chain is
+    quadratic-by-semantics on a zipf-hot block (its 100× exclusion);
+    this row is the shape a 100-TB deployment actually runs — candidate
+    volume ~linear in n at any skew — and the oracle replays the WHOLE
+    chain (count → width → masked signature → pair join → recursive CC
+    → keeper flags), so the production path is value-certified at the
+    exact fixture that excludes the exact path."""
+    from ..operators.dedup import dup_clusters, embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb,
+        threshold=0.3,
+        max_block_size=_GUARD_BOUND,
+        n_planes=_GUARD_FLOOR,
+        dim=EMB_DIM,
     ).select("id_a", "id_b")
     clusters = dup_clusters(pairs)
     return clusters.select(
