@@ -865,6 +865,7 @@ def embedding_neardup_pairs(
     dim: int = 64,
     seed: int = 42,
     materialize: bool = True,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking keys.
 
@@ -901,7 +902,27 @@ def embedding_neardup_pairs(
     VALIDATED row-wise on the guarded path: a vector whose length differs
     from ``dim`` fails the job loudly instead of silently hashing against
     truncated planes (which would degenerate the signature and either
-    re-create the quadratic block or drop recall)."""
+    re-create the quadratic block or drop recall).
+
+    ``n_tables`` is the OR-amplification knob (round 12, ADVICE r11): a
+    SINGLE k-bit table's pair recall decays exponentially with k
+    ((1-θ/π)^k — at k=10 a cos=0.95 true near-dup collides with only
+    ~34% probability), so the guard silently loses most duplicates inside
+    exactly the hot blocks it targets. With r independent k-bit tables
+    (disjoint seeded plane banks, one shared Arrow pass) the candidate
+    set is the UNION over tables, lifting recall to 1-(1-p)^r at r× the
+    bounded candidate volume; duplicate candidate pairs are collapsed
+    once after the join (integer pair keys — the cosine per pair is
+    deterministic within an engine, so DISTINCT is engine-stable).
+    ``n_tables=1`` is bit-for-bit the legacy single-table layout."""
+    if n_planes > ADAPTIVE_PLANES_MAX:
+        raise ValueError(
+            f"embedding_neardup_pairs: n_planes={n_planes} exceeds "
+            f"ADAPTIVE_PLANES_MAX={ADAPTIVE_PLANES_MAX} (the shared seeded "
+            "bank width) — a wider fixed layout would be silently clamped"
+        )
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     t = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
     ).withColumn("nrm", l2_norm("v"))
@@ -923,16 +944,35 @@ def embedding_neardup_pairs(
     big_src = fan_out(t.filter(F.col("_bn") > max_block_size))
 
     p_max = ADAPTIVE_PLANES_MAX
-    P = np.asarray(make_planes(p_max, dim, seed), dtype=np.float64).T
+    # one plane bank per table, disjoint seeds (table 0 == legacy bank),
+    # all stacked into ONE matrix so every table's signature rides the
+    # same single Arrow pass
+    P = np.concatenate(
+        [
+            np.asarray(make_planes(p_max, dim, seed + b), dtype=np.float64)
+            for b in range(n_tables)
+        ]
+    ).T
     pw = 1 << np.arange(p_max, dtype=np.int64)
+    fsig_cols = (
+        ["_fsig"] if n_tables == 1 else [f"_fsig{b}" for b in range(n_tables)]
+    )
 
     def _sig_stage(batches):
         import pandas as _pd
 
         for pdf in batches:
             if len(pdf) == 0:
-                yield pdf.assign(_fsig=_pd.Series([], dtype="int64"))
+                yield pdf.assign(
+                    **{c: _pd.Series([], dtype="int64") for c in fsig_cols}
+                )
                 continue
+            if pdf["v"].isna().any():
+                raise ValueError(
+                    "embedding_neardup_pairs: null embedding in an "
+                    "oversized block — drop or impute null vectors before "
+                    "the guarded near-dup pass"
+                )
             lens = pdf["v"].map(len).to_numpy()
             bad = lens[lens != dim]
             if len(bad):
@@ -942,41 +982,65 @@ def embedding_neardup_pairs(
                     "the LSH planes"
                 )
             V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            yield pdf.assign(_fsig=((V @ P) > 0) @ pw)
+            M = (V @ P) > 0
+            yield pdf.assign(
+                **{
+                    c: M[:, b * p_max : (b + 1) * p_max] @ pw
+                    for b, c in enumerate(fsig_cols)
+                }
+            )
 
     sig_schema = StructType(
-        list(big_src.schema.fields) + [StructField("_fsig", LongType())]
+        list(big_src.schema.fields)
+        + [StructField(c, LongType()) for c in fsig_cols]
     )
     # per-block bit width from the window count already on the row:
     # m = ceil(bn / bound) sub-buckets wanted; k = ceil_log2(m) via the
     # integer-portable length(bin(m-1)) (m >= 2 whenever bn > bound)
-    big = (
-        big_src.mapInPandas(_sig_stage, sig_schema)
-        .withColumn(
-            "_kb",
-            F.least(
-                F.lit(p_max),
-                F.greatest(
-                    F.lit(n_planes),
-                    F.length(
-                        F.bin(
-                            F.expr(
-                                f"CAST((_bn + {int(max_block_size)} - 1) "
-                                f"DIV {int(max_block_size)} AS BIGINT)"
-                            )
-                            - 1
-                        )
-                    ),
-                ),
+    kb_expr = F.least(
+        F.lit(p_max),
+        F.greatest(
+            F.lit(n_planes),
+            F.length(
+                F.bin(
+                    F.expr(
+                        f"CAST((_bn + {int(max_block_size)} - 1) "
+                        f"DIV {int(max_block_size)} AS BIGINT)"
+                    )
+                    - 1
+                )
             ),
-        )
-        .withColumn(
-            "_sig", F.expr("_fsig & (shiftleft(CAST(1 AS BIGINT), _kb) - 1)")
-        )
-        .drop("_fsig", "_bn", "_kb")
+        ),
+    )
+    sigs = big_src.mapInPandas(_sig_stage, sig_schema).withColumn(
+        "_kb", kb_expr
     )
     exact = _embedding_pairs_exact(small, ["blk"])
-    approx = _embedding_pairs_exact(big, ["blk", "_sig"])
+    if n_tables == 1:
+        big = sigs.withColumn(
+            "_sig", F.expr("_fsig & (shiftleft(CAST(1 AS BIGINT), _kb) - 1)")
+        ).drop("_fsig", "_bn", "_kb")
+        approx = _embedding_pairs_exact(big, ["blk", "_sig"])
+    else:
+        # one row per (vector, table); pairs must agree on the TABLE too,
+        # then the union of per-table candidate sets is collapsed once —
+        # integer pair keys, cosine deterministic within an engine
+        big = (
+            sigs.select(
+                "*",
+                F.posexplode(F.array(*[F.col(c) for c in fsig_cols])).alias(
+                    "_tbl", "_fsigx"
+                ),
+            )
+            .withColumn(
+                "_sig",
+                F.expr("_fsigx & (shiftleft(CAST(1 AS BIGINT), _kb) - 1)"),
+            )
+            .drop(*fsig_cols, "_fsigx", "_bn", "_kb")
+        )
+        approx = _embedding_pairs_exact(
+            big, ["blk", "_tbl", "_sig"]
+        ).dropDuplicates(["block", "id_a", "id_b"])
     out = exact.unionByName(approx).filter(F.col("cos") >= threshold)
     return _own_caches(out, [t]) if materialize else out
 

@@ -3263,6 +3263,16 @@ def v_lsh_hyperplane_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GUARD_BOUND = 50  # max_block_size for the guarded near-dup row
 _GUARD_FLOOR = 2  # n_planes floor for the guarded near-dup row
+_GUARD_TABLES = 4  # OR-amplification tables for the amplified row
+
+
+def _guard_pmax() -> int:
+    """The shared seeded bank width — imported from the operator so a
+    future change to ``ADAPTIVE_PLANES_MAX`` cannot silently diverge the
+    gate rows/oracles from the production path (ADVICE r11)."""
+    from ..operators.dedup import ADAPTIVE_PLANES_MAX
+
+    return ADAPTIVE_PLANES_MAX
 
 
 def _guarded_pair_ctes() -> str:
@@ -3276,14 +3286,15 @@ def _guarded_pair_ctes() -> str:
     MATERIALIZED: each is referenced twice by its self-join (and the
     20-plane signature is expensive to inline per reference — DuckDB
     inlines plain CTEs per reference, CLAUDE.md rule)."""
-    fsig = _duck_lsh_sig("v", 20, 42)
+    pm = _guard_pmax()
+    fsig = _duck_lsh_sig("v", pm, 42)
     b = _GUARD_BOUND
     return f"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 bn AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
 kbt AS (
   SELECT label, n,
          CASE WHEN n <= {b} THEN 0
-              ELSE LEAST(20, GREATEST({_GUARD_FLOOR},
+              ELSE LEAST({pm}, GREATEST({_GUARD_FLOOR},
                    LENGTH(BIN(((n + {b - 1}) // {b}) - 1)))) END AS kb
   FROM bn),
 small AS MATERIALIZED (
@@ -3330,6 +3341,12 @@ def d_embedding_neardup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     production flag. kb in the output certifies the chosen width per
     block (0 = exact small-block path). Scale shape: one Arrow signature
     pass + equi-join on (block, sig) — never all-pairs."""
+    return _guarded_neardup_run(spark, sf_dir, n_tables=1)
+
+
+def _guarded_neardup_run(
+    spark: SparkSession, sf_dir: str, n_tables: int
+) -> DataFrame:
     from ..operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3339,12 +3356,13 @@ def d_embedding_neardup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_block_size=_GUARD_BOUND,
         n_planes=_GUARD_FLOOR,
         dim=EMB_DIM,
+        n_tables=n_tables,
     )
     kb = (
         F.when(F.col("bn") <= _GUARD_BOUND, F.lit(0))
         .otherwise(
             F.least(
-                F.lit(20),
+                F.lit(_guard_pmax()),
                 F.greatest(
                     F.lit(_GUARD_FLOOR),
                     F.length(
@@ -3373,6 +3391,77 @@ def d_embedding_neardup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kb",
         (F.floor(F.col("cos") * 1000000) / 1000000).alias("cos_f"),
     )
+
+
+def _amplified_neardup_oracle() -> str:
+    """DuckDB replay of the OR-amplified guarded near-dup
+    (``embedding_neardup_pairs(n_tables=r)``): r independent masked
+    signatures from disjoint seeded banks (seed 42+b — table 0 is the
+    legacy bank), candidate pairs agree on (label, table, sig), and the
+    per-table candidate UNION is collapsed with DISTINCT before the
+    threshold output. The cosine per pair is computed identically for
+    every duplicate candidate within one engine, so DISTINCT over
+    (ids, block, kb, cos) is engine-stable."""
+    pm = _guard_pmax()
+    b = _GUARD_BOUND
+    sig_cols = ",\n         ".join(
+        f"({_duck_lsh_sig('v', pm, 42 + t)} & "
+        f"((CAST(1 AS BIGINT) << kbt.kb) - 1)) AS sig{t}"
+        for t in range(_GUARD_TABLES)
+    )
+    branches = "\n  UNION ALL\n".join(
+        f"""  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+         CAST(a.kb AS BIGINT) AS kb, list_cosine_similarity(a.v, b.v) AS cos
+  FROM bigv a JOIN bigv b
+    ON a.label = b.label AND a.sig{t} = b.sig{t} AND a.vec_id < b.vec_id"""
+        for t in range(_GUARD_TABLES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+bn AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+kbt AS (
+  SELECT label, n,
+         CASE WHEN n <= {b} THEN 0
+              ELSE LEAST({pm}, GREATEST({_GUARD_FLOOR},
+                   LENGTH(BIN(((n + {b - 1}) // {b}) - 1)))) END AS kb
+  FROM bn),
+small AS MATERIALIZED (
+  SELECT e.vec_id, e.label, e.v FROM e JOIN kbt USING (label)
+  WHERE kbt.n <= {b}),
+bigv AS MATERIALIZED (
+  SELECT e.vec_id, e.label, e.v, kbt.kb,
+         {sig_cols}
+  FROM e JOIN kbt USING (label) WHERE kbt.n > {b}),
+p1 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+         CAST(0 AS BIGINT) AS kb, list_cosine_similarity(a.v, b.v) AS cos
+  FROM small a JOIN small b
+    ON a.label = b.label AND a.vec_id < b.vec_id),
+p2 AS (SELECT DISTINCT * FROM (
+{branches}
+) pr),
+u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+SELECT id_a, id_b, block, kb, FLOOR(cos * 1000000) / 1000000 AS cos_f
+FROM u WHERE cos >= 0.3
+"""
+
+
+@register("d_embedding_neardup_amplified", oracle=_amplified_neardup_oracle())
+def d_embedding_neardup_amplified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OR-amplified guarded near-dup (ADVICE r11 medium): a SINGLE k-bit
+    LSH table's recall decays exponentially with k — (1-θ/π)^k puts a
+    cos=0.95 true pair at ~34% collision probability by k=10 — so the
+    guarded production chain silently loses duplicates inside exactly
+    the hot blocks the guard sub-buckets, and parity can't see it
+    because the oracle replays the same approximation. With r=4
+    independent tables (disjoint seeded plane banks, candidates OR'd)
+    recall rises to 1-(1-p)^r at 4× the bounded candidate volume;
+    measured recall vs the exact row at the zipf fixture is recorded in
+    SCALING.md. The oracle replays all four banks, the per-table masked
+    signatures, and the candidate-union DISTINCT bit-for-bit."""
+    return _guarded_neardup_run(spark, sf_dir, n_tables=_GUARD_TABLES)
 
 
 def _knn_graph_parts(
