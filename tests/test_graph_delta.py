@@ -126,3 +126,88 @@ def test_orphan_dirs_are_gc_d_and_invisible(spark, tmp_path):
     g1 = _df(spark, [(1, 2, 1, 0.9), (2, 1, 1, 0.8)])
     log.publish(g1, _ids(spark, [2]), 0)
     assert not os.path.exists(os.path.join(gdir, "delta-b7"))  # reaped
+
+
+def test_crash_between_delta_write_and_marker_rename(spark, tmp_path):
+    """Failure injection (VERDICT r11 #3, point 1): the process dies
+    AFTER the delta dirs land on disk but BEFORE the ``_LATEST`` rename.
+    The commit must be invisible — recovery reads only marker-referenced
+    dirs — and the orphaned delta dir must be reaped by the next
+    successful commit."""
+    from vector_search_spark.operators.graph_delta import GraphDeltaLog
+
+    gdir = str(tmp_path / "g")
+    log = GraphDeltaLog(spark, gdir)
+    g0 = _df(spark, [(1, 2, 1, 0.9), (2, 1, 1, 0.8)])
+    log.publish(g0, None, -1)
+
+    real_write = log._write_marker
+
+    def _boom(m):
+        raise RuntimeError("injected crash before marker rename")
+
+    log._write_marker = _boom
+    g1 = _df(spark, [(1, 9, 1, 0.99), (2, 1, 1, 0.8)])
+    try:
+        log.publish(g1, _ids(spark, [1]), 0)
+        raise AssertionError("injection did not fire")
+    except RuntimeError:
+        pass
+    # the delta dir was written, but the commit never became visible
+    assert os.path.exists(os.path.join(gdir, "delta-b0", "rows"))
+    folded, m = log.recover()
+    assert _edges(folded) == _edges(g0)  # pre-crash state, exactly
+    assert m["committed"] == -1 and m["deltas"] == []
+
+    # next successful commit (a fresh process) reaps the orphan
+    log._write_marker = real_write
+    g2 = _df(spark, [(1, 2, 1, 0.9), (2, 1, 1, 0.8), (3, 1, 1, 0.7)])
+    assert log.publish(g2, _ids(spark, [3]), 1) == "delta"
+    assert not os.path.exists(os.path.join(gdir, "delta-b0"))
+    folded, m = log.recover()
+    assert _edges(folded) == _edges(g2)
+    assert m["deltas"] == [1]
+
+
+def test_crash_between_marker_rename_and_gc(spark, tmp_path):
+    """Failure injection (VERDICT r11 #3, point 2): the process dies
+    AFTER the ``_LATEST`` rename but BEFORE ``_gc``. The commit is
+    durable (recovery sees the new state), superseded dirs linger as
+    garbage only, and the next commit reaps them."""
+    from vector_search_spark.operators.graph_delta import GraphDeltaLog
+
+    gdir = str(tmp_path / "g")
+    log = GraphDeltaLog(spark, gdir)
+    g0 = _df(spark, [(1, 2, 1, 0.9), (2, 1, 1, 0.8)])
+    log.publish(g0, None, -1)
+    g1 = _df(spark, [(1, 9, 1, 0.99), (2, 1, 1, 0.8)])
+    assert log.publish(g1, _ids(spark, [1]), 0) == "delta"
+
+    real_gc = log._gc
+
+    def _boom(m):
+        raise RuntimeError("injected crash before gc")
+
+    log._gc = _boom
+    try:
+        log.publish(g1, None, 1)  # touched=None forces a base fold
+        raise AssertionError("injection did not fire")
+    except RuntimeError:
+        pass
+    # marker renamed first: the compaction IS committed...
+    m = log.read_marker()
+    assert m["base"] == 1 and m["deltas"] == []
+    folded, _ = log.recover()
+    assert _edges(folded) == _edges(g1)
+    # ...while the superseded base + delta dirs linger un-reaped
+    assert os.path.exists(os.path.join(gdir, "base-b-1"))
+    assert os.path.exists(os.path.join(gdir, "delta-b0"))
+
+    # next commit (fresh process) garbage-collects them
+    log._gc = real_gc
+    g2 = _df(spark, [(1, 9, 1, 0.99), (2, 1, 1, 0.8), (3, 1, 1, 0.7)])
+    assert log.publish(g2, _ids(spark, [3]), 2) == "delta"
+    assert not os.path.exists(os.path.join(gdir, "base-b-1"))
+    assert not os.path.exists(os.path.join(gdir, "delta-b0"))
+    folded, _ = log.recover()
+    assert _edges(folded) == _edges(g2)

@@ -63,6 +63,50 @@ def test_compare_catches_each_drift_class(spark, monkeypatch, oracle, why):
         assert not ok and why in msg, msg
 
 
+def test_auto_digest_fallback_flips_on_big_oracle(spark, monkeypatch):
+    """VERDICT r11 #2: row mode must flip to the in-engine digest compare
+    on its own when the oracle output exceeds the size cap — and the
+    digest path must still catch value drift."""
+    import duckdb
+
+    p = _parity()
+    from vector_search_spark.plans import queries as q
+
+    df = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    monkeypatch.setenv("SPARK_GRAFT_PARITY_AUTO_DIGEST_ROWS", "0")
+    monkeypatch.setitem(
+        q.QUERIES,
+        "_gate_meta_probe",
+        q.QuerySpec(fn=None, oracle="SELECT 1 AS a, 2 AS b"),
+    )
+    ok, msg = p.compare("_gate_meta_probe", df, duckdb.connect())
+    assert ok and "auto-digest" in msg, msg
+    # drift must still FAIL through the fallback
+    monkeypatch.setitem(
+        q.QUERIES,
+        "_gate_meta_probe",
+        q.QuerySpec(fn=None, oracle="SELECT 1 AS a, 3 AS b"),
+    )
+    ok, msg = p.compare("_gate_meta_probe", df, duckdb.connect())
+    assert not ok and "auto-digest" in msg and "digest" in msg, msg
+
+
+def test_auto_digest_stays_row_mode_below_cap(spark, monkeypatch):
+    import duckdb
+
+    p = _parity()
+    from vector_search_spark.plans import queries as q
+
+    df = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    monkeypatch.setitem(
+        q.QUERIES,
+        "_gate_meta_probe",
+        q.QuerySpec(fn=None, oracle="SELECT 1 AS a, 2 AS b"),
+    )
+    ok, msg = p.compare("_gate_meta_probe", df, duckdb.connect())
+    assert ok and "auto-digest" not in msg, msg
+
+
 def test_compare_rejects_array_outputs(spark, monkeypatch):
     import duckdb
 

@@ -26,7 +26,14 @@ row crosses the driver):
 Settings: ``SPARK_GRAFT_PARITY_DIGEST=all`` digests every oracle row
 (the cross-check mode certified against row mode over the full registry
 at sf0.01), ``=name1,name2`` digests only those rows (scaled sweeps name
-the oversized outputs), unset = pure row mode (driver-gate faithful).
+the oversized outputs), unset = row mode with AUTOMATIC digest fallback
+(VERDICT r11 #2): row mode first counts the oracle output in DuckDB and
+flips to the digest compare when it exceeds
+``SPARK_GRAFT_PARITY_AUTO_DIGEST_ROWS`` (default 5,000,000) — big-output
+rows never again depend on someone remembering a knob. The count is one
+extra DuckDB execution per row; gate-scale outputs make it negligible,
+and rows big enough for it to matter are exactly the ones that must not
+be collected anyway.
 
 Usage:  python tools/parity.py [sf_dir] [query ...]
 """
@@ -217,8 +224,32 @@ def compare_digest(name: str, spark_df, con) -> tuple[bool, str]:
     return True, f"digest match ({s_dig[0]} rows, s1={s_dig[1]})"
 
 
+def auto_digest_rows() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_PARITY_AUTO_DIGEST_ROWS", "5000000")
+    )
+
+
 def compare(name: str, spark_df, con) -> tuple[bool, str]:
     import vector_search_spark  # noqa: F401  (path check)
+
+    from vector_search_spark.plans.queries import QUERIES as _Q
+
+    # AUTOMATIC digest fallback (VERDICT r11 #2): row mode collects every
+    # Spark row to the driver, which caps verifiable output size (the
+    # d_simhash_hamming_pairs class at 100x). Count the oracle output
+    # first — one cheap DuckDB execution — and flip to the in-engine
+    # digest compare when it exceeds the threshold, so oversized rows
+    # never again depend on an env knob being remembered.
+    cap = auto_digest_rows()
+    n_oracle = con.execute(
+        f"SELECT COUNT(*) FROM ({_Q[name].oracle}) t0"
+    ).fetchone()[0]
+    if n_oracle > cap:
+        ok, status = compare_digest(name, spark_df, con)
+        return ok, f"auto-digest ({n_oracle} oracle rows > {cap}): {status}"
 
     # The driver's canonicalizer sorts rows via pandas and dies on
     # array-typed cells (unhashable list). Reject them here so the local
