@@ -21,6 +21,13 @@ if REPO not in sys.path:
 # r_q18_large_orders, j_groupwise_max, a_group_concat_ordered,
 # a_count_distinct_union, w_running_sum — all sub-second and stable since
 # rounds 1-2, all still oracle-gated in the registry and parity sweeps.
+# Rotated OUT round 12 (VERDICT r11 #5, same headroom rule):
+# a_shard_packing (0.20 s), t_tfidf_terms (0.31 s), w_time_weighted_avg
+# (0.31 s) — permanently sub-second noise-class since they landed; all
+# still oracle-gated in the registry and every parity sweep. Headline
+# JSON measured 1575 chars at 55 rows after the retirement (~230 chars
+# of headroom to the driver's ~1800-char tail capture; budget ~25 chars
+# per added row).
 HEADLINE = [
     "r_q1_pricing_summary",
     "v_cosine_topk",
@@ -39,14 +46,12 @@ HEADLINE = [
     # for round-over-round comparison)
     "d_decontaminate",
     "d_dup_clusters",
-    "a_shard_packing",
     # round-3 flagship additions
     "r_q8_market_share",
     "r_q9_product_profit",
     "w_sessionize_events",
     "d_span_dedup",
     "t_lm_bigram_score",
-    "t_tfidf_terms",
     "v_quantized_knn",
     # round-4 flagship additions
     "t_bm25_topk",
@@ -82,7 +87,6 @@ HEADLINE = [
     "d_sorted_neighborhood",
     # t_vocab_coverage retired round 10 (0.27 s, stable since r6 — same
     # headroom rule)
-    "w_time_weighted_avg",
     "w_gap_fill_interpolate",
     # round-7 flagship additions
     "v_knn_graph_build",
