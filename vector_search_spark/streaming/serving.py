@@ -346,6 +346,14 @@ class DurableGraphIngest:
         )
         self.publish_secs = 0.0
         self.publish_modes: list[str] = []
+        # phase accounting (VERDICT r11 #6): where does the row's wall
+        # time actually go — base build vs per-batch insert vs publish
+        # vs the streaming engine's per-trigger scheduling floor
+        self.base_build_secs = 0.0
+        self.band_secs = 0.0
+        self.insert_secs = 0.0
+        self.drain_secs = 0.0
+        self.n_batches = 0
         self.k = k
         self.n_planes = n_planes
         self.band_bits = band_bits
@@ -356,12 +364,16 @@ class DurableGraphIngest:
         self.vec_col = vec_col
         # base corpus band table: hashed ONCE per process (Arrow pass),
         # reused by every micro-batch's candidate join — never per batch
+        import time as _time
+
         from ..operators.ann import corpus_band_keys
 
+        t0 = _time.perf_counter()
         self.bands = corpus_band_keys(
             self.base, n_planes=n_planes, band_bits=band_bits, seed=seed,
             dim=self.dim, id_col=id_col, vec_col=vec_col,
         ).localCheckpoint(eager=True)
+        self.band_secs = _time.perf_counter() - t0
         self._graph, self._committed = self._recover()
 
     # -- durability plumbing ------------------------------------------
@@ -390,8 +402,11 @@ class DurableGraphIngest:
                 g.coalesce(32).localCheckpoint(eager=True),
                 m["committed"],
             )
+        import time as _time
+
         from ..operators.ann import knn_graph_build
 
+        t0 = _time.perf_counter()
         g = (
             knn_graph_build(
                 self.base, k=self.k, n_planes=self.n_planes,
@@ -402,6 +417,7 @@ class DurableGraphIngest:
             .coalesce(32)
             .localCheckpoint(eager=True)
         )
+        self.base_build_secs = _time.perf_counter() - t0
         self._publish(g, None, -1)
         return g, -1
 
@@ -414,6 +430,9 @@ class DurableGraphIngest:
             return
         if batch_id <= self._committed:
             return  # replayed batch already in the committed snapshot
+        import time as _time
+
+        t0 = _time.perf_counter()
         updated, touched = knn_graph_insert(
             self._graph, self.base, batch_df, k=self.k,
             n_planes=self.n_planes, band_bits=self.band_bits,
@@ -424,6 +443,8 @@ class DurableGraphIngest:
         # iterative-loop rules: re-coalesce before each checkpoint or
         # unionByName SUMS partition counts across batches
         self._graph = updated.coalesce(32).localCheckpoint(eager=True)
+        self.insert_secs += _time.perf_counter() - t0
+        self.n_batches += 1
         self._publish(self._graph, touched, batch_id)
 
     def run_availablenow(self, source_glob: str, schema) -> DataFrame:
@@ -432,6 +453,9 @@ class DurableGraphIngest:
         return the grown adjacency. The source checkpoint lives under
         the same state_dir, so a restarted run skips already-ingested
         files AND recovers the matching graph snapshot."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         q = (
             self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -442,6 +466,7 @@ class DurableGraphIngest:
             .start()
         )
         q.awaitTermination()
+        self.drain_secs += _time.perf_counter() - t0
         return self._graph
 
     @property
@@ -533,7 +558,17 @@ def run_streaming_graph_ingest_availablenow(
     )
     LAST_INGEST_STATS.clear()
     LAST_INGEST_STATS.update(
-        publish_s=round(ingest.publish_secs, 3), modes=ingest.publish_modes
+        publish_s=round(ingest.publish_secs, 3),
+        modes=ingest.publish_modes,
+        # phase breakdown (VERDICT r11 #6): band hash + base build happen
+        # at construction; insert_s is the summed per-batch graph work;
+        # drain_s - insert_s - (delta publishes) is the streaming
+        # engine's per-trigger scheduling floor x n_batches
+        band_s=round(ingest.band_secs, 3),
+        base_build_s=round(ingest.base_build_secs, 3),
+        insert_s=round(ingest.insert_secs, 3),
+        drain_s=round(ingest.drain_secs, 3),
+        n_batches=ingest.n_batches,
     )
     probes = emb.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"),
