@@ -72,6 +72,12 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     tmp = os.path.join(REPO, ".scratch", "duck_tmp")
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
+    # The gate compares order-insensitively (rows sorted / digest), so
+    # DuckDB need not buffer operator outputs to preserve insertion
+    # order — at 100x that buffering spilled a 100M-row join chain past
+    # the free disk (a_graph_pagerank, round 12) while the actual hash
+    # tables were small.
+    con.execute("SET preserve_insertion_order=false")
     con.execute(
         "SET memory_limit='"
         + os.environ.get("SPARK_GRAFT_DUCK_MEM", "40GB")

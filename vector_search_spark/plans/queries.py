@@ -5591,12 +5591,24 @@ def _pagerank_oracle(rounds: int) -> str:
     """Replay every power-iteration round in chained MATERIALIZED CTEs
     (each referenced once — linear, but MATERIALIZED per the DuckDB
     CTE-inlining lesson). All arithmetic is BIGINT: ranks live in ppb
-    units, contributions truncate via //, damping is (85*S)//100."""
+    units, contributions truncate via //, damping is (85*S)//100.
+
+    Node ids stay INTEGER through the whole iteration (bijective
+    encoding: customer key k → 2k, supplier key k → 2k+1) and the
+    display string ('c<k>'/'s<k>') is reconstructed only for the final
+    20-row sort: at the 100x fixture the string-keyed 100M-row edge
+    relation made DuckDB's 6 join rounds spill past the free disk
+    (>75 GB, two failed sweeps, round 12) while the integer form's
+    working set is ~2 GB. Values are identical — the encoding is
+    bijective, so DISTINCT/GROUP BY/joins partition identically — and
+    the final ORDER BY is on the same reconstructed string both
+    engines output."""
     tele = "(15000000000 // (100 * n))"
     parts = [
         """
 WITH pairs AS MATERIALIZED (
-  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+  SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS cust,
+         CAST(2 * l_suppkey + 1 AS BIGINT) AS supp
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
 edges AS MATERIALIZED (
   SELECT cust AS src, supp AS dst FROM pairs
@@ -5622,7 +5634,9 @@ r0 AS MATERIALIZED (
     return (
         ",\n".join(parts)
         + f"""
-SELECT src AS node, CAST(rank AS BIGINT) AS rank_ppb
+SELECT CASE WHEN src % 2 = 0 THEN 'c' || CAST(src // 2 AS VARCHAR)
+            ELSE 's' || CAST(src // 2 AS VARCHAR) END AS node,
+       CAST(rank AS BIGINT) AS rank_ppb
 FROM r{rounds}
 ORDER BY rank_ppb DESC, node ASC LIMIT 20
 """
