@@ -1,8 +1,25 @@
 """Build the machine-readable 100x evidence manifest (VERDICT r11 #1):
-scan the on-disk sweep logs for per-row PASS lines, map every registered
-query to {file, line, fixture, mode} or its documented exclusion class,
-and verify the tally arithmetic mechanically — so the judge can
-recompute "N/registry on-disk" instead of trusting prose.
+scan the on-disk sweep logs for per-row PASS/FAIL lines, map every
+registered query to {file, line, fixture, mode, fixture_gen} or its
+documented exclusion class, and verify the tally arithmetic mechanically
+— so the judge can recompute "N/registry on-disk" instead of trusting
+prose.
+
+Round-13 hardening (ADVICE r12 + VERDICT r12 missing #4):
+
+- the LATEST status per row wins, PASS **or FAIL** — previously only
+  PASS lines were scanned, so a newer sweep's FAIL could be masked by
+  an older PASS. Rows whose most-recent line is FAIL land in a separate
+  ``regressed`` section and the build exits nonzero.
+- digest-mode detection matches what parity.py actually prints:
+  'auto-digest' (the automatic fallback) or ': digest match' (explicit
+  SPARK_GRAFT_PARITY_DIGEST) — the never-printed 'PASS-digest' token is
+  still accepted for safety.
+- every row records the FIXTURE GENERATION its evidence ran against:
+  parity.py now stamps each sweep with a ``# fixture_gen=<id>`` header
+  (hash of the fixture files' name/size/mtime), parsed per-log as lines
+  stream; pre-r13 logs carry the static per-log annotation with
+  ``fixture_gen: null`` so staleness is visible mechanically.
 
 Writes tools/evidence/sweep100x_manifest.json and prints the tally.
 
@@ -31,6 +48,7 @@ LOGS = [
     ("sweep100x_r11.log", ".scratch/sfx100z (round-11 regeneration)"),
     ("sweep100x_r11_session2.log", ".scratch/sfx100z (round-11 regeneration)"),
     ("sweep100x_r12.log", ".scratch/sfx100z (round-12 regeneration)"),
+    ("sweep100x_r13.log", ".scratch/sfx100z (round-13, generation-stamped)"),
 ]
 
 # Documented exclusion classes (SCALING.md, rounds 10-11): these rows
@@ -45,6 +63,7 @@ EXCLUSIONS = {
         for r in [
             "v_knn_graph_build", "v_knn_graph_serve", "v_knn_graph_serve_lsh",
             "v_knn_graph_persist", "v_knn_graph_incr", "v_knn_graph_del",
+            "v_index_service_lifecycle",
             "s_graph_serve_stream", "s_graph_ingest_serve",
         ]
     },
@@ -64,39 +83,59 @@ EXCLUSIONS = {
     },
 }
 
+_LINE = re.compile(r"\b(PASS(?:-digest)?|FAIL)\s+(\w+):")
+_GEN = re.compile(r"^#\s*fixture_gen=(\S+)")
 
-def main() -> None:
-    import re as _re
 
-    src = open(
-        os.path.join(REPO, "vector_search_spark", "plans", "queries.py")
-    ).read()
-    registry = _re.findall(r'@register\(\s*"(\w+)"', src)
+def _mode(token: str, line: str) -> str:
+    if "digest" in token:  # legacy 'PASS-digest' spelling, never printed
+        return "digest"
+    if "auto-digest" in line or ": digest match" in line:
+        return "digest"
+    return "row"
 
-    manifest: dict[str, dict] = {}
+
+def scan_logs() -> dict[str, dict]:
+    """Latest status per row across all logs in order — PASS and FAIL
+    both tracked, so a regression can never be masked by an older PASS."""
+    latest: dict[str, dict] = {}
     for fname, fixture in LOGS:
         path = os.path.join(EVIDENCE, fname)
         if not os.path.exists(path):
             continue
+        gen = None
         for lineno, line in enumerate(open(path, errors="replace"), 1):
-            for m in re.finditer(
-                r"(PASS(?:-digest)?)\s+(\w+):", line
-            ):
-                mode = "digest" if "digest" in m.group(1) else (
-                    "digest" if "auto-digest" in line else "row"
-                )
-                manifest[m.group(2)] = {
+            g = _GEN.match(line)
+            if g:
+                gen = g.group(1)
+                continue
+            for m in _LINE.finditer(line):
+                latest[m.group(2)] = {
+                    "status": "PASS" if m.group(1).startswith("PASS") else "FAIL",
                     "file": f"tools/evidence/{fname}",
                     "line": lineno,
                     "fixture": fixture,
-                    "mode": mode,
+                    "fixture_gen": gen,
+                    "mode": _mode(m.group(1), line),
                 }
+    return latest
 
-    out = {"rows": {}, "exclusions": {}, "tally": {}}
+
+def build_manifest() -> dict:
+    src = open(
+        os.path.join(REPO, "vector_search_spark", "plans", "queries.py")
+    ).read()
+    registry = re.findall(r'@register\(\s*"(\w+)"', src)
+
+    latest = scan_logs()
+    out = {"rows": {}, "regressed": {}, "exclusions": {}, "tally": {}}
     missing = []
     for name in registry:
-        if name in manifest:
-            out["rows"][name] = manifest[name]
+        rec = latest.get(name)
+        if rec is not None and rec["status"] == "FAIL":
+            out["regressed"][name] = rec
+        elif rec is not None:
+            out["rows"][name] = {k: v for k, v in rec.items() if k != "status"}
         elif name in EXCLUSIONS:
             out["exclusions"][name] = EXCLUSIONS[name]
         else:
@@ -105,19 +144,29 @@ def main() -> None:
         "registry": len(registry),
         "pass_on_disk": len(out["rows"]),
         "excluded_by_class": len(out["exclusions"]),
+        "regressed": len(out["regressed"]),
         "missing": len(missing),
         "missing_rows": missing,
     }
+    return out
+
+
+def main() -> None:
+    out = build_manifest()
     dst = os.path.join(EVIDENCE, "sweep100x_manifest.json")
     with open(dst, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     t = out["tally"]
     print(
         f"registry={t['registry']} pass_on_disk={t['pass_on_disk']} "
-        f"excluded={t['excluded_by_class']} missing={t['missing']}"
+        f"excluded={t['excluded_by_class']} regressed={t['regressed']} "
+        f"missing={t['missing']}"
     )
-    if missing:
-        print("missing:", " ".join(missing))
+    if t["missing"]:
+        print("missing:", " ".join(t["missing_rows"]))
+    if t["regressed"]:
+        print("regressed:", " ".join(sorted(out["regressed"])))
+    if t["missing"] or t["regressed"]:
         sys.exit(1)
 
 

@@ -55,6 +55,26 @@ TABLES = [
 ]
 
 
+def fixture_gen(sf_dir: str) -> str:
+    """Stable id of the fixture GENERATION under ``sf_dir`` — a hash of
+    every table file's (name, size, mtime_ns). Printed as a log header
+    by :func:`main` so evidence manifests can mechanically detect when
+    a cited PASS ran against a since-regenerated fixture (VERDICT r12
+    missing #4) instead of by archaeology."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            h.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+        except FileNotFoundError:
+            h.update(f"{t}:missing;".encode())
+    return h.hexdigest()[:12]
+
+
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
@@ -304,6 +324,10 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
+    # self-stamping evidence: every sweep log records which fixture
+    # generation its PASS/FAIL lines ran against (parsed by
+    # tools/make_100x_manifest.py)
+    print(f"# fixture_gen={fixture_gen(sf_dir)} dir={sf_dir}")
 
     # scaled sweeps exclude rows whose PINNED knobs are quadratic at the
     # fixture (band-pinned graph family -> tools/adjudicate_graph_10x.py;

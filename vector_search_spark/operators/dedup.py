@@ -914,7 +914,17 @@ def embedding_neardup_pairs(
     bounded candidate volume; duplicate candidate pairs are collapsed
     once after the join (integer pair keys — the cosine per pair is
     deterministic within an engine, so DISTINCT is engine-stable).
-    ``n_tables=1`` is bit-for-bit the legacy single-table layout."""
+    ``n_tables=1`` is bit-for-bit the legacy single-table layout.
+
+    PRODUCTION GUIDANCE (round 13, measured in
+    tools/evidence/recall_chain_r13.log): pass ``n_tables=4`` (the
+    default the composed SemDeDup chain ships,
+    ``pipe_semantic_dedup_guarded``) — single-table recall is 25-31%
+    inside oversized blocks vs 62-76% at r=4 and 81-93% at r=8, at
+    ~flat wall; at the CHAIN level (connected components → drop flags)
+    r=4 recovers 79-84% of the exact chain's drops vs 33-36% at r=1.
+    The signature default stays 1 so the oracle-exact single-table gate
+    rows remain bit-stable."""
     if n_planes > ADAPTIVE_PLANES_MAX:
         raise ValueError(
             f"embedding_neardup_pairs: n_planes={n_planes} exceeds "

@@ -153,6 +153,14 @@ def choose_index(
     ``qps_shape`` never changes the family — single-probe latency is a
     Spark scheduling floor, not an index property — it adds the
     batch/micro-batch serving caveat instead.
+
+    Related decision the chooser does NOT make: near-duplicate
+    detection over embeddings (``operators.dedup.embedding_neardup_pairs``)
+    should run OR-amplified, ``n_tables=4`` (up to 8 when recall
+    dominates cost) — a single LSH table recovers only 25-31% of true
+    pairs inside guarded hot blocks vs 62-93% at r=4..8, measured in
+    tools/evidence/recall_chain_r13.log; the composed production chain
+    (``pipe_semantic_dedup_guarded``) ships r=4.
     """
     if not 0.0 < recall_target <= 1.0:
         raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
@@ -305,8 +313,17 @@ class ServingIndex:
 
     def serve(self, probes):
         """Answer one probe batch in one plan: (probe_id, vec_id, score),
-        higher score = better, top-k per probe at the k fixed at build."""
-        return self._serve_fn(probes)
+        higher score = better, top-k per probe at the k fixed at build.
+
+        When the index is adhoc scratch (a ``close_fn`` is registered,
+        e.g. the ivf family's pid-scratch parquet), the result is
+        eagerly localCheckpoint'ed so collecting it AFTER ``close()``
+        cannot hit file-not-found on the reclaimed index files — the
+        same guard ``execute_choice`` applies (ADVICE r12)."""
+        res = self._serve_fn(probes)
+        if self._close_fn is not None:
+            res = res.localCheckpoint(eager=True)
+        return res
 
     def close(self) -> None:
         if self._close_fn is not None:

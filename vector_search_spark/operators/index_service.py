@@ -123,6 +123,7 @@ class VectorIndexService:
         k: int = 10,
         state_dir: str | None = None,
         index_path: str | None = None,
+        graph_params: dict | None = None,
     ) -> "VectorIndexService":
         """Profile the corpus, choose the family from the measured
         decision table, build the index, return the serving service.
@@ -132,7 +133,12 @@ class VectorIndexService:
         survive restarts via :meth:`recover`); static corpora get the
         chosen family through the shared :class:`ServingIndex` surface
         (``index_path`` persists the IVF index; otherwise adhoc scratch
-        reclaimed by :meth:`close`)."""
+        reclaimed by :meth:`close`). ``graph_params`` pins the graph
+        family's build knobs (k/n_planes/band_bits/rounds) instead of
+        the chooser's data-derived defaults — deployments that must
+        reproduce a specific banding (or an oracle replay) pass it; the
+        pinned values are durably recorded in the maintainer's marker
+        like any other config."""
         n = corpus.count()
         choice = choose_index(
             n, dim, recall_target=recall_target, qps_shape=qps_shape,
@@ -151,7 +157,7 @@ class VectorIndexService:
             # delete (chooser precedence 2)
             from .graph_lifecycle import GraphMaintainer
 
-            params = (
+            params = graph_params or (
                 choice.params if choice.family == "graph"
                 else _graph_defaults(n)
             )
