@@ -101,6 +101,10 @@ HEADLINE = [
     # d = delete).
     "v_knn_graph_del",
     "s_graph_ingest_serve",
+    # round-13 flagship addition: ingestion-time semantic dedup against
+    # the persisted embedding-LSH index (build+probe in the gate row;
+    # the steady-state serve half lives in split["emb"])
+    "d_embedding_persist_incr",
 ]
 
 
@@ -156,6 +160,8 @@ def main() -> None:
     # serve = min of three warm probes against the built index. Keys:
     # minhash_index = d_minhash_persist_incr, ivf_index = v_ivf_persist.
     from vector_search_spark.plans.queries import (
+        embedding_index_build,
+        embedding_index_serve,
         ivf_index_build,
         ivf_index_serve,
         minhash_index_build,
@@ -169,6 +175,7 @@ def main() -> None:
     for key, build, serve in (
         ("mh", minhash_index_build, minhash_index_serve),
         ("ivf", ivf_index_build, ivf_index_serve),
+        ("emb", embedding_index_build, embedding_index_serve),
     ):
         t0 = time.perf_counter()
         path = build(spark, sf_dir)

@@ -1,0 +1,163 @@
+"""Persisted embedding-LSH index + incremental probe
+(``embedding_index_write`` / ``embedding_probe_pairs`` — the embedding
+twin of the MinHash standing-asset pair, round 13).
+
+The DuckDB gate row ``d_embedding_persist_incr`` certifies persisted ==
+recompute CROSS-engine; these tests pin the in-Spark contracts the gate
+can't see: planted near-dups are actually recalled through the on-disk
+index, the persisted path equals an in-memory recompute of the same
+banding bit-for-bit, and the dim guard fails loudly.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions.vector import cosine_sim, l2_norm
+from vector_search_spark.operators.ann import corpus_band_keys
+from vector_search_spark.operators.dedup import (
+    embedding_index_write,
+    embedding_probe_pairs,
+)
+
+DIM = 16
+N_PLANES, BAND_BITS = 24, 6
+THRESH = 0.6
+
+
+def _vectors(spark):
+    """40 corpus vectors + 12 batch vectors; batch ids 1000..1005 are
+    tiny perturbations of corpus ids 0..5 (cos > 0.99 — true near-dups),
+    the rest are independent gaussians (cos ~ 0 at dim=16)."""
+    rng = np.random.default_rng(7)
+    corpus = rng.normal(size=(40, DIM))
+    batch = rng.normal(size=(12, DIM))
+    batch[:6] = corpus[:6] + 0.01 * rng.normal(size=(6, DIM))
+    c_rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(corpus)]
+    b_rows = [
+        (int(1000 + i), [float(x) for x in v]) for i, v in enumerate(batch)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(c_rows, schema),
+        spark.createDataFrame(b_rows, schema),
+    )
+
+
+def test_probe_recalls_planted_neardups_and_matches_recompute(
+    spark, tmp_path
+):
+    corpus, batch = _vectors(spark)
+    path = str(tmp_path / "emb_idx")
+    embedding_index_write(
+        corpus, "embedding", "vec_id", path,
+        n_planes=N_PLANES, band_bits=BAND_BITS, dim=DIM,
+    )
+    got = {
+        (r.new_id, r.corpus_id): r.cos
+        for r in embedding_probe_pairs(
+            spark, path, batch, "embedding", "vec_id",
+            threshold=THRESH, n_planes=N_PLANES, band_bits=BAND_BITS,
+            dim=DIM,
+        ).collect()
+    }
+
+    # planted near-dups (cos > 0.99) survive the banded index: a true
+    # pair misses only if ALL 4 six-bit band keys differ — at this cos
+    # each band collides with p = (1-θ/π)^6 ≈ 0.93, so all six planted
+    # pairs recall deterministically under the fixed seed
+    for i in range(6):
+        assert (1000 + i, i) in got, f"planted near-dup {i} not recalled"
+        assert got[(1000 + i, i)] > 0.99
+
+    # persisted path == in-memory recompute of the identical banding
+    # (same seed/planes/slices), candidate-for-candidate and value-exact
+    cb = corpus_band_keys(
+        corpus, N_PLANES, BAND_BITS, 42, DIM, id_col="vec_id",
+        vec_col="embedding",
+    ).select(F.col("id").alias("corpus_id"), "band", "key")
+    bb = corpus_band_keys(
+        batch, N_PLANES, BAND_BITS, 42, DIM, id_col="vec_id",
+        vec_col="embedding",
+    ).select(F.col("id").alias("new_id"), "band", "key")
+    cands = cb.join(bb, ["band", "key"]).select("new_id", "corpus_id").distinct()
+    cv = corpus.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("v_c"),
+        l2_norm("embedding").alias("nrm_c"),
+    )
+    bv = batch.select(
+        F.col("vec_id").alias("new_id"),
+        F.col("embedding").alias("v_n"),
+        l2_norm("embedding").alias("nrm_n"),
+    )
+    want = {
+        (r.new_id, r.corpus_id): r.cos
+        for r in cands.join(cv, "corpus_id").join(bv, "new_id")
+        .withColumn("cos", cosine_sim("v_n", "v_c", "nrm_n", "nrm_c"))
+        .filter(F.col("cos") >= THRESH)
+        .collect()
+    }
+    assert got == want  # same pairs, bit-identical JVM-fold cosines
+
+
+def test_index_layout_band_partitioned(spark, tmp_path):
+    corpus, _ = _vectors(spark)
+    path = str(tmp_path / "emb_idx2")
+    embedding_index_write(
+        corpus, "embedding", "vec_id", path,
+        n_planes=N_PLANES, band_bits=BAND_BITS, dim=DIM,
+    )
+    bands = spark.read.parquet(f"{path}/bands")
+    assert sorted(
+        r.band for r in bands.select("band").distinct().collect()
+    ) == [0, 1, 2, 3]
+    # one (band, key) row per (vector, band): probe cost is a key join
+    assert bands.count() == 40 * (N_PLANES // BAND_BITS)
+    vecs = spark.read.parquet(f"{path}/vecs")
+    assert vecs.columns == ["id", "v", "nrm"]
+    assert vecs.count() == 40
+
+
+def test_dim_guard_fails_loudly(spark, tmp_path):
+    corpus, batch = _vectors(spark)
+    with pytest.raises(ValueError, match="requires dim="):
+        embedding_index_write(corpus, "embedding", "vec_id", "/tmp/x")
+    with pytest.raises(ValueError, match="requires dim="):
+        embedding_probe_pairs(spark, "/tmp/x", batch, "embedding", "vec_id")
+
+
+def test_streaming_chained_equals_oneshot(spark, sf_dir):
+    """The streaming row's batching-invariance pin: draining the new
+    rows through maxFilesPerTrigger=1 micro-batch probes equals the
+    one-shot probe of all new rows against the same persisted index."""
+    from vector_search_spark.config import EMB_DIM
+    from vector_search_spark.plans.queries import _EPI_BITS, _EPI_PLANES
+    from vector_search_spark.sources.catalog import load_table
+    from vector_search_spark.streaming.serving import (
+        run_streaming_semantic_dedup_availablenow,
+    )
+
+    streamed = {
+        (r.new_id, r.corpus_id): r.cos
+        for r in run_streaming_semantic_dedup_availablenow(
+            spark, sf_dir, n_new=100, threshold=0.3,
+            n_planes=_EPI_PLANES, band_bits=_EPI_BITS,
+        ).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    import os
+
+    from vector_search_spark.utils import pid_scratch
+
+    idx_path = os.path.join(pid_scratch("semdedup_idx", sf_dir), "idx_n100")
+    oneshot = {
+        (r.new_id, r.corpus_id): r.cos
+        for r in embedding_probe_pairs(
+            spark, idx_path, emb.filter(F.col("vec_id") < 100),
+            "embedding", "vec_id", threshold=0.3,
+            n_planes=_EPI_PLANES, band_bits=_EPI_BITS, dim=EMB_DIM,
+        ).collect()
+    }
+    assert streamed == oneshot
+    assert streamed  # nonempty at the test fixture

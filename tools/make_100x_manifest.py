@@ -67,6 +67,21 @@ EXCLUSIONS = {
             "s_graph_serve_stream", "s_graph_ingest_serve",
         ]
     },
+    # Same protocol, dedup side (round 13): the gate row pins the
+    # persisted index's band width (32/8) so the oracle replays the exact
+    # band keys; candidate volume per probe row is corpus/2^k per band,
+    # so a FIXED k is quadratic-ish across two decades by construction —
+    # the operator contract sizes band_bits to the corpus at build time
+    # (ceil_log2(n/target_bucket)). Certified at the salted 10x fixture
+    # in the round-13 sweep instead.
+    "d_embedding_persist_incr": {
+        "class": "band-pinned index config",
+        "certificate": "salted 10x sweep (parity_10x log)",
+    },
+    "s_semantic_dedup_ingest": {
+        "class": "band-pinned index config",
+        "certificate": "salted 10x sweep (parity_10x log)",
+    },
     **{
         r: {
             "class": "quadratic by semantics at the zipf hot block",

@@ -1631,6 +1631,133 @@ def minhash_probe_pairs(
     )
 
 
+def embedding_index_write(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    n_planes: int = 24,
+    band_bits: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+    write_partitions: int | None = None,
+) -> None:
+    """Write the corpus' hyperplane-LSH near-dup index to disk — the
+    embedding twin of :func:`minhash_index_write` (the standing-asset
+    shape: build once per corpus, probe per delivery). Layout: ``bands/``
+    — the (band, key, id) bucket table partitioned by band, one Arrow
+    signature pass over the corpus (``corpus_band_keys``; the interpreted
+    JVM fold costs ~ms/row × n_planes and serialized a 200k-row corpus
+    onto one 326 s task, round 9) — and ``vecs/`` — (id, v, nrm) for the
+    exact cosine re-rank, norms folded ONCE at build time so a 100 TB
+    serve path never refolds the corpus.
+
+    Band layout is the graph family's (one seeded plane bank sliced into
+    ``n_planes // band_bits`` disjoint ``band_bits``-bit keys, OR'd at
+    probe time) — recall amplification is the BAND COUNT, the same knob
+    `knn_graph_build` exposes; 24/6 = 4 bands is the measured production
+    floor (SCALING.md round-13 recall tables). Size ``band_bits`` ~
+    ceil_log2(corpus / target_bucket) at build time: buckets then stay
+    ~target-sized and each probe row touches O(bands × bucket) corpus
+    rows, never the corpus itself.
+
+    ``write_partitions``: default = one writer task per band (fine while
+    bands ≪ cores); a 100 TB build passes an explicit count and gets
+    (band, id)-hashed writer tasks so parallelism is not capped at the
+    band count (same contract as ``minhash_index_write``)."""
+    if dim is None:
+        raise ValueError("embedding_index_write requires dim=")
+    from .ann import corpus_band_keys
+
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).localCheckpoint(eager=True)
+    banded = corpus_band_keys(
+        src, n_planes, band_bits, seed, dim, id_col="id", vec_col="v"
+    )
+    n_bands = n_planes // band_bits
+    if write_partitions:
+        banded = banded.repartition(write_partitions, "band", "id")
+    else:
+        banded = banded.repartition(n_bands, "band")
+    banded.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    src.select("id", "v", l2_norm("v").alias("nrm")).coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vecs")
+
+
+def embedding_probe_pairs(
+    spark,
+    path: str,
+    batch: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.3,
+    n_planes: int = 24,
+    band_bits: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic-dedup an incoming batch against a PERSISTED embedding-LSH
+    index (:func:`embedding_index_write`) — ingestion-time near-dup at
+    O(batch) cost: batch vectors are signed in one Arrow pass (the batch
+    is delivery-sized but NOT bounded — at a 100 TB corpus a delivery is
+    still millions of rows, so the corpus-band contract applies to it
+    too), band keys bucket-join against the on-disk band table, and
+    candidates re-rank with EXACT cosine over the stored (v, nrm) —
+    corpus vectors are read for candidates only, never re-signed, norms
+    never refolded. Returns (new_id, corpus_id, cos >= threshold).
+
+    Join hints: the banded batch and the candidate list are
+    delivery-sized — broadcast THEM against the corpus-sized index scans,
+    never the reverse (broadcast-hint rule: bounded by the delivery
+    contract, not by data size — a corpus-sized mistake here degrades to
+    shuffle, it does not OOM, because only the small sides carry hints)."""
+    if dim is None:
+        raise ValueError("embedding_probe_pairs requires dim=")
+    from .ann import corpus_band_keys
+
+    idx_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col("id").alias("corpus_id"), "band", "key"
+    )
+    idx_vecs = spark.read.parquet(f"{path}/vecs").select(
+        F.col("id").alias("corpus_id"),
+        F.col("v").alias("v_c"),
+        F.col("nrm").alias("nrm_c"),
+    )
+    # checkpoint: the banding branch and the re-rank branch both consume
+    # the batch relation from SEPARATE jobs (bands join action vs final
+    # collect) — without the cut the Arrow sign pass runs per consumer
+    src = batch.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).localCheckpoint(eager=False)
+    b_banded = corpus_band_keys(
+        src, n_planes, band_bits, seed, dim, id_col="id", vec_col="v"
+    ).select(F.col("id").alias("new_id"), "band", "key")
+    cands = (
+        idx_bands.join(F.broadcast(b_banded), ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    return (
+        F.broadcast(cands)
+        .join(idx_vecs, "corpus_id")
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("id").alias("new_id"),
+                    F.col("v").alias("v_n"),
+                    l2_norm("v").alias("nrm_n"),
+                )
+            ),
+            "new_id",
+        )
+        .withColumn("cos", cosine_sim("v_n", "v_c", "nrm_n", "nrm_c"))
+        .filter(F.col("cos") >= threshold)
+        .select("new_id", "corpus_id", "cos")
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 2
 ) -> DataFrame:
