@@ -161,3 +161,58 @@ def test_streaming_chained_equals_oneshot(spark, sf_dir):
     }
     assert streamed == oneshot
     assert streamed  # nonempty at the test fixture
+
+
+def test_admit_loop_matches_sequential_batch_replay(spark, sf_dir, tmp_path):
+    """Dedup-then-admit pin: the streamed loop equals a hand-driven
+    sequential probe+insert replay in batch mode, every emitted pair's
+    corpus row was admitted strictly before the probe's delivery, and
+    the cross-delivery class is actually exercised at the test fixture."""
+    from vector_search_spark.config import EMB_DIM
+    from vector_search_spark.operators.dedup import (
+        embedding_index_insert,
+        embedding_index_write,
+    )
+    from vector_search_spark.plans.queries import _EPI_BITS, _EPI_PLANES
+    from vector_search_spark.sources.catalog import load_table
+    from vector_search_spark.streaming.serving import (
+        run_streaming_semantic_dedup_admit_availablenow,
+    )
+
+    streamed = {
+        (r.new_id, r.corpus_id): r.cos
+        for r in run_streaming_semantic_dedup_admit_availablenow(
+            spark, sf_dir, n_new=90, batch_rows=30, threshold=0.3,
+            n_planes=_EPI_PLANES, band_bits=_EPI_BITS,
+        ).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "admit_idx")
+    embedding_index_write(
+        emb.filter(F.col("vec_id") >= 90), "embedding", "vec_id", path,
+        n_planes=_EPI_PLANES, band_bits=_EPI_BITS, dim=EMB_DIM,
+    )
+    replay = {}
+    for i in range(3):
+        batch = emb.filter(F.expr("vec_id DIV 30") == i).filter(
+            F.col("vec_id") < 90
+        )
+        replay.update(
+            {
+                (r.new_id, r.corpus_id): r.cos
+                for r in embedding_probe_pairs(
+                    spark, path, batch, "embedding", "vec_id",
+                    threshold=0.3, n_planes=_EPI_PLANES,
+                    band_bits=_EPI_BITS, dim=EMB_DIM,
+                ).collect()
+            }
+        )
+        embedding_index_insert(
+            batch, "embedding", "vec_id", path,
+            n_planes=_EPI_PLANES, band_bits=_EPI_BITS, dim=EMB_DIM,
+        )
+    assert streamed == replay
+    assert all(
+        c >= 90 or c // 30 < n // 30 for (n, c) in streamed
+    )  # admitted-before-probe invariant
+    assert any(c < 90 for (_, c) in streamed)  # cross-delivery exercised

@@ -82,6 +82,10 @@ EXCLUSIONS = {
         "class": "band-pinned index config",
         "certificate": "salted 10x sweep (parity_10x log)",
     },
+    "s_semantic_dedup_admit": {
+        "class": "band-pinned index config",
+        "certificate": "salted 10x sweep (parity_10x log)",
+    },
     **{
         r: {
             "class": "quadratic by semantics at the zipf hot block",

@@ -1686,6 +1686,46 @@ def embedding_index_write(
     ).parquet(f"{path}/vecs")
 
 
+def embedding_index_insert(
+    batch: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    n_planes: int = 24,
+    band_bits: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+) -> None:
+    """ADMIT a delivery into a persisted embedding-LSH index
+    (:func:`embedding_index_write` layout): the batch's band keys append
+    to ``bands/`` (into the existing band= partitions) and its
+    (vector, norm) rows append to ``vecs/`` — O(batch) IO, the index is
+    never rewritten. Appends are the LSM shape without the compaction
+    debt tombstones create: band rows are immutable facts about a
+    vector, so the only maintenance a long-lived index needs is an
+    occasional small-file rewrite (a plain parquet rewrite of the two
+    dirs), not merge logic. After the insert, `embedding_probe_pairs`
+    over the same path sees base ∪ admitted deliveries — the
+    dedup-then-admit loop every streaming corpus build runs."""
+    if dim is None:
+        raise ValueError("embedding_index_insert requires dim=")
+    from .ann import corpus_band_keys
+
+    src = batch.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).localCheckpoint(eager=True)  # two writes consume it
+    banded = corpus_band_keys(
+        src, n_planes, band_bits, seed, dim, id_col="id", vec_col="v"
+    )
+    n_bands = n_planes // band_bits
+    banded.repartition(n_bands, "band").write.mode("append").partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+    src.select("id", "v", l2_norm("v").alias("nrm")).coalesce(
+        1
+    ).write.mode("append").parquet(f"{path}/vecs")
+
+
 def embedding_probe_pairs(
     spark,
     path: str,

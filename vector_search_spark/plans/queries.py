@@ -3624,6 +3624,78 @@ def s_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_admit_oracle(n_new: int = 90, batch_rows: int = 30) -> str:
+    """Replay of the DEDUP-THEN-ADMIT loop: delivery membership is a
+    pure function of the id (vec_id DIV batch_rows; -1 = base corpus),
+    and a pair (n, c) is emitted iff c was admitted before n's delivery
+    — base, or a strictly earlier batch. Same signature/band-key/re-rank
+    chain as ``_emb_persist_oracle``."""
+    nb = _EPI_PLANES // _EPI_BITS
+    mask = (1 << _EPI_BITS) - 1
+    return f"""
+WITH e AS (SELECT vec_id,
+                  CASE WHEN vec_id >= {n_new} THEN -1
+                       ELSE vec_id // {batch_rows} END AS bno,
+                  embedding::DOUBLE[] AS v
+           FROM embeddings),
+s AS MATERIALIZED (
+  SELECT vec_id, bno, v, {_duck_lsh_sig("v", _EPI_PLANES, 42)} AS sig
+  FROM e),
+b AS MATERIALIZED (
+  SELECT vec_id, bno, t.band,
+         ((sig >> (t.band * {_EPI_BITS})) & {mask}) AS key
+  FROM s, (SELECT unnest(generate_series(0, {nb - 1})) AS band) t),
+cands AS (
+  SELECT DISTINCT n.vec_id AS new_id, c.vec_id AS corpus_id
+  FROM b n JOIN b c ON n.band = c.band AND n.key = c.key
+  WHERE n.bno >= 0 AND (c.bno = -1 OR c.bno < n.bno)),
+r AS (
+  SELECT cd.new_id, cd.corpus_id,
+         list_cosine_similarity(sn.v, sc.v) AS cos
+  FROM cands cd JOIN s sn ON sn.vec_id = cd.new_id
+                JOIN s sc ON sc.vec_id = cd.corpus_id)
+SELECT new_id AS new_id, corpus_id AS corpus_id,
+       FLOOR(cos * 1000000) / 1000000 AS cos_f
+FROM r WHERE cos >= {_GUARD_THRESH}
+"""
+
+
+@register("s_semantic_dedup_admit", oracle=_emb_admit_oracle())
+def s_semantic_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming DEDUP-THEN-ADMIT loop (round 13): each
+    delivery (3 single-file micro-batches of 30 vectors, file-source
+    order pinned by strictly increasing mtimes) probes the persisted
+    index for near-dups against everything admitted so far — base
+    corpus ∪ EARLIER DELIVERIES — and is then admitted itself via
+    O(batch) band/vec appends (``embedding_index_insert``). This is the
+    cross-delivery duplicate class the static-index streaming row is
+    blind to by design, and the loop a 100 TB streaming corpus build
+    actually runs (quarantine near-dups, admit the rest — here every
+    row is admitted so the oracle stays a pure function of the ids).
+    The oracle replays delivery membership arithmetically
+    (vec_id DIV 30, -1 = base) and emits (n, c) iff batch(c) < batch(n)
+    — any batching drift, stale index read, or missed admit changes the
+    pair set and fails the value gate."""
+    from ..streaming.serving import (
+        run_streaming_semantic_dedup_admit_availablenow,
+    )
+
+    res = run_streaming_semantic_dedup_admit_availablenow(
+        spark,
+        sf_dir,
+        n_new=90,
+        batch_rows=30,
+        threshold=_GUARD_THRESH,
+        n_planes=_EPI_PLANES,
+        band_bits=_EPI_BITS,
+    )
+    return res.select(
+        "new_id",
+        "corpus_id",
+        (F.floor(F.col("cos") * 1000000) / 1000000).alias("cos_f"),
+    )
+
+
 def _knn_graph_parts(
     k: int, n_planes: int, band_bits: int, rounds: int,
     corpus_where: str = "",

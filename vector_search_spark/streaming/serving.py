@@ -742,3 +742,125 @@ def run_streaming_semantic_dedup_availablenow(
     return spark.createDataFrame(
         matched, "new_id long, corpus_id long, cos double"
     )
+
+
+# invocation counter for run_streaming_semantic_dedup_admit_availablenow:
+# the admit loop MUTATES its index (deliveries join the corpus), so each
+# invocation deploys a fresh index dir — reuse would leak admitted rows
+# into the next trial's base state
+_ADMIT_INVOCATION = 0
+
+
+def run_streaming_semantic_dedup_admit_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    n_new: int = 90,
+    batch_rows: int = 30,
+    threshold: float = 0.3,
+    n_planes: int = 32,
+    band_bits: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """The full DEDUP-THEN-ADMIT ingest loop (round 13): every delivery
+    first probes the persisted index for near-dups against EVERYTHING
+    ADMITTED SO FAR (base corpus ∪ earlier deliveries), then is admitted
+    itself (``embedding_index_insert`` — O(batch) band/vec appends).
+    Later deliveries therefore dedup against earlier ones — the
+    cross-delivery duplicate class the static-index row
+    (``s_semantic_dedup_ingest``) is blind to by design.
+
+    Delivery ORDER is part of the semantics here (a pair (n, c) is
+    emitted iff c was admitted before n's delivery), so the stream's
+    batching is pinned, not assumed: each delivery is staged as ONE
+    parquet file with strictly increasing mtimes (the file source orders
+    by modification time; maxFilesPerTrigger=1 makes batch i == delivery
+    i), and delivery membership is a pure function of the id
+    (vec_id DIV batch_rows) — which is exactly what the DuckDB oracle
+    replays: matches where batch(c) = -1 (base) OR batch(c) < batch(n).
+    Restart safety rides the file-source checkpoint: a replayed batch
+    re-probes the same admitted set only if the insert did not commit —
+    the same at-least-once window every foreachBatch sink has; admits
+    are idempotent at the pair level because candidates collapse with
+    DISTINCT and re-appended band rows duplicate candidates, not pairs."""
+    import os
+    import shutil
+    import time as _time
+
+    from ..config import EMB_DIM
+    from ..operators.dedup import (
+        embedding_index_insert,
+        embedding_index_write,
+        embedding_probe_pairs,
+    )
+    from ..sources.catalog import load_table
+    from ..utils import pid_scratch
+
+    dim = EMB_DIM if dim is None else dim
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_files = n_new // batch_rows
+    global _ADMIT_INVOCATION
+    _ADMIT_INVOCATION += 1
+    idx_path = os.path.join(
+        pid_scratch("semadmit_idx", sf_dir), f"inv{_ADMIT_INVOCATION}"
+    )
+    shutil.rmtree(idx_path, ignore_errors=True)
+    embedding_index_write(
+        emb.filter(F.col("vec_id") >= n_new),
+        "embedding", "vec_id", idx_path,
+        n_planes=n_planes, band_bits=band_bits, dim=dim,
+    )
+    src_path = os.path.join(
+        pid_scratch("semadmit_src", sf_dir),
+        f"staged_n{n_new}_b{batch_rows}",
+    )
+    if not os.path.exists(os.path.join(src_path, "_STAGED")):
+        os.makedirs(src_path, exist_ok=True)
+        for i in range(n_files):
+            tmp = os.path.join(src_path, f"_tmp{i}")
+            emb.filter(
+                F.expr(f"vec_id DIV {batch_rows}") == i
+            ).filter(F.col("vec_id") < n_new).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src_path, f"delivery_{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            # strictly increasing mtimes pin the file-source order
+            os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+        open(os.path.join(src_path, "_STAGED"), "w").close()
+    deliveries = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_path, "*.parquet"))
+    )
+    matched: list = []
+
+    def _probe_then_admit(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)  # probe + insert
+        matched.extend(
+            embedding_probe_pairs(
+                spark, idx_path, batch_df, "embedding", "vec_id",
+                threshold=threshold, n_planes=n_planes,
+                band_bits=band_bits, dim=dim,
+            ).collect()
+        )
+        embedding_index_insert(
+            batch_df, "embedding", "vec_id", idx_path,
+            n_planes=n_planes, band_bits=band_bits, dim=dim,
+        )
+
+    q = (
+        deliveries.writeStream.foreachBatch(_probe_then_admit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(idx_path, ignore_errors=True)
+    return spark.createDataFrame(
+        matched, "new_id long, corpus_id long, cos double"
+    )
