@@ -784,7 +784,6 @@ def run_streaming_semantic_dedup_admit_availablenow(
     DISTINCT and re-appended band rows duplicate candidates, not pairs."""
     import os
     import shutil
-    import time as _time
 
     from ..config import EMB_DIM
     from ..operators.dedup import (
