@@ -89,3 +89,21 @@ def test_digest_mode_detection():
     assert mod._mode(m.group(1), expl) == "digest"
     m = mod._LINE.search(row)
     assert mod._mode(m.group(1), row) == "row"
+
+
+def test_config_stale_discards_retired_config_evidence():
+    """A 100x PASS that measured a RETIRED configuration must not keep
+    certifying the new one: records for rows in CONFIG_STALE_BEFORE that
+    come from logs older than the cutoff are discarded (the round-13
+    case: pipe_semantic_dedup_guarded's r11 PASS measured n_tables=1;
+    the row now runs the r=4 amplified generator and carries the
+    transitive-closure-oracle exclusion + adjudication certificate)."""
+    mod = _load_builder()
+    out = mod.build_manifest()
+    row = out["rows"].get("pipe_semantic_dedup_guarded")
+    if row is not None:  # a post-cutoff sweep line exists — must be r13+
+        assert "r13" in row["file"] or "r1[4-9]" != row["file"]
+        assert "r11" not in row["file"] and "r12" not in row["file"]
+    else:
+        exc = out["exclusions"]["pipe_semantic_dedup_guarded"]
+        assert "adjudicat" in exc["certificate"]

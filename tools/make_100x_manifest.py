@@ -100,6 +100,31 @@ EXCLUSIONS = {
         "class": "fixture-shape artifact (whole corpus in one stream-stream trigger)",
         "certificate": "green at 10x (parity_10x log)",
     },
+    # Round 13: the amplified chain's r=4 pairs snap the 100x hot label
+    # (40,238 vectors) into ONE cluster, so the row's transitive-closure
+    # ORACLE needs ~1.6e9 (id,lab) rows and cannot finish — the ENGINE's
+    # checkpointed pointer-halving CC is O(E log d) and fine. The pairs
+    # are value-certified at 100x by the gate (shared CTE generator with
+    # d_embedding_neardup_amplified); the chain is adjudicated exactly.
+    "pipe_semantic_dedup_guarded": {
+        "class": "transitive-closure oracle quadratic at the 100x hot cluster",
+        "certificate": (
+            "pairs value-exact at 100x (d_embedding_neardup_amplified) + "
+            "chain adjudicated vs min-id union-find over the certified "
+            "pair replay (tools/probes/adjudicate_chain_100x.py, "
+            "sweep100x_r13.log)"
+        ),
+    },
+}
+
+# Rows whose 100x evidence was invalidated by a CONFIG change (not a
+# fixture regeneration): records from logs OLDER than the named log are
+# discarded, so a PASS that measured a retired configuration can never
+# keep certifying the new one. pipe_semantic_dedup_guarded switched from
+# n_tables=1 to the r=4 amplified pair generator in round 13 — its r11
+# 100x PASS measured the retired config.
+CONFIG_STALE_BEFORE = {
+    "pipe_semantic_dedup_guarded": "sweep100x_r13.log",
 }
 
 _LINE = re.compile(r"\b(PASS(?:-digest)?|FAIL)\s+(\w+):")
@@ -118,6 +143,7 @@ def scan_logs() -> dict[str, dict]:
     """Latest status per row across all logs in order — PASS and FAIL
     both tracked, so a regression can never be masked by an older PASS."""
     latest: dict[str, dict] = {}
+    log_order = {fname: i for i, (fname, _) in enumerate(LOGS)}
     for fname, fixture in LOGS:
         path = os.path.join(EVIDENCE, fname)
         if not os.path.exists(path):
@@ -129,6 +155,11 @@ def scan_logs() -> dict[str, dict]:
                 gen = g.group(1)
                 continue
             for m in _LINE.finditer(line):
+                cutoff = CONFIG_STALE_BEFORE.get(m.group(2))
+                if cutoff is not None and log_order[fname] < log_order.get(
+                    cutoff, 0
+                ):
+                    continue  # evidence for a retired configuration
                 latest[m.group(2)] = {
                     "status": "PASS" if m.group(1).startswith("PASS") else "FAIL",
                     "file": f"tools/evidence/{fname}",
