@@ -100,10 +100,14 @@ def test_config_stale_discards_retired_config_evidence():
     transitive-closure-oracle exclusion + adjudication certificate)."""
     mod = _load_builder()
     out = mod.build_manifest()
+    import re
+
     row = out["rows"].get("pipe_semantic_dedup_guarded")
     if row is not None:  # a post-cutoff sweep line exists — must be r13+
-        assert "r13" in row["file"] or "r1[4-9]" != row["file"]
-        assert "r11" not in row["file"] and "r12" not in row["file"]
+        # (ADVICE r13: the old first assert compared a literal regex
+        # STRING to the filename — always true, so only r11/r12 were
+        # actually excluded and a stale r10 record would have passed)
+        assert re.search(r"sweep100x_r1[3-9]", row["file"]), row["file"]
     else:
         exc = out["exclusions"]["pipe_semantic_dedup_guarded"]
         assert "adjudicat" in exc["certificate"]

@@ -156,9 +156,13 @@ def scan_logs() -> dict[str, dict]:
                 continue
             for m in _LINE.finditer(line):
                 cutoff = CONFIG_STALE_BEFORE.get(m.group(2))
-                if cutoff is not None and log_order[fname] < log_order.get(
-                    cutoff, 0
-                ):
+                # log_order[cutoff], not .get(cutoff, 0): a mistyped or
+                # unreg'd cutoff log must raise, not silently disable the
+                # staleness filter and let retired-config evidence keep
+                # certifying the row (ADVICE r13)
+                if cutoff is not None and log_order[fname] < log_order[
+                    cutoff
+                ]:
                     continue  # evidence for a retired configuration
                 latest[m.group(2)] = {
                     "status": "PASS" if m.group(1).startswith("PASS") else "FAIL",

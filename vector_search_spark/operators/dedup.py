@@ -20,6 +20,8 @@ are handled by AQE skew-join splitting.
 
 from __future__ import annotations
 
+import os
+
 from typing import Optional
 
 import numpy as np
@@ -29,6 +31,18 @@ from pyspark.sql import functions as F
 
 from ..functions.text import distinct_tokens, minhash_signature, poly_hash
 from ..functions.vector import cosine_sim, l2_norm
+
+# Probe-path broadcast gate (VERDICT r13 #2): a delivery is
+# delivery-sized but NOT bounded — at a 100 TB corpus one delivery is
+# still millions of rows, and Spark honors an explicit broadcast hint
+# REGARDLESS of size, so an unconditional hint on the batch side is a
+# hard failure (>8 GB broadcast error / executor OOM), not a graceful
+# degrade. The probe functions therefore hint the delivery-derived
+# relations only while the batch's ESTIMATED in-memory footprint stays
+# under this bound; past it they emit the unhinted plan and let
+# AQE/shuffle carry it. One batch-sized count() job funds the check —
+# noise next to the probe itself.
+PROBE_BROADCAST_MAX_BYTES = 128 << 20
 
 # Cap on the adaptive per-block LSH bit width in embedding_neardup_pairs:
 # 20 bits = ~1M sub-buckets, enough to hold the expected bucket at
@@ -1564,15 +1578,26 @@ def minhash_probe_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    broadcast_max_bytes: int | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against a persisted corpus index: batch
     rows are shingled/signed (O(batch) only), bucket-joined against the
     on-disk band table, and candidates re-rank with exact Jaccard over
     the STORED corpus sets — corpus text is never read, let alone
     re-shingled. Returns (new_id, corpus_id, jaccard >= threshold).
-    Join hints: the banded batch and its candidates are delivery-sized —
-    broadcast them against the corpus-sized index scans, never the
-    reverse."""
+
+    Join hints are GATED, not unconditional: the banded batch and its
+    candidate list broadcast against the corpus-sized index scans only
+    while the batch's estimated footprint (rows × (signature + a
+    conservative shingle-set allowance)) stays under
+    ``broadcast_max_bytes`` (default :data:`PROBE_BROADCAST_MAX_BYTES`).
+    A corpus-scale delivery therefore falls back to the unhinted
+    AQE/shuffle plan instead of OOMing — an explicit hint would be
+    honored at any size. The candidate list is a join OUTPUT
+    (delivery × bucket occupancy); its boundedness rides the band-sizing
+    contract (buckets ~target-sized when ``band_bits`` ≈
+    ceil_log2(corpus / target_bucket)), so it shares the batch gate
+    rather than getting its own count job."""
     rows_per_band = n_hashes // bands
     idx_bands = spark.read.parquet(f"{path}/bands").select(
         F.col("id").alias("corpus_id"), "band", "key"
@@ -1590,6 +1615,21 @@ def minhash_probe_pairs(
     sig_src = _shingle_sign_units(
         batch, text_col, id_col, shingle_n, n_hashes
     ).localCheckpoint(eager=False)
+    # broadcast gate: sig row = n_hashes int64 signature + the hashed
+    # shingle set (conservatively allowed 2 KiB — a longer-than-that doc
+    # set overshoots the estimate by its own factor, and the gate's job
+    # is order-of-magnitude OOM protection, not byte precision)
+    limit = (
+        PROBE_BROADCAST_MAX_BYTES
+        if broadcast_max_bytes is None
+        else broadcast_max_bytes
+    )
+    n_batch = sig_src.count()  # materializes the lazy checkpoint too
+    hint = (
+        F.broadcast
+        if n_batch * (8 * n_hashes + 2048) <= limit
+        else (lambda df: df)
+    )
     b_banded = sig_src.select(
         "id",
         F.explode(
@@ -1609,20 +1649,21 @@ def minhash_probe_pairs(
         ).alias("bk"),
     ).select(F.col("id").alias("new_id"), "bk.band", "bk.key")
     cands = (
-        idx_bands.join(F.broadcast(b_banded), ["band", "key"])
+        idx_bands.join(hint(b_banded), ["band", "key"])
         .select("new_id", "corpus_id")
         .distinct()
     )
     inter = F.size(F.array_intersect("tk", "tk_c")).cast("double")
     union = F.size(F.array_union("tk", "tk_c"))
-    # broadcast the delivery-sized candidate list against the corpus-sized
-    # sets scan: AQE sizes joins from PRE-filter relation stats (CLAUDE.md,
-    # the v_matryoshka_knn bite), so without the hint this statically plans
-    # as a SortMergeJoin that shuffles the whole sets table
+    # under the gate, broadcast the delivery-sized candidate list against
+    # the corpus-sized sets scan: AQE sizes joins from PRE-filter relation
+    # stats (CLAUDE.md, the v_matryoshka_knn bite), so without the hint
+    # this statically plans as a SortMergeJoin that shuffles the whole
+    # sets table — the right fallback ABOVE the gate, waste below it
     return (
-        F.broadcast(cands).join(idx_sets, "corpus_id")
+        hint(cands).join(idx_sets, "corpus_id")
         .join(
-            F.broadcast(sig_src.select(F.col("id").alias("new_id"), "tk")),
+            hint(sig_src.select(F.col("id").alias("new_id"), "tk")),
             "new_id",
         )
         .withColumn("jaccard", inter / union)
@@ -1686,6 +1727,43 @@ def embedding_index_write(
     ).parquet(f"{path}/vecs")
 
 
+def _delta_batch_dirs(delta_path: str, max_batch_id: int | None) -> list[str]:
+    """COMMITTED delta subdirs (``batch=<id>`` carrying a ``_SUCCESS``
+    marker) under an index's delta root, optionally windowed to batches
+    strictly below ``max_batch_id``. A crashed half-written insert has
+    no marker and stays invisible until its replay overwrites the dir —
+    the same orphan-invisibility contract ``GraphDeltaLog`` gets from
+    its ``_LATEST`` marker."""
+    if not os.path.isdir(delta_path):
+        return []
+    out = []
+    for d in os.listdir(delta_path):
+        if not d.startswith("batch="):
+            continue
+        bid = int(d.split("=", 1)[1])
+        if max_batch_id is not None and bid >= max_batch_id:
+            continue
+        if os.path.exists(os.path.join(delta_path, d, "_SUCCESS")):
+            out.append(os.path.join(delta_path, d))
+    return sorted(out)
+
+
+def _next_batch_id(path: str) -> int:
+    """Next free delta batch id for an index dir — max over EVERY
+    ``batch=`` subdir (committed or crash-partial, either delta root) + 1,
+    so an auto-assigned id never lands on a torn dir it didn't write."""
+    ids = [-1]
+    for sub in ("delta_bands", "delta_vecs"):
+        p = os.path.join(path, sub)
+        if os.path.isdir(p):
+            ids.extend(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(p)
+                if d.startswith("batch=")
+            )
+    return max(ids) + 1
+
+
 def embedding_index_insert(
     batch: DataFrame,
     vec_col: str,
@@ -1695,22 +1773,41 @@ def embedding_index_insert(
     band_bits: int = 6,
     dim: int | None = None,
     seed: int = 42,
+    batch_id: int | None = None,
+    write_partitions: int | None = None,
 ) -> None:
     """ADMIT a delivery into a persisted embedding-LSH index
-    (:func:`embedding_index_write` layout): the batch's band keys append
-    to ``bands/`` (into the existing band= partitions) and its
-    (vector, norm) rows append to ``vecs/`` — O(batch) IO, the index is
-    never rewritten. Appends are the LSM shape without the compaction
-    debt tombstones create: band rows are immutable facts about a
-    vector, so the only maintenance a long-lived index needs is an
-    occasional small-file rewrite (a plain parquet rewrite of the two
-    dirs), not merge logic. After the insert, `embedding_probe_pairs`
-    over the same path sees base ∪ admitted deliveries — the
-    dedup-then-admit loop every streaming corpus build runs."""
+    (:func:`embedding_index_write` layout): the batch's band keys and
+    (vector, norm) rows commit as ONE batch-keyed delta each —
+    ``delta_bands/batch=<id>/`` and ``delta_vecs/batch=<id>/`` — written
+    with OVERWRITE semantics, O(batch) IO, the base index never
+    rewritten. Batch-keyed overwrite is what makes a replayed
+    ``foreachBatch`` delivery idempotent (VERDICT r13 #1): re-running
+    the same ``batch_id`` replaces its own delta instead of appending a
+    duplicate copy of the batch's vec rows (a plain ``vecs/`` append
+    would make every future probe emit each matching pair twice).
+    ``_SUCCESS`` doubles as the commit marker — a crash mid-write leaves
+    an unmarked dir :func:`_delta_batch_dirs` never reads.
+
+    ``batch_id``: pass the stream's ``foreachBatch`` id for replay
+    safety; ``None`` auto-assigns the next free id (the batch-mode
+    convenience — sequential inserts behave exactly like the old append
+    path, minus the duplication hazard). ``write_partitions``: default =
+    one writer task per band for the delta's band rows and a handful of
+    files for its vec rows; a large delivery passes an explicit count
+    (same contract as :func:`embedding_index_write` — never a forced
+    single writer task).
+
+    Maintenance stays the LSM-without-tombstones shape: deltas are
+    immutable facts about admitted vectors, so compaction is a plain
+    parquet rewrite folding ``delta_*/`` into ``bands/``/``vecs/``, not
+    merge logic."""
     if dim is None:
         raise ValueError("embedding_index_insert requires dim=")
     from .ann import corpus_band_keys
 
+    if batch_id is None:
+        batch_id = _next_batch_id(path)
     src = batch.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).localCheckpoint(eager=True)  # two writes consume it
@@ -1718,12 +1815,18 @@ def embedding_index_insert(
         src, n_planes, band_bits, seed, dim, id_col="id", vec_col="v"
     )
     n_bands = n_planes // band_bits
-    banded.repartition(n_bands, "band").write.mode("append").partitionBy(
-        "band"
-    ).parquet(f"{path}/bands")
-    src.select("id", "v", l2_norm("v").alias("nrm")).coalesce(
-        1
-    ).write.mode("append").parquet(f"{path}/vecs")
+    if write_partitions:
+        banded = banded.repartition(write_partitions, "band", "id")
+        vecs = src.repartition(write_partitions)
+    else:
+        banded = banded.repartition(n_bands, "band")
+        vecs = src.coalesce(8)
+    banded.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/delta_bands/batch={batch_id}"
+    )
+    vecs.select("id", "v", l2_norm("v").alias("nrm")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/delta_vecs/batch={batch_id}")
 
 
 def embedding_probe_pairs(
@@ -1737,30 +1840,62 @@ def embedding_probe_pairs(
     band_bits: int = 6,
     dim: int | None = None,
     seed: int = 42,
+    max_batch_id: int | None = None,
+    broadcast_max_bytes: int | None = None,
 ) -> DataFrame:
     """Semantic-dedup an incoming batch against a PERSISTED embedding-LSH
-    index (:func:`embedding_index_write`) — ingestion-time near-dup at
-    O(batch) cost: batch vectors are signed in one Arrow pass (the batch
-    is delivery-sized but NOT bounded — at a 100 TB corpus a delivery is
-    still millions of rows, so the corpus-band contract applies to it
-    too), band keys bucket-join against the on-disk band table, and
-    candidates re-rank with EXACT cosine over the stored (v, nrm) —
-    corpus vectors are read for candidates only, never re-signed, norms
-    never refolded. Returns (new_id, corpus_id, cos >= threshold).
+    index (:func:`embedding_index_write`, plus any deltas admitted by
+    :func:`embedding_index_insert`) — ingestion-time near-dup at
+    O(batch) cost: batch vectors are signed in one Arrow pass, band keys
+    bucket-join against the on-disk band table, and candidates re-rank
+    with EXACT cosine over the stored (v, nrm) — corpus vectors are read
+    for candidates only, never re-signed, norms never refolded. Returns
+    (new_id, corpus_id, cos >= threshold).
 
-    Join hints: the banded batch and the candidate list are
-    delivery-sized — broadcast THEM against the corpus-sized index scans,
-    never the reverse (broadcast-hint rule: bounded by the delivery
-    contract, not by data size — a corpus-sized mistake here degrades to
-    shuffle, it does not OOM, because only the small sides carry hints)."""
+    ``max_batch_id``: probe against base ∪ deltas with batch id STRICTLY
+    BELOW it (None = everything committed). The dedup-then-admit loop
+    passes its ``foreachBatch`` id here, which makes batch replay exactly
+    idempotent: a replayed delivery probes the same admitted-before set
+    whether or not its own insert committed — it can never see its own
+    (possibly re-written) delta, so no self-pairs and no duplicated
+    pairs. Crash-partial deltas (no ``_SUCCESS``) are never read.
+
+    Join hints are GATED on the batch's estimated footprint
+    (rows × vector bytes vs ``broadcast_max_bytes``, default
+    :data:`PROBE_BROADCAST_MAX_BYTES`): under the gate the banded batch,
+    the candidate list, and the batch-with-vectors broadcast against the
+    corpus-sized scans (AQE would otherwise SMJ them — it sizes joins
+    from pre-filter stats); over it the probe emits the unhinted plan
+    and degrades to shuffle instead of OOMing — Spark honors an explicit
+    hint at ANY size, so the gate, not the hint, is the safety. The
+    candidate list is a join output whose boundedness rides the
+    band-sizing contract (``band_bits`` ≈ ceil_log2(corpus /
+    target_bucket) keeps buckets ~target-sized), so it shares the batch
+    gate rather than paying its own count job."""
     if dim is None:
         raise ValueError("embedding_probe_pairs requires dim=")
     from .ann import corpus_band_keys
 
-    idx_bands = spark.read.parquet(f"{path}/bands").select(
+    idx_bands = spark.read.parquet(f"{path}/bands").select("id", "band", "key")
+    idx_vecs = spark.read.parquet(f"{path}/vecs").select("id", "v", "nrm")
+    d_bands = _delta_batch_dirs(f"{path}/delta_bands", max_batch_id)
+    if d_bands:
+        idx_bands = idx_bands.unionByName(
+            spark.read.option("basePath", f"{path}/delta_bands")
+            .parquet(*d_bands)
+            .select("id", "band", "key")
+        )
+    d_vecs = _delta_batch_dirs(f"{path}/delta_vecs", max_batch_id)
+    if d_vecs:
+        idx_vecs = idx_vecs.unionByName(
+            spark.read.option("basePath", f"{path}/delta_vecs")
+            .parquet(*d_vecs)
+            .select("id", "v", "nrm")
+        )
+    idx_bands = idx_bands.select(
         F.col("id").alias("corpus_id"), "band", "key"
     )
-    idx_vecs = spark.read.parquet(f"{path}/vecs").select(
+    idx_vecs = idx_vecs.select(
         F.col("id").alias("corpus_id"),
         F.col("v").alias("v_c"),
         F.col("nrm").alias("nrm_c"),
@@ -1771,19 +1906,28 @@ def embedding_probe_pairs(
     src = batch.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).localCheckpoint(eager=False)
+    limit = (
+        PROBE_BROADCAST_MAX_BYTES
+        if broadcast_max_bytes is None
+        else broadcast_max_bytes
+    )
+    n_batch = src.count()  # materializes the lazy checkpoint too
+    hint = (
+        F.broadcast if n_batch * (dim * 8 + 64) <= limit else (lambda df: df)
+    )
     b_banded = corpus_band_keys(
         src, n_planes, band_bits, seed, dim, id_col="id", vec_col="v"
     ).select(F.col("id").alias("new_id"), "band", "key")
     cands = (
-        idx_bands.join(F.broadcast(b_banded), ["band", "key"])
+        idx_bands.join(hint(b_banded), ["band", "key"])
         .select("new_id", "corpus_id")
         .distinct()
     )
     return (
-        F.broadcast(cands)
+        hint(cands)
         .join(idx_vecs, "corpus_id")
         .join(
-            F.broadcast(
+            hint(
                 src.select(
                     F.col("id").alias("new_id"),
                     F.col("v").alias("v_n"),

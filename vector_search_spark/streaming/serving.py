@@ -699,8 +699,13 @@ def run_streaming_semantic_dedup_availablenow(
 
     dim = EMB_DIM if dim is None else dim
     emb = load_table(spark, sf_dir, "embeddings")
+    # the staged dir is keyed by EVERY knob the index content depends on
+    # (ADVICE r13: keyed by n_new alone, a same-process call with other
+    # banding knobs silently probed a mismatched plane bank — band keys
+    # simply failed to collide, pairs went missing with no error)
     idx_path = os.path.join(
-        pid_scratch("semdedup_idx", sf_dir), f"idx_n{n_new}"
+        pid_scratch("semdedup_idx", sf_dir),
+        f"idx_n{n_new}_p{n_planes}b{band_bits}d{dim}",
     )
     if not os.path.exists(os.path.join(idx_path, "vecs", "_SUCCESS")):
         embedding_index_write(
@@ -751,6 +756,46 @@ def run_streaming_semantic_dedup_availablenow(
 _ADMIT_INVOCATION = 0
 
 
+def semantic_admit_batch(
+    spark: SparkSession,
+    idx_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    threshold: float,
+    n_planes: int,
+    band_bits: int,
+    dim: int,
+) -> list:
+    """ONE dedup-then-admit step, replay-idempotent by construction —
+    the body of the streaming loop's ``foreachBatch`` callback, exposed
+    so the crash-injection test (tests/test_embedding_persist.py) can
+    drive the exact at-least-once window a real sink has.
+
+    The probe is windowed to deltas admitted STRICTLY BEFORE this batch
+    (``max_batch_id=batch_id``) and the insert commits under this
+    batch's own id with overwrite semantics
+    (``embedding_index_insert(batch_id=...)``), so a replayed delivery —
+    crash after the insert committed but before the source checkpoint
+    did — probes the identical admitted-before set (it cannot see its
+    own delta) and its re-insert replaces rather than duplicates. The
+    emitted PAIR LIST is therefore a pure function of (batch, batch_id,
+    index state below batch_id): same pairs on every replay."""
+    from ..operators.dedup import embedding_index_insert, embedding_probe_pairs
+
+    batch_df = batch_df.localCheckpoint(eager=True)  # probe + insert
+    pairs = embedding_probe_pairs(
+        spark, idx_path, batch_df, "embedding", "vec_id",
+        threshold=threshold, n_planes=n_planes, band_bits=band_bits,
+        dim=dim, max_batch_id=batch_id,
+    ).collect()
+    embedding_index_insert(
+        batch_df, "embedding", "vec_id", idx_path,
+        n_planes=n_planes, band_bits=band_bits, dim=dim,
+        batch_id=batch_id,
+    )
+    return pairs
+
+
 def run_streaming_semantic_dedup_admit_availablenow(
     spark: SparkSession,
     sf_dir: str,
@@ -777,26 +822,29 @@ def run_streaming_semantic_dedup_admit_availablenow(
     i), and delivery membership is a pure function of the id
     (vec_id DIV batch_rows) — which is exactly what the DuckDB oracle
     replays: matches where batch(c) = -1 (base) OR batch(c) < batch(n).
-    Restart safety rides the file-source checkpoint: a replayed batch
-    re-probes the same admitted set only if the insert did not commit —
-    the same at-least-once window every foreachBatch sink has; admits
-    are idempotent at the pair level because candidates collapse with
-    DISTINCT and re-appended band rows duplicate candidates, not pairs."""
+
+    Restart safety is structural, not assumed (round 14 — the r13 claim
+    that plain appends were pair-idempotent was FALSE for the vecs side):
+    each step runs :func:`semantic_admit_batch`, which probes deltas
+    STRICTLY BELOW its own ``foreachBatch`` id and commits its insert
+    UNDER that id with overwrite semantics — a replayed delivery (crash
+    after the insert committed, before the checkpoint did) re-emits the
+    identical pair list and its re-insert replaces its own delta instead
+    of duplicating vec rows. Pinned by the crash-injection test in
+    tests/test_embedding_persist.py."""
     import os
     import shutil
 
     from ..config import EMB_DIM
-    from ..operators.dedup import (
-        embedding_index_insert,
-        embedding_index_write,
-        embedding_probe_pairs,
-    )
+    from ..operators.dedup import embedding_index_write
     from ..sources.catalog import load_table
     from ..utils import pid_scratch
 
     dim = EMB_DIM if dim is None else dim
     emb = load_table(spark, sf_dir, "embeddings")
-    n_files = n_new // batch_rows
+    # ceil: a trailing partial delivery still ships (ADVICE r13 — floor
+    # silently dropped the tail rows the oracle still expects)
+    n_files = -(-n_new // batch_rows)
     global _ADMIT_INVOCATION
     _ADMIT_INVOCATION += 1
     idx_path = os.path.join(
@@ -837,20 +885,14 @@ def run_streaming_semantic_dedup_admit_availablenow(
     )
     matched: list = []
 
-    def _probe_then_admit(batch_df: DataFrame, _batch_id: int) -> None:
+    def _probe_then_admit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df = batch_df.localCheckpoint(eager=True)  # probe + insert
         matched.extend(
-            embedding_probe_pairs(
-                spark, idx_path, batch_df, "embedding", "vec_id",
-                threshold=threshold, n_planes=n_planes,
-                band_bits=band_bits, dim=dim,
-            ).collect()
-        )
-        embedding_index_insert(
-            batch_df, "embedding", "vec_id", idx_path,
-            n_planes=n_planes, band_bits=band_bits, dim=dim,
+            semantic_admit_batch(
+                spark, idx_path, batch_df, batch_id,
+                threshold, n_planes, band_bits, dim,
+            )
         )
 
     q = (
