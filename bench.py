@@ -170,22 +170,31 @@ def main() -> None:
 
     # Compact keys keep the final line inside the driver's ~2000-char tail
     # capture at 65 headline rows: mh = d_minhash_persist_incr's index,
-    # ivf = v_ivf_persist's index; b = build once, s = min-of-3 warm serve.
+    # ivf = v_ivf_persist's index; b = min-of-2 build, s = min-of-3 warm
+    # serve, l = 1-min loadavg when the family was timed (VERDICT r13 #6:
+    # single-shot builds made the split unusable exactly when a drift
+    # needed adjudicating — r13's gr.b read 35.4 s at loadavg 12-15).
+    def _min_of(n: int, f):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = f()
+            best = min(best, time.perf_counter() - t0)
+        return out, best
+
     split: dict[str, dict[str, float]] = {}
     for key, build, serve in (
         ("mh", minhash_index_build, minhash_index_serve),
         ("ivf", ivf_index_build, ivf_index_serve),
         ("emb", embedding_index_build, embedding_index_serve),
     ):
-        t0 = time.perf_counter()
-        path = build(spark, sf_dir)
-        build_t = time.perf_counter() - t0
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            serve(spark, sf_dir, path).collect()
-            best = min(best, time.perf_counter() - t0)
-        split[key] = {"b": round(build_t, 2), "s": round(best, 2)}
+        path, build_t = _min_of(2, lambda: build(spark, sf_dir))
+        _, best = _min_of(3, lambda: serve(spark, sf_dir, path).collect())
+        split[key] = {
+            "b": round(build_t, 2),
+            "s": round(best, 2),
+            "l": round(os.getloadavg()[0], 1),
+        }
 
     # gr = k-NN-graph build / beam-search serve (v_knn_graph_serve's two
     # halves, round 8): build once at the gate config, serve = min-of-3
@@ -196,16 +205,19 @@ def main() -> None:
     from vector_search_spark.sources.catalog import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    t0 = time.perf_counter()
-    graph = knn_graph_build(
-        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM
-    ).localCheckpoint(eager=True)
-    build_t = time.perf_counter() - t0
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        knn_graph_serve(graph, emb, _probes(emb, 3), k=10, beam=8, rounds=2).collect()
-        best = min(best, time.perf_counter() - t0)
+    graph, build_t = _min_of(
+        2,
+        lambda: knn_graph_build(
+            emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42,
+            dim=EMB_DIM,
+        ).localCheckpoint(eager=True),
+    )
+    _, best = _min_of(
+        3,
+        lambda: knn_graph_serve(
+            graph, emb, _probes(emb, 3), k=10, beam=8, rounds=2
+        ).collect(),
+    )
     # i = steady-state INCREMENTAL insert against the prebuilt graph
     # (v_knn_graph_incr's op without the rebuild the gate row pays)
     from vector_search_spark.operators.ann import (
@@ -248,6 +260,7 @@ def main() -> None:
     split["gr"] = {
         "b": round(build_t, 2), "s": round(best, 2),
         "i": round(besti, 2), "d": round(bestd, 2),
+        "l": round(os.getloadavg()[0], 1),
     }
     # p = cumulative durable-publish wall inside the LAST
     # s_graph_ingest_serve run (the delta-log snapshot stage, VERDICT
