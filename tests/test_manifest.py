@@ -111,3 +111,33 @@ def test_config_stale_discards_retired_config_evidence():
     else:
         exc = out["exclusions"]["pipe_semantic_dedup_guarded"]
         assert "adjudicat" in exc["certificate"]
+
+
+def test_rotation_queue_drains_null_stamps_oldest_first():
+    """The staleness-retirement policy (VERDICT r13 #5) is CI-visible
+    arithmetic, not prose: the rotation queue is exactly the N
+    oldest-evidenced PASS rows whose record still carries
+    ``fixture_gen: null``, ordered (log recency, line) ascending — and
+    re-running a queued row in a newer generation-stamped log removes it
+    from the queue (latest-wins), so the null count is monotone down."""
+    mod = _load_builder()
+    out = mod.build_manifest()
+    order = {
+        f"tools/evidence/{fname}": i for i, (fname, _) in enumerate(mod.LOGS)
+    }
+    nulls = sorted(
+        (order[rec["file"]], rec["line"], name)
+        for name, rec in out["rows"].items()
+        if rec["fixture_gen"] is None
+    )
+    q = mod.rotation_queue(20)
+    assert q == [name for _, _, name in nulls[:20]]
+    assert len(mod.rotation_queue(10**6)) == len(nulls)  # full drain view
+    # every queued row is unstamped; every unqueued stamped row is not
+    for name in q:
+        assert out["rows"][name]["fixture_gen"] is None
+    # the policy's backing invariant: stamped + unstamped == pass_on_disk
+    stamped = sum(
+        1 for r in out["rows"].values() if r["fixture_gen"] is not None
+    )
+    assert stamped + len(nulls) == out["tally"]["pass_on_disk"]
