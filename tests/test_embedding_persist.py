@@ -382,3 +382,97 @@ def test_staged_semdedup_index_keyed_by_knobs(spark, sf_dir, tmp_path):
     }
     assert streamed == oneshot
     assert streamed  # nonempty at the test fixture
+
+
+def test_compact_folds_deltas_behind_atomic_marker(spark, tmp_path):
+    """Lifecycle completion (round 14): compaction folds committed
+    deltas into a new base GENERATION, probes are unchanged before vs
+    after (same pairs, same multiplicity), the windowed probe still
+    honors batch boundaries across the fold, a crash before the marker
+    replace leaves readers on the old base, and folded batch ids are
+    never reused by auto-assignment."""
+    from vector_search_spark.operators import dedup as D
+
+    corpus, batch = _vectors(spark)
+    path = str(tmp_path / "idx")
+    embedding_index_write(
+        corpus, "embedding", "vec_id", path,
+        n_planes=N_PLANES, band_bits=BAND_BITS, dim=DIM,
+    )
+    ins = dict(n_planes=N_PLANES, band_bits=BAND_BITS, dim=DIM)
+    b0 = batch.filter(F.col("vec_id") < 1006)
+    b1 = batch.filter(F.col("vec_id") >= 1006)
+    D.embedding_index_insert(b0, "embedding", "vec_id", path, batch_id=0, **ins)
+    D.embedding_index_insert(b1, "embedding", "vec_id", path, batch_id=1, **ins)
+    before_all = _probe_rows(spark, path, batch)
+    before_w1 = _probe_rows(spark, path, batch, max_batch_id=1)
+
+    # crash injection: both new-gen dirs written, marker never replaced
+    real_replace = os.replace
+    import builtins  # noqa: F401  (keep monkey-scope obvious)
+
+    def _boom(src, dst):
+        if dst.endswith("_BASE"):
+            raise RuntimeError("injected crash before marker replace")
+        return real_replace(src, dst)
+
+    os.replace = _boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            D.embedding_index_compact(spark, path, upto_batch_id=1)
+    finally:
+        os.replace = real_replace
+    assert _probe_rows(spark, path, batch) == before_all  # old base read
+    assert D._index_marker(path)["gen"] == 0
+
+    # the retry commits: fold batch 0 only (upto = last committed ckpt)
+    out = D.embedding_index_compact(spark, path, upto_batch_id=1)
+    assert out["gen"] == 1 and out["folded_batches"] == [0]
+    assert out["folded_upto"] == 1
+    assert _probe_rows(spark, path, batch) == before_all
+    # windowed probe across the fold: batch 0 now lives in the base,
+    # batch 1 is still a delta the window must exclude
+    assert _probe_rows(spark, path, batch, max_batch_id=1) == before_w1
+    # folded dirs reaped; original base superseded
+    assert not os.path.exists(f"{path}/delta_bands/batch=0")
+    assert not os.path.exists(f"{path}/bands")
+    assert os.path.exists(f"{path}/bands_g1/_SUCCESS")
+    # auto ids continue past the fold (never reuse a folded id)
+    assert D._next_batch_id(path) == 2
+
+    # fold the rest; a second compaction advances the generation
+    out2 = D.embedding_index_compact(spark, path)
+    assert out2["gen"] == 2 and out2["folded_batches"] == [1]
+    assert _probe_rows(spark, path, batch) == before_all
+    assert not os.path.exists(f"{path}/bands_g1")
+    # idempotent no-op when nothing is committed below the bound
+    assert D.embedding_index_compact(spark, path)["folded_batches"] == []
+
+
+def test_compact_skips_half_committed_batch(spark, tmp_path):
+    """A batch whose bands side committed but whose vecs side did not
+    (crash between the insert's two writes) must NOT be folded — its
+    replay completes it; baking the half in would be permanent."""
+    import shutil
+
+    from vector_search_spark.operators import dedup as D
+
+    corpus, batch = _vectors(spark)
+    path = str(tmp_path / "idx")
+    embedding_index_write(
+        corpus, "embedding", "vec_id", path,
+        n_planes=N_PLANES, band_bits=BAND_BITS, dim=DIM,
+    )
+    ins = dict(n_planes=N_PLANES, band_bits=BAND_BITS, dim=DIM)
+    D.embedding_index_insert(
+        batch, "embedding", "vec_id", path, batch_id=0, **ins
+    )
+    shutil.rmtree(f"{path}/delta_vecs/batch=0")  # simulate the torn insert
+    out = D.embedding_index_compact(spark, path)
+    assert out["folded_batches"] == [] and out["gen"] == 0
+    assert os.path.exists(f"{path}/delta_bands/batch=0")  # left for replay
+    # the replay completes the batch; now it folds
+    D.embedding_index_insert(
+        batch, "embedding", "vec_id", path, batch_id=0, **ins
+    )
+    assert D.embedding_index_compact(spark, path)["folded_batches"] == [0]

@@ -101,6 +101,10 @@ EXCLUSIONS = {
         "class": "band-pinned index config",
         "certificate": "salted 10x sweep (parity_10x log)",
     },
+    "d_embedding_persist_compact": {
+        "class": "band-pinned index config",
+        "certificate": "salted 10x sweep (parity_10x log)",
+    },
     **{
         r: {
             "class": "quadratic by semantics at the zipf hot block",

@@ -1748,11 +1748,42 @@ def _delta_batch_dirs(delta_path: str, max_batch_id: int | None) -> list[str]:
     return sorted(out)
 
 
+def _index_marker(path: str) -> dict:
+    """The index's base-generation marker (``_BASE``): ``gen`` names the
+    current compacted base (0 = the original ``bands``/``vecs`` layout,
+    N > 0 = ``bands_gN``/``vecs_gN``) and ``folded_upto`` is the
+    exclusive upper bound of delta batch ids already folded into it.
+    Atomically replaced (tmp + ``os.replace``) by
+    :func:`embedding_index_compact` — the ``GraphDeltaLog._LATEST``
+    pattern: a crash mid-compaction leaves the marker (and so every
+    reader) on the old base; orphan new-gen dirs are overwritten or GC'd
+    by the next successful compaction."""
+    m = os.path.join(path, "_BASE")
+    if os.path.exists(m):
+        import json
+
+        with open(m) as fh:
+            return json.load(fh)
+    return {"gen": 0, "folded_upto": 0}
+
+
+def _base_dirs(path: str) -> tuple[str, str]:
+    """(bands_dir, vecs_dir) of the CURRENT base generation."""
+    g = _index_marker(path)["gen"]
+    if g == 0:
+        return f"{path}/bands", f"{path}/vecs"
+    return f"{path}/bands_g{g}", f"{path}/vecs_g{g}"
+
+
 def _next_batch_id(path: str) -> int:
     """Next free delta batch id for an index dir — max over EVERY
-    ``batch=`` subdir (committed or crash-partial, either delta root) + 1,
-    so an auto-assigned id never lands on a torn dir it didn't write."""
-    ids = [-1]
+    ``batch=`` subdir (committed or crash-partial, either delta root)
+    and the marker's ``folded_upto``, + 1 past the dirs — so an
+    auto-assigned id never lands on a torn dir it didn't write NOR
+    reuses an id compaction already folded into the base (a reused
+    folded id would make a later windowed probe read the new delta as
+    if it were the old batch)."""
+    ids = [_index_marker(path)["folded_upto"] - 1]
     for sub in ("delta_bands", "delta_vecs"):
         p = os.path.join(path, sub)
         if os.path.isdir(p):
@@ -1800,8 +1831,8 @@ def embedding_index_insert(
 
     Maintenance stays the LSM-without-tombstones shape: deltas are
     immutable facts about admitted vectors, so compaction is a plain
-    parquet rewrite folding ``delta_*/`` into ``bands/``/``vecs/``, not
-    merge logic."""
+    parquet rewrite folding ``delta_*/`` into a new base generation —
+    :func:`embedding_index_compact`, not merge logic."""
     if dim is None:
         raise ValueError("embedding_index_insert requires dim=")
     from .ann import corpus_band_keys
@@ -1827,6 +1858,106 @@ def embedding_index_insert(
     vecs.select("id", "v", l2_norm("v").alias("nrm")).write.mode(
         "overwrite"
     ).parquet(f"{path}/delta_vecs/batch={batch_id}")
+
+
+def embedding_index_compact(
+    spark,
+    path: str,
+    upto_batch_id: int | None = None,
+    write_partitions: int | None = None,
+) -> dict:
+    """FOLD admitted deltas into the base index — the compaction the
+    insert path's LSM contract promises (small-file debt is the only
+    maintenance appended band/vec facts accrue; there are no tombstones
+    to merge). Reads base ∪ committed deltas below ``upto_batch_id``
+    (None = all committed), rewrites both relations as a NEW base
+    generation (``bands_gN``/``vecs_gN``), atomically advances the
+    ``_BASE`` marker, then GCs the folded delta dirs and superseded base
+    — the ``GraphDeltaLog`` commit shape: a crash before the marker
+    replace leaves every reader on the old base (orphan new-gen dirs are
+    overwritten by the retry); a crash after it leaves garbage dirs the
+    next compaction reaps. O(index) IO — run on a delta-count/row-ratio
+    policy, never per delivery.
+
+    ``upto_batch_id`` is the REPLAY-SAFETY boundary, not a convenience:
+    fold only batches whose source checkpoint has COMMITTED (a streaming
+    loop passes its last committed ``foreachBatch`` id). Folding an
+    uncommitted batch would bake its rows into the base, where a replay's
+    windowed probe (``max_batch_id``) can no longer exclude them.
+    Single-writer, like the insert path. Returns
+    {"gen", "folded_batches", "folded_upto"}."""
+    import shutil
+
+    marker = _index_marker(path)
+    d_bands = _delta_batch_dirs(f"{path}/delta_bands", upto_batch_id)
+    d_vecs = _delta_batch_dirs(f"{path}/delta_vecs", upto_batch_id)
+    # fold only batches committed on BOTH sides: a crash between the
+    # insert's two writes leaves a bands-only batch that its replay will
+    # complete — baking the half in would make the gap permanent
+    ids_b = {int(d.rsplit("=", 1)[1]) for d in d_bands}
+    ids_v = {int(d.rsplit("=", 1)[1]) for d in d_vecs}
+    folded = sorted(ids_b & ids_v)
+    d_bands = [d for d in d_bands if int(d.rsplit("=", 1)[1]) in ids_v]
+    d_vecs = [d for d in d_vecs if int(d.rsplit("=", 1)[1]) in ids_b]
+    if not folded:
+        return {
+            "gen": marker["gen"],
+            "folded_batches": [],
+            "folded_upto": marker["folded_upto"],
+        }
+    bands_dir, vecs_dir = _base_dirs(path)
+    bands = spark.read.parquet(bands_dir).select("id", "band", "key")
+    bands = bands.unionByName(
+        spark.read.option("basePath", f"{path}/delta_bands")
+        .parquet(*d_bands)
+        .select("id", "band", "key")
+    )
+    vecs = spark.read.parquet(vecs_dir).select("id", "v", "nrm")
+    if d_vecs:
+        vecs = vecs.unionByName(
+            spark.read.option("basePath", f"{path}/delta_vecs")
+            .parquet(*d_vecs)
+            .select("id", "v", "nrm")
+        )
+    gen = marker["gen"] + 1
+    if write_partitions:
+        bands = bands.repartition(write_partitions, "band", "id")
+        vecs = vecs.repartition(write_partitions)
+    else:
+        # one writer task per band (the write-path default); band count
+        # read from the data — the index dir does not record its knobs
+        n_bands = bands.select("band").distinct().count()
+        bands = bands.repartition(max(n_bands, 1), "band")
+        vecs = vecs.coalesce(8)
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/bands_g{gen}"
+    )
+    vecs.write.mode("overwrite").parquet(f"{path}/vecs_g{gen}")
+    new_marker = {
+        "gen": gen,
+        "folded_upto": max(marker["folded_upto"], folded[-1] + 1),
+    }
+    import json
+
+    tmp = os.path.join(path, "_BASE.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(new_marker, fh)
+    os.replace(tmp, os.path.join(path, "_BASE"))
+    # -- GC: folded deltas + every base dir that is not the new gen ------
+    for d in d_bands + d_vecs:
+        shutil.rmtree(d, ignore_errors=True)
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d in ("bands", "vecs"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif d.startswith("bands_g") or d.startswith("vecs_g"):
+            if int(d.rsplit("_g", 1)[1]) != gen:
+                shutil.rmtree(full, ignore_errors=True)
+    return {
+        "gen": gen,
+        "folded_batches": folded,
+        "folded_upto": new_marker["folded_upto"],
+    }
 
 
 def embedding_probe_pairs(
@@ -1876,8 +2007,9 @@ def embedding_probe_pairs(
         raise ValueError("embedding_probe_pairs requires dim=")
     from .ann import corpus_band_keys
 
-    idx_bands = spark.read.parquet(f"{path}/bands").select("id", "band", "key")
-    idx_vecs = spark.read.parquet(f"{path}/vecs").select("id", "v", "nrm")
+    bands_dir, vecs_dir = _base_dirs(path)
+    idx_bands = spark.read.parquet(bands_dir).select("id", "band", "key")
+    idx_vecs = spark.read.parquet(vecs_dir).select("id", "v", "nrm")
     d_bands = _delta_batch_dirs(f"{path}/delta_bands", max_batch_id)
     if d_bands:
         idx_bands = idx_bands.unionByName(

@@ -3696,6 +3696,67 @@ def s_semantic_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d_embedding_persist_compact",
+    oracle=_emb_persist_oracle("vec_id >= 75 AND vec_id < 100"),
+)
+def d_embedding_persist_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPACTION of the persisted embedding-LSH index under the value
+    gate (round 14 — completes the lifecycle the insert path's LSM
+    contract promises: write → probe → admit → COMPACT): base index on
+    vec_id >= 100; deliveries 0-2 admitted as batch-keyed deltas (25 ids
+    each); ``embedding_index_compact(upto_batch_id=2)`` folds batches
+    0-1 into a new base GENERATION behind the atomic ``_BASE`` marker
+    (batch 2 stays a live delta — the mid-stream shape); then delivery 3
+    (vec_id 75..99) probes with ``max_batch_id=3``, reading new-base ∪
+    remaining delta. The oracle replays the whole cross-set pipeline
+    from scratch with is_new = vec_id ∈ [75,100) — a fold that drops,
+    duplicates, or mis-keys a single band/vec row changes the pair set
+    or its multiplicity and fails the gate. Scale shape: compaction is
+    O(index) by design (run on a delta-count policy, never per
+    delivery); probe cost unchanged — O(batch) against the standing
+    asset."""
+    import shutil
+
+    from ..operators.dedup import (
+        embedding_index_compact,
+        embedding_index_insert,
+        embedding_index_write,
+        embedding_probe_pairs,
+    )
+    from ..utils import pid_scratch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = pid_scratch("emb_index_compact", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)  # mutating row: fresh state
+    knobs = dict(n_planes=_EPI_PLANES, band_bits=_EPI_BITS, dim=EMB_DIM)
+    embedding_index_write(
+        emb.filter(F.col("vec_id") >= 100), "embedding", "vec_id", path,
+        **knobs,
+    )
+    for i in range(3):
+        embedding_index_insert(
+            emb.filter(
+                (F.col("vec_id") >= i * 25) & (F.col("vec_id") < (i + 1) * 25)
+            ),
+            "embedding", "vec_id", path, batch_id=i, **knobs,
+        )
+    embedding_index_compact(spark, path, upto_batch_id=2)
+    pairs = embedding_probe_pairs(
+        spark, path,
+        emb.filter((F.col("vec_id") >= 75) & (F.col("vec_id") < 100)),
+        "embedding", "vec_id", threshold=_GUARD_THRESH,
+        max_batch_id=3, **knobs,
+    )
+    return pairs.select(
+        "new_id",
+        "corpus_id",
+        (F.floor(F.col("cos") * 1000000) / 1000000).alias("cos_f"),
+    )
+
+
 def _knn_graph_parts(
     k: int, n_planes: int, band_bits: int, rounds: int,
     corpus_where: str = "",
