@@ -476,3 +476,35 @@ def test_compact_skips_half_committed_batch(spark, tmp_path):
         batch, "embedding", "vec_id", path, batch_id=0, **ins
     )
     assert D.embedding_index_compact(spark, path)["folded_batches"] == [0]
+
+
+def test_admit_loop_with_midstream_compaction_is_value_invisible(
+    spark, sf_dir
+):
+    """compact_every folds deltas into a new base generation WHILE the
+    stream runs; the emitted pair set must be identical to the
+    compaction-free loop — compaction trades read fan-in for an O(index)
+    rewrite, never values."""
+    from vector_search_spark.plans.queries import _EPI_BITS, _EPI_PLANES
+    from vector_search_spark.streaming.serving import (
+        run_streaming_semantic_dedup_admit_availablenow,
+    )
+
+    kw = dict(
+        n_new=90, batch_rows=30, threshold=0.3,
+        n_planes=_EPI_PLANES, band_bits=_EPI_BITS,
+    )
+    plain = {
+        (r.new_id, r.corpus_id): r.cos
+        for r in run_streaming_semantic_dedup_admit_availablenow(
+            spark, sf_dir, **kw
+        ).collect()
+    }
+    compacted = {
+        (r.new_id, r.corpus_id): r.cos
+        for r in run_streaming_semantic_dedup_admit_availablenow(
+            spark, sf_dir, compact_every=1, **kw
+        ).collect()
+    }
+    assert compacted == plain
+    assert plain  # nonempty at the fixture

@@ -805,6 +805,7 @@ def run_streaming_semantic_dedup_admit_availablenow(
     n_planes: int = 32,
     band_bits: int = 8,
     dim: int | None = None,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """The full DEDUP-THEN-ADMIT ingest loop (round 13): every delivery
     first probes the persisted index for near-dups against EVERYTHING
@@ -831,7 +832,17 @@ def run_streaming_semantic_dedup_admit_availablenow(
     after the insert committed, before the checkpoint did) re-emits the
     identical pair list and its re-insert replaces its own delta instead
     of duplicating vec rows. Pinned by the crash-injection test in
-    tests/test_embedding_persist.py."""
+    tests/test_embedding_persist.py.
+
+    ``compact_every=k`` folds the delta log into a new base generation
+    after every k-th admitted delivery (round 14), always with
+    ``upto_batch_id`` = the CURRENT batch id — the current delivery's
+    own delta is excluded because its source checkpoint has not
+    committed yet (folding it would bake rows a replay's windowed probe
+    could no longer exclude). Compaction is value-invisible by contract:
+    the loop's emitted pairs are identical with or without it (pinned
+    in pytest); it only trades delta-read fan-in for an O(index)
+    rewrite."""
     import os
     import shutil
 
@@ -894,6 +905,12 @@ def run_streaming_semantic_dedup_admit_availablenow(
                 threshold, n_planes, band_bits, dim,
             )
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from ..operators.dedup import embedding_index_compact
+
+            embedding_index_compact(
+                spark, idx_path, upto_batch_id=batch_id
+            )
 
     q = (
         deliveries.writeStream.foreachBatch(_probe_then_admit)
