@@ -223,6 +223,59 @@ def test_admit_loop_matches_sequential_batch_replay(spark, sf_dir, tmp_path):
     assert any(c < 90 for (_, c) in streamed)  # cross-delivery exercised
 
 
+def test_admit_loop_ships_partial_tail_delivery(spark, sf_dir, tmp_path):
+    """ADVICE r13 pin: batch_rows that does NOT divide n_new must still
+    deliver the tail rows (floor division silently dropped them). 70/30
+    stages ceil(70/30)=3 deliveries (30, 30, 10); the loop must equal a
+    hand replay that probes all three, and the tail rows must actually
+    emit pairs so a re-dropped tail cannot pass vacuously."""
+    from vector_search_spark.config import EMB_DIM
+    from vector_search_spark.operators.dedup import (
+        embedding_index_insert,
+        embedding_index_write,
+    )
+    from vector_search_spark.plans.queries import _EPI_BITS, _EPI_PLANES
+    from vector_search_spark.sources.catalog import load_table
+    from vector_search_spark.streaming.serving import (
+        run_streaming_semantic_dedup_admit_availablenow,
+    )
+
+    streamed = {
+        (r.new_id, r.corpus_id): r.cos
+        for r in run_streaming_semantic_dedup_admit_availablenow(
+            spark, sf_dir, n_new=70, batch_rows=30, threshold=0.0,
+            n_planes=_EPI_PLANES, band_bits=_EPI_BITS,
+        ).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "tail_idx")
+    embedding_index_write(
+        emb.filter(F.col("vec_id") >= 70), "embedding", "vec_id", path,
+        n_planes=_EPI_PLANES, band_bits=_EPI_BITS, dim=EMB_DIM,
+    )
+    replay = {}
+    for i in range(3):
+        batch = emb.filter(F.expr("vec_id DIV 30") == i).filter(
+            F.col("vec_id") < 70
+        )
+        replay.update(
+            {
+                (r.new_id, r.corpus_id): r.cos
+                for r in embedding_probe_pairs(
+                    spark, path, batch, "embedding", "vec_id",
+                    threshold=0.0, n_planes=_EPI_PLANES,
+                    band_bits=_EPI_BITS, dim=EMB_DIM,
+                ).collect()
+            }
+        )
+        embedding_index_insert(
+            batch, "embedding", "vec_id", path,
+            n_planes=_EPI_PLANES, band_bits=_EPI_BITS, dim=EMB_DIM,
+        )
+    assert streamed == replay
+    assert any(60 <= n < 70 for (n, _) in streamed)  # tail rows probed
+
+
 def _probe_rows(spark, path, batch, **kw):
     return sorted(
         (r.new_id, r.corpus_id, r.cos)
