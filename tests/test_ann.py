@@ -439,7 +439,12 @@ def test_knn_graph_build_arrow_scoring_matches_jvm(spark, sf_dir):
     from vector_search_spark.operators.ann import knn_graph_build
 
     emb = load_table(spark, sf_dir, "embeddings")
-    kw = dict(k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=64)
+    # driver_max_cells=0 forces the DISTRIBUTED path for both sides —
+    # this test compares the two distributed scoring folds specifically
+    kw = dict(
+        k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=64,
+        driver_max_cells=0,
+    )
     a = {
         (r.src_id, r.nbr_id, r.rank, r.score)
         for r in knn_graph_build(emb, score_arrow=False, **kw).collect()
@@ -449,6 +454,40 @@ def test_knn_graph_build_arrow_scoring_matches_jvm(spark, sf_dir):
         for r in knn_graph_build(emb, score_arrow=True, **kw).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_knn_graph_build_driver_path_matches_distributed(spark, sf_dir):
+    """r14: the small-corpus DRIVER fast path must produce the identical
+    edge set (ranks, floored scores) AND the identical band table as the
+    distributed build — same planes, same candidate semantics, same
+    (src ASC, cos DESC, nbr ASC) total order; the numpy cosine rides the
+    same ulp-tolerant channels the opt-in Arrow scoring path certified.
+    driver_max_cells=0 forces the distributed build on the same input."""
+    from vector_search_spark.operators.ann import knn_graph_build
+    from vector_search_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(
+        k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=64,
+        return_bands=True,
+    )
+    g_drv, b_drv = knn_graph_build(emb, **kw)
+    g_dist, b_dist = knn_graph_build(emb, driver_max_cells=0, **kw)
+    edges_drv = sorted(map(tuple, g_drv.collect()))
+    edges_dist = sorted(map(tuple, g_dist.collect()))
+    assert edges_drv == edges_dist and len(edges_drv) > 0
+    bands_drv = sorted(map(tuple, b_drv.collect()))
+    bands_dist = sorted(map(tuple, b_dist.collect()))
+    assert bands_drv == bands_dist and len(bands_drv) > 0
+    # the auto-band_bits form (a corpus count feeds the knob) must route
+    # through the same gate without disturbing the knob math
+    g_auto = knn_graph_build(emb, k=6, rounds=1, seed=42, dim=64)
+    g_auto_dist = knn_graph_build(
+        emb, k=6, rounds=1, seed=42, dim=64, driver_max_cells=0
+    )
+    assert sorted(map(tuple, g_auto.collect())) == sorted(
+        map(tuple, g_auto_dist.collect())
+    )
 
 
 def test_graph_server_band_config_consistent_off_default(spark):

@@ -181,3 +181,30 @@ def test_bpe_train_stops_when_no_pairs_remain(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bpe_train(empty, "text", k=2).count() == 0
+
+
+def test_bpe_train_driver_path_matches_distributed(spark, sf_dir):
+    """r14: the small-vocabulary DRIVER fast path must be bit-identical
+    to the distributed rounds — merges AND the returned sequence state.
+    The loop is integer counts + string tie-breaks + the left-to-right
+    non-overlap scan (no float channel), so equality is exact, not
+    tolerance-based. driver_max_words=0 forces the distributed rounds on
+    the same corpus."""
+    from vector_search_spark.operators.lm import bpe_train
+    from vector_search_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    m_drv, s_drv = bpe_train(docs, "text", k=5, return_state=True)
+    m_dist, s_dist = bpe_train(
+        docs, "text", k=5, return_state=True, driver_max_words=0
+    )
+    assert sorted(map(tuple, m_drv.collect())) == sorted(
+        map(tuple, m_dist.collect())
+    )
+
+    def canon(df):
+        return sorted(
+            (r["wid"], r["cnt"], tuple(r["syms"])) for r in df.collect()
+        )
+
+    assert canon(s_drv) == canon(s_dist)

@@ -90,7 +90,7 @@ class GraphMaintainer:
         coalesce_to: int = 32,
         state_dir: str | None = None,
     ) -> None:
-        from .ann import corpus_band_keys, knn_graph_build
+        from .ann import knn_graph_build
 
         self.dim = dim
         self.k = k
@@ -116,19 +116,14 @@ class GraphMaintainer:
             k=k, n_planes=n_planes, band_bits=band_bits, seed=seed, dim=dim,
             id_col=id_col, vec_col=vec_col,
         )
-        self.graph = (
-            knn_graph_build(self.corpus, rounds=build_rounds, **self._kw)
-            .coalesce(coalesce_to)
-            .localCheckpoint(eager=True)
+        # r14: the build's band table doubles as the maintainer's band
+        # table (identical planes — one corpus signature pass instead of
+        # two; corpus_band_keys stays the recovery-path source)
+        g, bands = knn_graph_build(
+            self.corpus, rounds=build_rounds, return_bands=True, **self._kw
         )
-        self.bands = (
-            corpus_band_keys(
-                self.corpus, n_planes=n_planes, band_bits=band_bits,
-                seed=seed, dim=dim, id_col=id_col, vec_col=vec_col,
-            )
-            .coalesce(coalesce_to)
-            .localCheckpoint(eager=True)
-        )
+        self.graph = g.coalesce(coalesce_to).localCheckpoint(eager=True)
+        self.bands = bands.coalesce(coalesce_to).localCheckpoint(eager=True)
         if self._log is not None:
             self._commit_base()
 
@@ -295,7 +290,7 @@ class GraphMaintainer:
         """Link a bounded batch of new vectors in (``knn_graph_insert``
         against the CURRENT corpus — earlier inserts are full candidates
         for later batches via the maintained band table)."""
-        from .ann import corpus_band_keys, knn_graph_insert
+        from .ann import bounded_band_keys, knn_graph_insert
 
         batch = (
             new_rows.select(self.id_col, self.vec_col)
@@ -318,9 +313,14 @@ class GraphMaintainer:
             .coalesce(self._coalesce)
             .localCheckpoint(eager=True)
         )
+        # r14: the batch is bounded by the maintenance contract — the
+        # JVM-fold banding (no Arrow stage crossing) is the right tool,
+        # exactly as knn_graph_insert's own batch side already hashes;
+        # sign bits agree with the Arrow path except |dot| ≲ 1e-14 (the
+        # documented LSH bucketing channel)
         self.bands = (
             self.bands.unionByName(
-                corpus_band_keys(
+                bounded_band_keys(
                     batch, n_planes=self.n_planes, band_bits=self.band_bits,
                     seed=self.seed, dim=self.dim,
                     id_col=self.id_col, vec_col=self.vec_col,
@@ -385,21 +385,17 @@ class GraphMaintainer:
         """Full rebuild on the surviving corpus — the operation
         ``knn_graph_delete``'s contract prescribes for amortizing
         tombstone decay. Resets the churn counter."""
-        from .ann import corpus_band_keys, knn_graph_build
+        from .ann import knn_graph_build
 
-        self.graph = (
-            knn_graph_build(self.corpus, rounds=self.build_rounds, **self._kw)
-            .coalesce(self._coalesce)
-            .localCheckpoint(eager=True)
+        # r14: the rebuild's band table doubles as the refreshed band
+        # table (one corpus signature pass instead of two)
+        g, bands = knn_graph_build(
+            self.corpus, rounds=self.build_rounds, return_bands=True,
+            **self._kw
         )
+        self.graph = g.coalesce(self._coalesce).localCheckpoint(eager=True)
         self.bands = (
-            corpus_band_keys(
-                self.corpus, n_planes=self.n_planes,
-                band_bits=self.band_bits, seed=self.seed, dim=self.dim,
-                id_col=self.id_col, vec_col=self.vec_col,
-            )
-            .coalesce(self._coalesce)
-            .localCheckpoint(eager=True)
+            bands.coalesce(self._coalesce).localCheckpoint(eager=True)
         )
         self._churned = 0
         self.compactions += 1

@@ -158,6 +158,7 @@ def bpe_train(
     text_col: str = "text",
     k: int = 8,
     return_state: bool = False,
+    driver_max_words: int = 200_000,
 ):
     """Learn the first ``k`` BPE merges from a corpus — TOKENIZER TRAINING
     as a distributed job (Sennrich et al. 2016 semantics, exactly):
@@ -213,6 +214,61 @@ def bpe_train(
             StructField("syms", ArrayType(StringType())),
         ]
     )
+    # Small-vocabulary fast path (r14; the dup_clusters driver-union-find
+    # precedent): the per-round state is the VOCABULARY-sized sequence
+    # table, and every round costs a full Spark job (pair groupBy +
+    # driver argmax) plus an Arrow merge stage — ~0.3 s/round of pure
+    # scheduling at gate scale, 8 rounds deep. When the vocabulary is
+    # bounded (<= ``driver_max_words``; the eager checkpoint above makes
+    # the count free-ish), run the identical merge loop on the driver:
+    # integer counts, string tie-breaks, and the left-to-right
+    # non-overlap scan are engine-independent — BIT-exact with the
+    # distributed path by construction (no float channel at all; pinned
+    # in tests/test_lm.py). Corpora past the bound take the distributed
+    # rounds unchanged — the corpus-sized stage (the word-frequency
+    # groupBy) is distributed in BOTH forms.
+    if seqs.count() <= driver_max_words:
+        pdf = seqs.toPandas()
+        cnts = pdf["cnt"].tolist()
+        seq_state = [list(s) for s in pdf["syms"]]
+        merges = []
+        for r in range(k):
+            totals: dict = {}
+            for cnt, L in zip(cnts, seq_state):
+                for i in range(len(L) - 1):
+                    p = (L[i], L[i + 1])
+                    totals[p] = totals.get(p, 0) + cnt
+            if not totals:
+                break
+            # argmax with (count DESC, a ASC, b ASC) — the exact
+            # distributed tie-break
+            (a, b), tot = min(
+                totals.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((r + 1, a, b, int(tot)))
+            ab = a + b
+            for w, L in enumerate(seq_state):
+                res, i, n = [], 0, len(L)
+                while i < n:
+                    if i + 1 < n and L[i] == a and L[i + 1] == b:
+                        res.append(ab)
+                        i += 2
+                    else:
+                        res.append(L[i])
+                        i += 1
+                seq_state[w] = res
+        out = spark.createDataFrame(
+            merges, "rank long, sym_a string, sym_b string, n long"
+        )
+        if not return_state:
+            return out
+        state = spark.createDataFrame(
+            pd.DataFrame(
+                {"wid": pdf["wid"], "cnt": pdf["cnt"], "syms": seq_state}
+            ),
+            schema,
+        )
+        return out, state
     merges = []
     for r in range(k):
         n1 = F.size("syms") - 1

@@ -4022,24 +4022,31 @@ def v_knn_graph_serve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import knn_graph_build, knn_graph_serve
 
     emb = _t(spark, sf_dir, "embeddings")
-    graph = knn_graph_build(
-        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM
+    # r14: reuse the build's band table for the LSH entry join — one
+    # corpus signature pass total instead of two (value-identical)
+    graph, bands = knn_graph_build(
+        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM,
+        return_bands=True,
     )
     return knn_graph_serve(
         graph, emb, _probes(emb, 3), k=10, beam=8, rounds=2,
         entries="lsh", n_planes=24, band_bits=6, seed=42, dim=EMB_DIM,
+        corpus_bands=bands,
     )
 
 
-def _graph_serve_lsh(spark, sf_dir, graph):
+def _graph_serve_lsh(spark, sf_dir, graph, bands=None):
     """Shared serve call for the graph-persistence row: LSH-entry beam
-    search with the gate config, over whichever adjacency is passed."""
+    search with the gate config, over whichever adjacency is passed.
+    ``bands`` forwards a precomputed corpus band table (r14: the build
+    already hashed the corpus — don't re-hash per serve)."""
     from ..operators.ann import knn_graph_serve
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_graph_serve(
         graph, emb, _probes(emb, 3), k=10, beam=8, rounds=2,
         entries="lsh", n_planes=24, band_bits=6, seed=42, dim=EMB_DIM,
+        corpus_bands=bands,
     )
 
 
@@ -4071,17 +4078,21 @@ def v_knn_graph_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..utils import pid_scratch
 
     emb = _t(spark, sf_dir, "embeddings")
-    graph = knn_graph_build(
-        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM
-    ).localCheckpoint(eager=True)
+    # r14: both serves reuse the build's band table (one corpus
+    # signature pass instead of three; value-identical banding)
+    graph, bands = knn_graph_build(
+        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM,
+        return_bands=True,
+    )
+    graph = graph.localCheckpoint(eager=True)
     path = pid_scratch("graph_index", sf_dir)
     graph_write_index(graph, path)
-    served_mem = _graph_serve_lsh(spark, sf_dir, graph).select(
+    served_mem = _graph_serve_lsh(spark, sf_dir, graph, bands=bands).select(
         "probe_id", "vec_id", F.col("rank").alias("m_rank"),
         F.col("score").alias("m_score"),
     )
     served_cold = _graph_serve_lsh(
-        spark, sf_dir, graph_read_index(spark, path)
+        spark, sf_dir, graph_read_index(spark, path), bands=bands
     )
     return served_cold.join(
         F.broadcast(served_mem), ["probe_id", "vec_id"], "left"
@@ -4200,11 +4211,15 @@ def v_knn_graph_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") >= 20)
     new = emb.filter(F.col("vec_id") < 20)
-    graph = knn_graph_build(
-        base, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM
+    # r14: the insert's candidate join reuses the build's band table —
+    # the persisted-band-table deployment shape, one signature pass total
+    graph, bands = knn_graph_build(
+        base, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM,
+        return_bands=True,
     )
     return knn_graph_insert(
-        graph, base, new, k=6, n_planes=24, band_bits=6, seed=42, dim=EMB_DIM
+        graph, base, new, k=6, n_planes=24, band_bits=6, seed=42, dim=EMB_DIM,
+        corpus_bands=bands,
     )
 
 
@@ -4292,12 +4307,19 @@ def v_knn_graph_del(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import knn_graph_build, knn_graph_delete
 
     emb = _t(spark, sf_dir, "embeddings")
-    graph = knn_graph_build(
-        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM
-    ).localCheckpoint(eager=True)
+    # r14: the build already hashed every vector — reuse its band table
+    # for the delete's survivor repair pool instead of re-hashing the
+    # corpus (identical planes, value-identical banding; this is the
+    # persisted-band-table deployment shape the operator documents)
+    graph, bands = knn_graph_build(
+        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=EMB_DIM,
+        return_bands=True,
+    )
+    graph = graph.localCheckpoint(eager=True)
     dels = emb.filter(F.col("vec_id") % 16 == 7).select("vec_id")
     return knn_graph_delete(
-        graph, emb, dels, k=6, n_planes=24, band_bits=6, seed=42, dim=EMB_DIM
+        graph, emb, dels, k=6, n_planes=24, band_bits=6, seed=42, dim=EMB_DIM,
+        corpus_bands=bands,
     )
 
 

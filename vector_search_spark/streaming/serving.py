@@ -177,6 +177,7 @@ class GraphIndexServer:
         seed: int = 42,
         n_planes: int | None = None,
         band_bits: int | None = None,
+        corpus_bands: DataFrame | None = None,
     ) -> None:
         self.graph = graph.localCheckpoint(eager=True)
         self.corpus = corpus.select(id_col, vec_col).localCheckpoint(
@@ -189,7 +190,7 @@ class GraphIndexServer:
         self.vec_col = vec_col
         self.dim = dim
         self.seed = seed
-        # one Arrow signature pass at construction — the LSH entry mode
+        # one corpus signature pass at construction — the LSH entry mode
         # would otherwise re-hash the whole corpus (interpreted 24-dot
         # JVM signature, ~ms/row) on EVERY batch. The banding config is
         # resolved ONCE here and the SAME values feed both the persisted
@@ -197,18 +198,33 @@ class GraphIndexServer:
         # serve_batch re-derive band_bits from an auto corpus count made
         # probe and corpus hash under different configs at any corpus
         # size where auto != the table's default — entry join empty).
+        # r14: callers that already hashed the corpus (knn_graph_build's
+        # return_bands) pass ``corpus_bands`` — value-identical banding,
+        # zero extra passes; ``band_bits``/``n_planes`` must then match
+        # the table's config (the standing corpus_bands contract).
         if dim is not None:
             from ..operators.ann import auto_band_bits, corpus_band_keys
 
+            if corpus_bands is not None and (
+                band_bits is None or n_planes is None
+            ):
+                raise ValueError(
+                    "GraphIndexServer: corpus_bands requires explicit "
+                    "n_planes and band_bits matching the table's banding"
+                )
             if band_bits is None:
                 band_bits = auto_band_bits(corpus.count())
             if n_planes is None:
                 n_planes = band_bits * 4
             self.band_bits = band_bits
             self.n_planes = n_planes
-            self.corpus_bands = corpus_band_keys(
-                corpus, n_planes=n_planes, band_bits=band_bits, seed=seed,
-                dim=dim, id_col=id_col, vec_col=vec_col,
+            self.corpus_bands = (
+                corpus_bands
+                if corpus_bands is not None
+                else corpus_band_keys(
+                    corpus, n_planes=n_planes, band_bits=band_bits,
+                    seed=seed, dim=dim, id_col=id_col, vec_col=vec_col,
+                )
             ).localCheckpoint(eager=True)
         else:
             self.band_bits = band_bits
@@ -238,15 +254,17 @@ class GraphIndexServer:
 
         band_bits = auto_band_bits(corpus.count())
         n_planes = band_bits * 4
-        graph = knn_graph_build(
+        # r14: the build's band table seeds the server — one corpus
+        # signature pass for build + every serve batch combined
+        graph, bands = knn_graph_build(
             corpus, k=graph_k, n_planes=n_planes, band_bits=band_bits,
             rounds=rounds, seed=seed, dim=dim,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, return_bands=True,
         )
         return cls(
             graph, corpus, k=k, beam=beam, rounds=serve_rounds,
             id_col=id_col, vec_col=vec_col, dim=dim, seed=seed,
-            n_planes=n_planes, band_bits=band_bits,
+            n_planes=n_planes, band_bits=band_bits, corpus_bands=bands,
         )
 
     def serve_batch(self, probes: DataFrame) -> DataFrame:
@@ -362,19 +380,28 @@ class DurableGraphIngest:
         self.rounds = rounds
         self.id_col = id_col
         self.vec_col = vec_col
-        # base corpus band table: hashed ONCE per process (Arrow pass),
-        # reused by every micro-batch's candidate join — never per batch
+        # base corpus band table: hashed ONCE per process, reused by every
+        # micro-batch's candidate join — never per batch. r14: on a COLD
+        # start the base build below already hashed every vector, so its
+        # banded relation (identical planes, value-identical sign bits)
+        # is checkpointed as the band table instead of paying a second
+        # corpus-wide Arrow signature pass; the recovery path (no build)
+        # still hashes once via corpus_band_keys.
         import time as _time
 
         from ..operators.ann import corpus_band_keys
 
-        t0 = _time.perf_counter()
-        self.bands = corpus_band_keys(
-            self.base, n_planes=n_planes, band_bits=band_bits, seed=seed,
-            dim=self.dim, id_col=id_col, vec_col=vec_col,
-        ).localCheckpoint(eager=True)
-        self.band_secs = _time.perf_counter() - t0
+        self._built_bands = None
         self._graph, self._committed = self._recover()
+        t0 = _time.perf_counter()
+        if self._built_bands is not None:
+            self.bands = self._built_bands.localCheckpoint(eager=True)
+        else:
+            self.bands = corpus_band_keys(
+                self.base, n_planes=n_planes, band_bits=band_bits,
+                seed=seed, dim=self.dim, id_col=id_col, vec_col=vec_col,
+            ).localCheckpoint(eager=True)
+        self.band_secs = _time.perf_counter() - t0
 
     # -- durability plumbing ------------------------------------------
     def _publish(
@@ -407,16 +434,14 @@ class DurableGraphIngest:
         from ..operators.ann import knn_graph_build
 
         t0 = _time.perf_counter()
-        g = (
-            knn_graph_build(
-                self.base, k=self.k, n_planes=self.n_planes,
-                band_bits=self.band_bits, rounds=self.rounds,
-                seed=self.seed, dim=self.dim,
-                id_col=self.id_col, vec_col=self.vec_col,
-            )
-            .coalesce(32)
-            .localCheckpoint(eager=True)
+        g, self._built_bands = knn_graph_build(
+            self.base, k=self.k, n_planes=self.n_planes,
+            band_bits=self.band_bits, rounds=self.rounds,
+            seed=self.seed, dim=self.dim,
+            id_col=self.id_col, vec_col=self.vec_col,
+            return_bands=True,
         )
+        g = g.coalesce(32).localCheckpoint(eager=True)
         self.base_build_secs = _time.perf_counter() - t0
         self._publish(g, None, -1)
         return g, -1
@@ -585,10 +610,23 @@ def run_streaming_graph_ingest_availablenow(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),
     )
+    # r14: the serve's LSH entry join needs the GROWN corpus's band table
+    # = the ingest's checkpointed base bands ∪ the (bounded) new rows'
+    # bands via the JVM fold — instead of re-hashing the whole corpus
+    # with a second Arrow pass per serve (value-identical banding)
+    from ..operators.ann import bounded_band_keys
+
+    grown_bands = ingest.bands.unionByName(
+        bounded_band_keys(
+            new_rows, n_planes=n_planes, band_bits=band_bits, seed=42,
+            dim=dim,
+        )
+    )
     return knn_graph_serve(
         grown, emb, probes, k=serve_k, beam=beam,
         rounds=serve_rounds, entries="lsh", n_planes=n_planes,
         band_bits=band_bits, seed=42, dim=dim,
+        corpus_bands=grown_bands,
     )
 
 
@@ -625,13 +663,15 @@ def run_streaming_graph_serve_availablenow(
     corpus = load_table(spark, sf_dir, "embeddings").localCheckpoint(
         eager=True
     )
-    graph = knn_graph_build(
+    # r14: the server's LSH entry table reuses the build's band table
+    # (one corpus signature pass total, value-identical banding)
+    graph, bands = knn_graph_build(
         corpus, k=6, n_planes=n_planes, band_bits=band_bits, rounds=2,
-        seed=42, dim=dim,
+        seed=42, dim=dim, return_bands=True,
     )
     server = GraphIndexServer(
         graph, corpus, k=k, beam=beam, rounds=rounds, dim=dim, seed=42,
-        n_planes=n_planes, band_bits=band_bits,
+        n_planes=n_planes, band_bits=band_bits, corpus_bands=bands,
     )
     probes = (
         stream_vectors(spark, f"{sf_dir}/embeddings*.parquet")
