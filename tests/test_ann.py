@@ -490,6 +490,164 @@ def test_knn_graph_build_driver_path_matches_distributed(spark, sf_dir):
     )
 
 
+def test_knn_graph_insert_delete_driver_paths_match_distributed(spark, sf_dir):
+    """r14: the insert/delete DRIVER fast paths must produce identical
+    row sets (ranks, floored scores, touched sets) as the distributed
+    forms, with and without a supplied corpus band table. The batch-side
+    signature uses the sequential Python fold (bit-identical to the JVM
+    lsh_signature); scores ride the certified floored-numpy channel.
+    driver_max_cells=0 forces the distributed path on the same input."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.ann import (
+        corpus_band_keys,
+        knn_graph_build,
+        knn_graph_delete,
+        knn_graph_insert,
+    )
+    from vector_search_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 20)
+    new = emb.filter(F.col("vec_id") < 20)
+    kw = dict(k=6, n_planes=24, band_bits=6, seed=42, dim=64)
+    graph = knn_graph_build(base, rounds=2, **kw).localCheckpoint(eager=True)
+    bands = corpus_band_keys(base, dim=64).localCheckpoint(eager=True)
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    for cb in (None, bands):
+        i_drv, t_drv = knn_graph_insert(
+            graph, base, new, corpus_bands=cb, with_touched=True, **kw
+        )
+        i_dist, t_dist = knn_graph_insert(
+            graph, base, new, corpus_bands=cb, with_touched=True,
+            driver_max_cells=0, **kw
+        )
+        assert canon(i_drv) == canon(i_dist) and i_drv.count() > 0
+        assert canon(t_drv) == canon(t_dist)
+
+    full_graph = knn_graph_build(emb, rounds=2, **kw).localCheckpoint(
+        eager=True
+    )
+    full_bands = corpus_band_keys(emb, dim=64).localCheckpoint(eager=True)
+    dels = emb.filter(F.col("vec_id") % 16 == 7).select("vec_id")
+    for cb in (None, full_bands):
+        d_drv, dt_drv = knn_graph_delete(
+            full_graph, emb, dels, corpus_bands=cb, with_touched=True, **kw
+        )
+        d_dist, dt_dist = knn_graph_delete(
+            full_graph, emb, dels, corpus_bands=cb, with_touched=True,
+            driver_max_cells=0, **kw
+        )
+        assert canon(d_drv) == canon(d_dist) and d_drv.count() > 0
+        assert canon(dt_drv) == canon(dt_dist)
+
+
+def test_knn_graph_serve_driver_path_matches_distributed(spark, sf_dir):
+    """r14: the serve DRIVER fast path must answer identically to the
+    distributed beam search in all three entry modes (lowest-id, explicit
+    list, LSH with and without a supplied band table) — same frontier
+    rule, same score-once semantics, same (cos DESC, id ASC) order.
+    driver_max_cells=0 forces the distributed path on the same input."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.ann import (
+        corpus_band_keys,
+        knn_graph_build,
+        knn_graph_serve,
+    )
+    from vector_search_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = knn_graph_build(
+        emb, k=6, n_planes=24, band_bits=6, rounds=2, seed=42, dim=64
+    ).localCheckpoint(eager=True)
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    bands = corpus_band_keys(emb, dim=64).localCheckpoint(eager=True)
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    modes = [
+        dict(),
+        dict(entries=[0, 5, 9]),
+        dict(entries="lsh", n_planes=24, band_bits=6, seed=42, dim=64),
+        dict(
+            entries="lsh", n_planes=24, band_bits=6, seed=42, dim=64,
+            corpus_bands=bands,
+        ),
+    ]
+    for kw in modes:
+        drv = knn_graph_serve(graph, emb, probes, k=10, beam=8, rounds=2, **kw)
+        dist = knn_graph_serve(
+            graph, emb, probes, k=10, beam=8, rounds=2,
+            driver_max_cells=0, **kw
+        )
+        assert canon(drv) == canon(dist) and drv.count() > 0, kw
+
+
+def test_knn_graph_driver_paths_exact_duplicate_vectors(spark, sf_dir):
+    """r14: replicated fixtures carry bitwise-DUPLICATE vectors under
+    different ids, whose cosine sits exactly on the 1e-6 floor boundary —
+    the one place the numpy pairwise-sum fold visibly diverges from the
+    JVM/DuckDB sequential fold. The driver fast paths must still equal
+    the distributed plans on such a corpus (build/insert/delete/serve)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.ann import (
+        knn_graph_build,
+        knn_graph_delete,
+        knn_graph_insert,
+        knn_graph_serve,
+    )
+    from vector_search_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            "embedding",
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        ).select(*emb.columns)
+    ).localCheckpoint(eager=True)
+    kw = dict(k=6, n_planes=24, band_bits=6, seed=42, dim=64)
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    g_drv = knn_graph_build(dup, rounds=1, **kw)
+    g_dist = knn_graph_build(dup, rounds=1, driver_max_cells=0, **kw)
+    assert canon(g_drv) == canon(g_dist)
+    graph = g_dist.localCheckpoint(eager=True)
+
+    new = dup.filter(F.col("vec_id").between(100000, 100004))
+    base = dup.filter(~F.col("vec_id").between(100000, 100004))
+    bgraph = knn_graph_build(base, rounds=1, **kw).localCheckpoint(True)
+    i_drv = knn_graph_insert(bgraph, base, new, **kw)
+    i_dist = knn_graph_insert(bgraph, base, new, driver_max_cells=0, **kw)
+    assert canon(i_drv) == canon(i_dist)
+
+    dels = dup.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    d_drv = knn_graph_delete(graph, dup, dels, **kw)
+    d_dist = knn_graph_delete(graph, dup, dels, driver_max_cells=0, **kw)
+    assert canon(d_drv) == canon(d_dist)
+
+    probes = dup.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    s_drv = knn_graph_serve(graph, dup, probes, k=10, beam=8, rounds=2)
+    s_dist = knn_graph_serve(
+        graph, dup, probes, k=10, beam=8, rounds=2, driver_max_cells=0
+    )
+    assert canon(s_drv) == canon(s_dist)
+
+
 def test_graph_server_band_config_consistent_off_default(spark):
     """ADVICE r8 high: GraphIndexServer must resolve (n_planes, band_bits)
     ONCE and use the same values for the persisted corpus band table and

@@ -94,6 +94,89 @@ def auto_band_bits(n: int, target_bucket: int = 8) -> int:
     return max(4, min(20, math.ceil(math.log2(n / target_bucket))))
 
 
+def _rank_topk_np(part, score, tieb, k):
+    """Positions surviving a per-``part`` top-``k`` under (score DESC,
+    tieb ASC) with their 1-based ranks — row_number's total order, the
+    shared ranking rule of every graph-maintenance stage. Stable lexsort:
+    primary part ASC, then score DESC, then tieb ASC."""
+    o = np.lexsort((tieb, -score, part))
+    ps = part[o]
+    first = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+    grp = np.repeat(first, np.diff(np.r_[first, len(ps)]))
+    rn = np.arange(len(ps)) - grp + 1
+    keep = rn <= k
+    return o[keep], rn[keep]
+
+
+def _np_stack_vecs(obj_arr, n, dim):
+    if n == 0:
+        return np.zeros((0, dim))
+    return np.stack(obj_arr).astype(np.float64)
+
+
+def _seq_sigs(vecs, planes):
+    """Pure-Python SEQUENTIAL left-to-right signature fold — bit-identical
+    to the JVM ``lsh_signature`` codegen fold and DuckDB's replay (the
+    CLAUDE.md driver-side-literal precedent), for bounded batches only."""
+    sigs = []
+    for v in vecs:
+        row = [float(x) for x in v]
+        s = 0
+        for i, plane in enumerate(planes):
+            acc = 0.0
+            for x, y in zip(row, plane):
+                acc += x * y
+            if acc > 0:
+                s |= 1 << i
+        sigs.append(s)
+    return np.asarray(sigs, dtype=np.int64)
+
+
+def _seq_dot(a, b):
+    """Sequential left-to-right double dot — bit-identical to the JVM
+    ``dot`` codegen fold and DuckDB's replay. Bounded pair counts only."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _fix_dup_pair_cos(A, B, cos, denom=None):
+    """Recompute the NUMERATOR with the sequential fold for pairs whose
+    vectors are bitwise EQUAL, mirroring what the distributed plan would
+    produce. Replicated fixtures (and any corpus with re-uploaded rows)
+    contain duplicate vectors under different ids; their cosine sits
+    exactly on the 1e-6 floor boundary, where the numpy pairwise-sum dot
+    and the JVM/DuckDB sequential dot visibly diverge (1.0 vs 0.999999
+    after the floor — caught by the serve driver==distributed pin, r14).
+    ``denom`` supplies the distributed plan's denominator per pair when
+    it is NOT the plain √S·√S of the sequential fold (the build divides
+    by the sig stage's numpy norms); without it the full sequential
+    cosine S/(√S·√S) is used (insert/delete divide by JVM norms, which
+    equal the sequential fold bit-for-bit). Non-equal pairs keep the
+    certified numpy channel (boundary probability ~1e-10/pair)."""
+    if len(cos) == 0:
+        return cos
+    eq = (A == B).all(axis=1)
+    for t in np.flatnonzero(eq):
+        r = [float(x) for x in A[t]]
+        s = _seq_dot(r, r)
+        if denom is not None:
+            cos[t] = s / denom[t]
+        else:
+            rt = float(np.sqrt(s))
+            cos[t] = s / (rt * rt)
+    return cos
+
+
+def _band_lookup(b_id, b_band, b_key, band_bits):
+    """Sorted composite (band << band_bits | key) index over a collected
+    band table → (sorted composite, ids ordered to match)."""
+    comp = (b_band.astype(np.int64) << band_bits) | b_key.astype(np.int64)
+    o = np.argsort(comp, kind="stable")
+    return comp[o], b_id[o]
+
+
 def _knn_graph_build_driver(
     base: DataFrame,
     k: int,
@@ -165,7 +248,11 @@ def _knn_graph_build_driver(
     # pack as pos_a * n + pos_b, which cannot overflow under the cell
     # budget. Output maps positions back to ids.
     def pair_cos(pa, pb):
-        return (V[pa] * V[pb]).sum(axis=1) / (nrm[pa] * nrm[pb])
+        denom = nrm[pa] * nrm[pb]
+        c = (V[pa] * V[pb]).sum(axis=1) / denom
+        # the distributed build divides the JVM dot by the sig stage's
+        # numpy norms — mirror exactly for bitwise-equal pairs
+        return _fix_dup_pair_cos(V[pa], V[pb], c, denom=denom)
 
     # --- stage 1: banded candidate pairs -------------------------------
     pa_l, pb_l = [], []
@@ -677,6 +764,193 @@ def bounded_band_keys(
     ).select("id", "bk.band", "bk.key")
 
 
+def _knn_graph_serve_driver(
+    graph, vecs, pr, k, beam, rounds, entries, n_planes, band_bits,
+    seed, dim, corpus_bands
+):
+    """Driver-side replay of :func:`knn_graph_serve`'s batched beam search
+    (same gate/precedent as ``_knn_graph_build_driver``): per-round
+    top-``beam`` frontier (cos DESC, id ASC), adjacency expansion,
+    score-once anti-join, exact re-rank — identical stages in numpy.
+    Probe-side LSH signatures use the SEQUENTIAL Python fold
+    (bit-identical to the JVM fold the distributed path runs)."""
+    import pandas as _pd
+
+    spark = vecs.sparkSession
+    out_schema = "probe_id long, vec_id long, rank long, score double"
+    cp = vecs.toPandas()
+    n = len(cp)
+    ids = cp["id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    V = _np_stack_vecs(cp["vv"].to_numpy()[order], n, dim or 1)
+    vnrm = np.sqrt((V * V).sum(axis=1)) if n else np.zeros(0)
+    gp = graph.select("src_id", "nbr_id").toPandas()
+    a_src = gp["src_id"].to_numpy().astype(np.int64)
+    a_nbr = gp["nbr_id"].to_numpy().astype(np.int64)
+    ao = np.argsort(a_src, kind="stable")
+    a_src_s, a_nbr_s = a_src[ao], a_nbr[ao]
+    pp = pr.toPandas()
+    npr = len(pp)
+    pids = pp["pid"].to_numpy().astype(np.int64)
+    PV = _np_stack_vecs(pp["pv"].to_numpy(), npr, dim or 1)
+    pnrm = np.sqrt((PV * PV).sum(axis=1)) if npr else np.zeros(0)
+    if n == 0 or npr == 0:
+        return spark.createDataFrame([], out_schema)
+
+    # --- seed (probe, corpus-position) pairs ---------------------------
+    if entries == "lsh":
+        if corpus_bands is not None:
+            bpd = corpus_bands.toPandas()
+            comp_s, comp_ids = _band_lookup(
+                bpd["id"].to_numpy().astype(np.int64),
+                bpd["band"].to_numpy(),
+                bpd["key"].to_numpy(),
+                band_bits,
+            )
+        else:
+            planes_np = np.asarray(
+                make_planes(n_planes, dim, seed), dtype=np.float64
+            ).T
+            pw = 1 << np.arange(n_planes, dtype=np.int64)
+            sig = ((V @ planes_np) > 0) @ pw
+            n_bands_ = n_planes // band_bits
+            mask_ = (1 << band_bits) - 1
+            comp_s, comp_ids = _band_lookup(
+                np.tile(ids, n_bands_),
+                np.repeat(np.arange(n_bands_, dtype=np.int64), n),
+                np.concatenate(
+                    [(sig >> (b * band_bits)) & mask_
+                     for b in range(n_bands_)]
+                ),
+                band_bits,
+            )
+        planes = make_planes(n_planes, dim, seed)
+        psig = _seq_sigs(pp["pv"], planes)
+        n_bands = n_planes // band_bits
+        mask = (1 << band_bits) - 1
+        sp_p, sp_pos = [], []
+        for j in range(npr):
+            for b in range(n_bands):
+                comp = (b << band_bits) | int(
+                    (psig[j] >> (b * band_bits)) & mask
+                )
+                lo = np.searchsorted(comp_s, comp, "left")
+                hi = np.searchsorted(comp_s, comp, "right")
+                if hi > lo:
+                    cand_ids = comp_ids[lo:hi]
+                    # entry ids are corpus members by construction, but a
+                    # supplied band table may cover more — keep in-corpus
+                    pos = np.searchsorted(ids, cand_ids)
+                    ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == cand_ids)
+                    sp_p.append(np.full(int(ok.sum()), j, dtype=np.int64))
+                    sp_pos.append(pos[ok])
+        if sp_p:
+            seed_keys = np.unique(
+                np.concatenate(sp_p) * n + np.concatenate(sp_pos)
+            )
+        else:
+            seed_keys = np.zeros(0, dtype=np.int64)
+    else:
+        if entries is None:
+            entry_ids = np.unique(a_src)[:beam]
+        else:
+            entry_ids = np.asarray(sorted(int(e) for e in entries), np.int64)
+        pos = np.searchsorted(ids, entry_ids)
+        ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == entry_ids)
+        epos = pos[ok]
+        seed_keys = np.unique(
+            (np.repeat(np.arange(npr, dtype=np.int64), len(epos)) * n)
+            + np.tile(epos, npr)
+        )
+
+    # Serve cosines are computed with the SEQUENTIAL fold, not numpy:
+    # a probe that is itself a corpus member scores its own vector at
+    # cos == 1.0 — EXACTLY the 1e-6 floor boundary — and whether
+    # fl(sqrt(S))² == S depends on S's exact bits, so the numpy
+    # pairwise-sum S visibly diverged from the JVM/DuckDB sequential S on
+    # self-pairs (0.999999 vs 1.0 after the floor — caught by the
+    # driver==distributed pin, r14). Pair counts here are PROBE-bounded
+    # (seeds + beam×k per round), so the Python fold costs ~ms and is
+    # bit-identical to the distributed plan and the oracle replay.
+    _vrows: dict = {}
+    _vn: dict = {}
+    _prows: dict = {}
+    _pn: dict = {}
+
+    def _vrow(p):
+        r = _vrows.get(p)
+        if r is None:
+            r = [float(x) for x in V[p]]
+            _vrows[p] = r
+            _vn[p] = float(np.sqrt(_seq_dot(r, r)))
+        return r
+
+    def _prow(q):
+        r = _prows.get(q)
+        if r is None:
+            r = [float(x) for x in PV[q]]
+            _prows[q] = r
+            _pn[q] = float(np.sqrt(_seq_dot(r, r)))
+        return r
+
+    def score_keys(keys_arr):
+        j = keys_arr // n
+        pos = keys_arr % n
+        c = np.empty(len(keys_arr))
+        for t in range(len(keys_arr)):
+            p = int(pos[t])
+            q = int(j[t])
+            a = _vrow(p)
+            b = _prow(q)
+            c[t] = _seq_dot(a, b) / (_vn[p] * _pn[q])
+        return j, pos, c
+
+    s_j, s_pos, s_cos = score_keys(seed_keys)
+    scored_keys = seed_keys
+    for _ in range(rounds):
+        o, _rn = _rank_topk_np(s_j, s_cos, ids[s_pos], beam)
+        b_j, b_pos = s_j[o], s_pos[o]
+        # frontier expansion: adjacency rows whose src is a beam node
+        b_ids = ids[b_pos]
+        lo = np.searchsorted(a_src_s, b_ids, "left")
+        hi = np.searchsorted(a_src_s, b_ids, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        xi = np.repeat(np.arange(len(b_ids)), cnt)
+        offs = np.repeat(lo, cnt) + (
+            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        cj = b_j[xi]
+        cn_ids = a_nbr_s[offs]
+        pos = np.searchsorted(ids, cn_ids)
+        ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == cn_ids)
+        cand_keys = np.unique(cj[ok] * n + pos[ok])
+        fresh = cand_keys[
+            ~np.isin(cand_keys, scored_keys, assume_unique=True)
+        ]
+        if len(fresh) == 0:
+            continue
+        f_j, f_pos, f_cos = score_keys(fresh)
+        s_j = np.concatenate([s_j, f_j])
+        s_pos = np.concatenate([s_pos, f_pos])
+        s_cos = np.concatenate([s_cos, f_cos])
+        scored_keys = np.union1d(scored_keys, fresh)
+
+    o, rn = _rank_topk_np(s_j, s_cos, ids[s_pos], k)
+    out_pdf = _pd.DataFrame(
+        {
+            "probe_id": pids[s_j[o]],
+            "vec_id": ids[s_pos[o]],
+            "rank": rn.astype(np.int64),
+            "score": np.floor(s_cos[o] * 1000000.0) / 1000000.0,
+        }
+    )
+    return spark.createDataFrame(out_pdf, out_schema)
+
+
 def knn_graph_serve(
     graph: DataFrame,
     corpus: DataFrame,
@@ -694,6 +968,7 @@ def knn_graph_serve(
     seed: int = 42,
     dim: int | None = None,
     corpus_bands: DataFrame | None = None,
+    driver_max_cells: int = 4_000_000,
 ) -> DataFrame:
     """Graph-traversal ANN SERVE — the query half of :func:`knn_graph_build`
     (VERDICT r7 "What's missing" #2; together they are the HNSW-class
@@ -744,6 +1019,48 @@ def knn_graph_serve(
     )
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vv"))
     adj = graph.select(F.col("src_id").alias("id"), F.col("nbr_id").alias("nbr"))
+    # Small-corpus DRIVER fast path (r14) — the _knn_graph_build_driver
+    # gate and float-channel contract; a 2-round, 3-probe serve paid ~24
+    # AQE stage-jobs of scheduling at gate scale. Probe-side signatures
+    # use the SEQUENTIAL Python fold (bit-identical to the JVM fold);
+    # driver == distributed is pinned in tests/test_ann.py.
+    from pyspark.sql.types import IntegralType
+
+    if (
+        driver_max_cells
+        and isinstance(pr.schema["pid"].dataType, IntegralType)
+        and isinstance(vecs.schema["id"].dataType, IntegralType)
+    ):
+        width = dim
+        if width is None:
+            head = vecs.limit(1).collect()
+            width = len(head[0]["vv"]) if head else 1
+        nv = vecs.count()
+        if nv * width <= driver_max_cells:
+            bb_, np_ = band_bits, n_planes
+            if entries == "lsh":
+                if dim is None:
+                    raise ValueError(
+                        "knn_graph_serve(entries='lsh') requires dim= "
+                        "(embedding dimensionality, matching the build)"
+                    )
+                if corpus_bands is not None and (
+                    band_bits is None or n_planes is None
+                ):
+                    raise ValueError(
+                        "knn_graph_serve: corpus_bands requires explicit "
+                        "n_planes and band_bits matching the banding the "
+                        "table was built with (see corpus_band_keys / "
+                        "GraphIndexServer)"
+                    )
+                if bb_ is None:
+                    bb_ = auto_band_bits(nv)
+                if np_ is None:
+                    np_ = bb_ * 4
+            return _knn_graph_serve_driver(
+                graph, vecs, pr, k, beam, rounds, entries, np_, bb_,
+                seed, dim, corpus_bands,
+            )
     if entries == "lsh":
         if dim is None:
             raise ValueError(
@@ -942,6 +1259,125 @@ def ivf_assign(
     return best.select(corpus_id, corpus_vec, centroid_id, *(payload_cols or []))
 
 
+def _knn_graph_insert_driver(
+    graph, ex, nw, eb, k, n_planes, band_bits, seed, dim, with_touched
+):
+    """Driver-side replay of :func:`knn_graph_insert` (same gate/precedent
+    as ``_knn_graph_build_driver``): candidates from the collected band
+    table ⋈ the batch's SEQUENTIAL-fold signatures (bit-identical to the
+    JVM fold), floored-space scoring and (score DESC, id ASC) re-ranks in
+    numpy, untouched rows passing through with their original ranks."""
+    import pandas as _pd
+
+    spark = ex.sparkSession
+    out_schema = "src_id long, nbr_id long, rank long, score double"
+    cp = ex.toPandas()
+    n = len(cp)
+    ids = cp["id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    V = _np_stack_vecs(cp["v"].to_numpy()[order], n, dim)
+    bp = nw.toPandas()
+    nb = len(bp)
+    nids = bp["id"].to_numpy().astype(np.int64)
+    NV = _np_stack_vecs(bp["v"].to_numpy(), nb, dim)
+    gp = graph.select("src_id", "nbr_id", "rank", "score").toPandas()
+    g_src = gp["src_id"].to_numpy().astype(np.int64)
+    g_nbr = gp["nbr_id"].to_numpy().astype(np.int64)
+    g_rank = gp["rank"].to_numpy().astype(np.int64)
+    g_score = gp["score"].to_numpy().astype(np.float64)
+    # corpus band table: the collected persisted table when given, else
+    # the numpy signature pass over the collected vectors (the build
+    # driver's channel)
+    if eb is not None:
+        ebp = eb.toPandas()
+        comp_s, comp_ids = _band_lookup(
+            ebp["id"].to_numpy().astype(np.int64),
+            ebp["band"].to_numpy(),
+            ebp["key"].to_numpy(),
+            band_bits,
+        )
+    else:
+        planes_np = np.asarray(
+            make_planes(n_planes, dim, seed), dtype=np.float64
+        ).T
+        pw = 1 << np.arange(n_planes, dtype=np.int64)
+        sig = ((V @ planes_np) > 0) @ pw if n else np.zeros(0, np.int64)
+        n_bands_ = n_planes // band_bits
+        mask = (1 << band_bits) - 1
+        comp_s, comp_ids = _band_lookup(
+            np.tile(ids, n_bands_),
+            np.repeat(np.arange(n_bands_, dtype=np.int64), n),
+            np.concatenate(
+                [(sig >> (b * band_bits)) & mask for b in range(n_bands_)]
+            )
+            if n
+            else np.zeros(0, np.int64),
+            band_bits,
+        )
+    # batch signatures: sequential fold (bit-identical to lsh_signature)
+    planes = make_planes(n_planes, dim, seed)
+    bsig = _seq_sigs(bp["v"], planes) if nb else np.zeros(0, np.int64)
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    pe_l, pn_l = [], []
+    for j in range(nb):
+        for b in range(n_bands):
+            comp = (b << band_bits) | int((bsig[j] >> (b * band_bits)) & mask)
+            lo = np.searchsorted(comp_s, comp, "left")
+            hi = np.searchsorted(comp_s, comp, "right")
+            if hi > lo:
+                pe_l.append(comp_ids[lo:hi])
+                pn_l.append(np.full(hi - lo, j, dtype=np.int64))
+    if pe_l:
+        pe = np.concatenate(pe_l)
+        pj = np.concatenate(pn_l)
+        pos = np.searchsorted(ids, pe)
+        keys = np.unique(pos * max(nb, 1) + pj)
+        c_pos = keys // max(nb, 1)
+        c_j = keys % max(nb, 1)
+    else:
+        c_pos = np.zeros(0, dtype=np.int64)
+        c_j = np.zeros(0, dtype=np.int64)
+    A = V[c_pos]
+    B = NV[c_j]
+    cos = (A * B).sum(axis=1) / (
+        np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+    ) if len(c_pos) else np.zeros(0)
+    cos = _fix_dup_pair_cos(A, B, cos)
+    sc = np.floor(cos * 1000000.0) / 1000000.0
+    c_eid = ids[c_pos]
+    c_nid = nids[c_j]
+    # new-node edges: per nid top-k (floored score DESC, eid ASC)
+    o, rn = _rank_topk_np(c_nid, sc, c_eid, k)
+    na_src, na_nbr, na_rank, na_score = c_nid[o], c_eid[o], rn, sc[o]
+    # patch pool: touched existing nodes' current rows ∪ their candidates
+    srcs = np.unique(c_eid)
+    in_srcs = np.isin(g_src, srcs)
+    pp_src = np.concatenate([g_src[in_srcs], c_eid])
+    pp_nbr = np.concatenate([g_nbr[in_srcs], c_nid])
+    pp_sc = np.concatenate([g_score[in_srcs], sc])
+    o2, rn2 = _rank_topk_np(pp_src, pp_sc, pp_nbr, k)
+    out_pdf = _pd.DataFrame(
+        {
+            "src_id": np.concatenate([g_src[~in_srcs], pp_src[o2], na_src]),
+            "nbr_id": np.concatenate([g_nbr[~in_srcs], pp_nbr[o2], na_nbr]),
+            "rank": np.concatenate(
+                [g_rank[~in_srcs], rn2, na_rank]
+            ).astype(np.int64),
+            "score": np.concatenate([g_score[~in_srcs], pp_sc[o2], na_score]),
+        }
+    )
+    updated = spark.createDataFrame(out_pdf, out_schema)
+    if with_touched:
+        touched = spark.createDataFrame(
+            _pd.DataFrame({"src_id": np.unique(np.concatenate([srcs, nids]))}),
+            "src_id long",
+        )
+        return updated, touched
+    return updated
+
+
 def knn_graph_insert(
     graph: DataFrame,
     corpus: DataFrame,
@@ -955,6 +1391,7 @@ def knn_graph_insert(
     vec_col: str = "embedding",
     corpus_bands: DataFrame | None = None,
     with_touched: bool = False,
+    driver_max_cells: int = 4_000_000,
 ) -> DataFrame:
     """INCREMENTAL k-NN-graph maintenance — the HNSW-insert analog of
     ``minhash_probe_pairs``'s incremental indexing (new batches must not
@@ -1007,6 +1444,17 @@ def knn_graph_insert(
 
     ex = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     nw = new_rows.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Small-corpus DRIVER fast path (r14) — the _knn_graph_build_driver
+    # gate and float-channel contract; a per-micro-batch insert at gate
+    # scale paid ~10 AQE stage-jobs of scheduling for |batch|·bucket
+    # candidate rows. Batch signatures use the SEQUENTIAL Python fold
+    # (bit-identical to the JVM lsh_signature the distributed path
+    # folds); driver == distributed is pinned in tests/test_ann.py.
+    if driver_max_cells and ex.count() * dim <= driver_max_cells:
+        return _knn_graph_insert_driver(
+            graph, ex, nw, corpus_bands, k, n_planes, band_bits, seed,
+            dim, with_touched,
+        )
     eb = (
         corpus_bands.select(
             F.col("id").alias("eid"), "band", "key"
@@ -1084,6 +1532,144 @@ def knn_graph_insert(
     return updated
 
 
+def _knn_graph_delete_driver(
+    graph, ex, dl_df, bands, k, n_planes, band_bits, seed, dim, with_touched
+):
+    """Driver-side replay of :func:`knn_graph_delete` (same gate/precedent
+    as ``_knn_graph_build_driver``): tombstone, affected set, survivor-band
+    repair pool, floored re-score and (score DESC, nbr ASC) re-rank in
+    numpy; untouched survivors pass through with their original ranks."""
+    import pandas as _pd
+
+    spark = ex.sparkSession
+    out_schema = "src_id long, nbr_id long, rank long, score double"
+    cp = ex.toPandas()
+    n = len(cp)
+    ids = cp["id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    V = _np_stack_vecs(cp["v"].to_numpy()[order], n, dim)
+    dl = np.unique(
+        dl_df.toPandas().iloc[:, 0].to_numpy().astype(np.int64)
+    )
+    gp = graph.select("src_id", "nbr_id", "rank", "score").toPandas()
+    g_src = gp["src_id"].to_numpy().astype(np.int64)
+    g_nbr = gp["nbr_id"].to_numpy().astype(np.int64)
+    g_rank = gp["rank"].to_numpy().astype(np.int64)
+    g_score = gp["score"].to_numpy().astype(np.float64)
+    surv = ~np.isin(g_src, dl)
+    s_src, s_nbr, s_rank, s_score = (
+        g_src[surv], g_nbr[surv], g_rank[surv], g_score[surv]
+    )
+    lost = np.isin(s_nbr, dl)
+    affected = np.unique(s_src[lost])
+    # survivor band table: filter the collected persisted table when
+    # given, else one numpy signature pass over the survivor vectors
+    if bands is not None:
+        bpd = bands.toPandas()
+        b_id = bpd["id"].to_numpy().astype(np.int64)
+        keep = ~np.isin(b_id, dl)
+        comp_s, comp_ids = _band_lookup(
+            b_id[keep],
+            bpd["band"].to_numpy()[keep],
+            bpd["key"].to_numpy()[keep],
+            band_bits,
+        )
+    else:
+        sv = ~np.isin(ids, dl)
+        planes_np = np.asarray(
+            make_planes(n_planes, dim, seed), dtype=np.float64
+        ).T
+        pw = 1 << np.arange(n_planes, dtype=np.int64)
+        sids = ids[sv]
+        sV = V[sv]
+        sig = (
+            ((sV @ planes_np) > 0) @ pw
+            if len(sids)
+            else np.zeros(0, np.int64)
+        )
+        n_bands_ = n_planes // band_bits
+        mask = (1 << band_bits) - 1
+        comp_s, comp_ids = _band_lookup(
+            np.tile(sids, n_bands_),
+            np.repeat(np.arange(n_bands_, dtype=np.int64), len(sids)),
+            np.concatenate(
+                [(sig >> (b * band_bits)) & mask for b in range(n_bands_)]
+            )
+            if len(sids)
+            else np.zeros(0, np.int64),
+            band_bits,
+        )
+    # banded candidates for affected nodes: rows of the survivor band
+    # table sharing (band, key) with an affected node's row
+    aff_mask = np.isin(comp_ids, affected)
+    a_comp = comp_s[aff_mask]
+    a_id = comp_ids[aff_mask]
+    c_src_l, c_nbr_l = [], []
+    if len(a_comp):
+        lo = np.searchsorted(comp_s, a_comp, "left")
+        hi = np.searchsorted(comp_s, a_comp, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total:
+            xi = np.repeat(np.arange(len(a_comp)), cnt)
+            offs = np.repeat(lo, cnt) + (
+                np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            cs = a_id[xi]
+            cn = comp_ids[offs]
+            nz = cs != cn
+            c_src_l.append(cs[nz])
+            c_nbr_l.append(cn[nz])
+    # kept surviving neighbors of affected nodes
+    kept_mask = np.isin(s_src, affected) & ~np.isin(s_nbr, dl)
+    c_src_l.append(s_src[kept_mask])
+    c_nbr_l.append(s_nbr[kept_mask])
+    if c_src_l:
+        p_src = np.concatenate(c_src_l)
+        p_nbr = np.concatenate(c_nbr_l)
+        ps = np.searchsorted(ids, p_src)
+        pn = np.searchsorted(ids, p_nbr)
+        keys = np.unique(ps * n + pn)
+        ps, pn = keys // n, keys % n
+    else:
+        ps = pn = np.zeros(0, dtype=np.int64)
+    A = V[pn]
+    B = V[ps]
+    cos = (
+        (A * B).sum(axis=1)
+        / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1)))
+        if len(ps)
+        else np.zeros(0)
+    )
+    cos = _fix_dup_pair_cos(A, B, cos)
+    sc = np.floor(cos * 1000000.0) / 1000000.0
+    r_src = ids[ps]
+    r_nbr = ids[pn]
+    o, rn = _rank_topk_np(r_src, sc, r_nbr, k)
+    untouched = ~np.isin(s_src, affected)
+    out_pdf = _pd.DataFrame(
+        {
+            "src_id": np.concatenate([s_src[untouched], r_src[o]]),
+            "nbr_id": np.concatenate([s_nbr[untouched], r_nbr[o]]),
+            "rank": np.concatenate(
+                [s_rank[untouched], rn]
+            ).astype(np.int64),
+            "score": np.concatenate([s_score[untouched], sc[o]]),
+        }
+    )
+    result = spark.createDataFrame(out_pdf, out_schema)
+    if with_touched:
+        touched = spark.createDataFrame(
+            _pd.DataFrame(
+                {"src_id": np.unique(np.concatenate([affected, dl]))}
+            ),
+            "src_id long",
+        )
+        return result, touched
+    return result
+
+
 def knn_graph_delete(
     graph: DataFrame,
     corpus: DataFrame,
@@ -1097,6 +1683,7 @@ def knn_graph_delete(
     vec_col: str = "embedding",
     corpus_bands: DataFrame | None = None,
     with_touched: bool = False,
+    driver_max_cells: int = 4_000_000,
 ) -> DataFrame:
     """k-NN-graph DELETION — the removal half of incremental maintenance
     (``knn_graph_insert`` is the add half; VERDICT r8 missing #2: the
@@ -1135,6 +1722,19 @@ def knn_graph_delete(
     """
     if dim is None:
         raise ValueError("knn_graph_delete requires dim=")
+    # Small-corpus DRIVER fast path (r14) — the _knn_graph_build_driver
+    # gate and float-channel contract; the distributed form pays ~14 AQE
+    # stage-jobs for an affected set bounded by |del| × in-degree.
+    # Driver == distributed is pinned in tests/test_ann.py.
+    if driver_max_cells:
+        ex0 = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        )
+        if ex0.count() * dim <= driver_max_cells:
+            return _knn_graph_delete_driver(
+                graph, ex0, del_ids, corpus_bands, k, n_planes,
+                band_bits, seed, dim, with_touched,
+            )
     # deletions are a bounded maintenance batch — persist once (LAZY
     # checkpoint, r14: the eager form paid one extra materialization job
     # per relation; persist semantics are all the multi-consumer reuse
